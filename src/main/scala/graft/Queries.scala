@@ -1,0 +1,402 @@
+package graft
+
+import graft.core._
+import graft.decompose._
+import graft.estimators._
+import graft.prep.Prep
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-checked query registry: every operator from SURVEY §2 exposed
+  * as a (SparkSession, sfDir) => DataFrame, with a DuckDB oracle where
+  * ANSI-SQL-expressible. Column names/aliases must match the oracle SQL
+  * exactly; floats are rounded to 6 decimals on BOTH sides so hash
+  * comparison is robust to summation-order noise. */
+object Queries {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def r6(c: Column): Column = round(c, 6)
+
+  def r6d(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // Decomposition setup shared by the q_decomp_* queries: outcome
+  // l_extendedprice, group l_linestatus (ref "F" -> group A is "O"),
+  // single predictor l_quantity.
+  private def decompCfg = OaxacaConfig("l_extendedprice", "l_linestatus", "F",
+    predictors = Seq("l_quantity"), bootstrapReps = 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- classic relational layer (SURVEY §2.6) ----
+    "q_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r6(sum(col("l_quantity"))).as("sum_qty"),
+          r6(sum(col("l_extendedprice"))).as("sum_price"),
+          r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r6(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_mktseg_revenue" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(r6(sum(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_top_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), r6(col("o_totalprice")).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // ---- data-prep / stats layer (P1-P10, E8) ----
+    "q_group_means" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(r6(avg(col("l_quantity"))).as("avg_qty"),
+          r6(avg(col("l_extendedprice"))).as("avg_price"),
+          r6(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_weighted_mean" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_linestatus"))
+        .agg(r6(sum(col("l_extendedprice") * col("l_quantity")) /
+          sum(col("l_quantity"))).as("wmean_price"))
+        .orderBy(col("l_linestatus"))),
+
+    "q_quantile_t7" -> ((s, d) => {
+      val taus = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      t(s, d, "lineitem")
+        .agg(expr(s"percentile(l_extendedprice, array(${taus.mkString("D,")}D))").as("qs"))
+        .select(posexplode(col("qs")).as(Seq("pos", "q")))
+        .select((col("pos") + 1).cast("int").as("idx"), r6(col("q")).as("quantile"))
+        .orderBy(col("idx"))
+    }),
+
+    "q_silverman" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_linestatus"))
+        .agg(
+          stddev_samp(col("l_extendedprice")).as("sigma"),
+          expr("percentile(l_extendedprice, 0.75D) - percentile(l_extendedprice, 0.25D)").as("iqr"),
+          count(lit(1)).as("n"))
+        .select(col("l_linestatus"),
+          r6(lit(0.9) * least(col("sigma"), col("iqr") / lit(1.34)) *
+            pow(col("n").cast("double"), lit(-0.2))).as("bandwidth"))
+        .orderBy(col("l_linestatus"))),
+
+    "q_onehot_means" -> ((s, d) => {
+      val (dummied, infos) = Prep.oneHot(t(s, d, "lineitem"), Seq("l_returnflag"))
+      val aggs = infos.flatMap(_.dummyCols)
+        .map(c => r6(avg(col(c))).as(s"mean_$c"))
+      dummied.groupBy(col("l_linestatus"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("l_linestatus"))
+    }),
+
+    "q_total_gap" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        r6(avg(when(col("l_linestatus") === "O", col("l_extendedprice"))) -
+          avg(when(col("l_linestatus") === "F", col("l_extendedprice"))))
+          .as("total_gap"))),
+
+    // ---- estimators (E1, E17) ----
+    "q_ols_group" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      val fits = GroupedOls.fit(li, "l_extendedprice",
+        Seq(Prep.InterceptCol, "l_quantity"), "l_returnflag")
+      val rows = fits.map { case (lvl, f) =>
+        Row(lvl, r6d(f.beta(0)), r6d(f.beta(1)), r6d(math.sqrt(f.sigma2)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("l_returnflag", StringType),
+        StructField("intercept", DoubleType),
+        StructField("slope", DoubleType),
+        StructField("resid_stddev", DoubleType)))).orderBy("l_returnflag")
+    }),
+
+    "q_wls_group" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      val fits = GroupedOls.fit(li, "l_extendedprice",
+        Seq(Prep.InterceptCol, "l_discount"), "l_linestatus", Some("l_quantity"))
+      val rows = fits.map { case (lvl, f) =>
+        Row(lvl, r6d(f.beta(0)), r6d(f.beta(1)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("l_linestatus", StringType),
+        StructField("intercept", DoubleType),
+        StructField("slope", DoubleType)))).orderBy("l_linestatus")
+    }),
+
+    "q_vif" -> ((s, d) => {
+      val vifs = Vif.compute(t(s, d, "lineitem"), Seq("l_quantity", "l_discount"))
+      val rows = vifs.map { case (v, x) => Row(v, r6d(x)) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("variable", StringType),
+        StructField("vif", DoubleType)))).orderBy("variable")
+    }),
+
+    // ---- decomposition (D1-D4, D8) ----
+    "q_decomp_twofold" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"), decompCfg)
+      oneRow(s,
+        Seq("total_gap", "explained", "unexplained"),
+        Seq(res.totalGap,
+          res.twoFold.find(_.name == "explained").get.estimate,
+          res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
+    "q_decomp_threefold" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"), decompCfg)
+      oneRow(s,
+        Seq("endowments", "coefficients", "interaction"),
+        Seq(res.threeFold(0).estimate, res.threeFold(1).estimate,
+          res.threeFold(2).estimate))
+    }),
+
+    "q_decomp_detailed" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"), decompCfg)
+      val unex = res.detailedUnexplained.map(c => c.name -> c.estimate).toMap
+      val rows = res.detailedExplained.map(c =>
+        Row(c.name, r6d(c.estimate), r6d(unex(c.name))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("variable", StringType),
+        StructField("explained", DoubleType),
+        StructField("unexplained", DoubleType)))).orderBy("variable")
+    }),
+
+    "q_decomp_pooled" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"),
+        decompCfg.copy(refCoefficients = RefCoefficients.Pooled))
+      oneRow(s,
+        Seq("total_gap", "explained", "unexplained"),
+        Seq(res.totalGap,
+          res.twoFold.find(_.name == "explained").get.estimate,
+          res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
+    // ---- budget optimizer (D15) ----
+    "q_budget_greedy" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity")
+      val split = Prep.splitGroups(li, "l_linestatus", "F")
+      val lanes = Gram.computeGrouped(li, "l_extendedprice", xCols, None,
+        Prep.laneOf(split, "l_linestatus"), 2, 0, 0L)
+      val fitB = Ols.fromGram(lanes(1)(0), xCols)
+      val totalGap = lanes(0)(0).yMean - lanes(1)(0).yMean
+      val dfB = split.dfB.withColumn("residual",
+        Ols.residualCol("l_extendedprice", xCols, fitB.beta))
+      BudgetOptimizer.optimize(dfB, "residual",
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          totalGap, lanes(1)(0).n, budget = 500000.0, targetGap = 0.0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("residual")).as("residual"),
+          r6(col("adjustment")).as("adjustment"))
+        .orderBy(col("residual"), col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  private def oneRow(s: SparkSession, names: Seq[String], values: Seq[Double]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(Seq(Row(values.map(r6d): _*)), 1),
+      StructType(names.map(StructField(_, DoubleType))))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — ANSI SQL over the same parquet tables, matching
+  // column names and 6-decimal rounding.
+  // ---------------------------------------------------------------------
+
+  /** Closed-form per-group simple regression CTE used by decomposition
+    * oracles: slope/intercept of l_extendedprice ~ l_quantity by
+    * l_linestatus. */
+  private val gRegCte =
+    """WITH g AS (
+      |  SELECT l_linestatus AS lvl,
+      |         avg(l_extendedprice) AS ybar,
+      |         avg(l_quantity) AS xbar,
+      |         regr_slope(l_extendedprice, l_quantity) AS slope,
+      |         regr_intercept(l_extendedprice, l_quantity) AS icept,
+      |         count(*) AS n
+      |  FROM lineitem GROUP BY 1
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 6) AS sum_qty,
+        |  round(sum(l_extendedprice), 6) AS sum_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_mktseg_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(o_totalprice), 6) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_group_means" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_weighted_mean" ->
+      """SELECT l_linestatus,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quantile_t7" ->
+      """SELECT idx, round(q, 6) AS quantile FROM (
+        |  SELECT 1 AS idx, quantile_cont(l_extendedprice, 0.10) AS q FROM lineitem
+        |  UNION ALL SELECT 2, quantile_cont(l_extendedprice, 0.25) FROM lineitem
+        |  UNION ALL SELECT 3, quantile_cont(l_extendedprice, 0.50) FROM lineitem
+        |  UNION ALL SELECT 4, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+        |  UNION ALL SELECT 5, quantile_cont(l_extendedprice, 0.90) FROM lineitem
+        |) ORDER BY idx""".stripMargin,
+
+    "q_silverman" ->
+      """SELECT l_linestatus,
+        |  round(0.9 * least(stddev_samp(l_extendedprice),
+        |    (quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25)) / 1.34)
+        |    * pow(count(*), -0.2), 6) AS bandwidth
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_onehot_means" ->
+      """SELECT l_linestatus,
+        |  round(avg(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END), 6) AS "mean_l_returnflag_N",
+        |  round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6) AS "mean_l_returnflag_R"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_total_gap" ->
+      """SELECT round(
+        |  avg(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END) -
+        |  avg(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 6) AS total_gap
+        |FROM lineitem""".stripMargin,
+
+    "q_ols_group" ->
+      """SELECT l_returnflag,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(sqrt(regr_syy(l_extendedprice, l_quantity)
+        |    * (1 - pow(corr(l_extendedprice, l_quantity), 2))
+        |    / (count(*) - 2)), 6) AS resid_stddev
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_wls_group" ->
+      """WITH s AS (
+        |  SELECT l_linestatus AS lvl, sum(l_quantity) AS sw,
+        |    sum(l_quantity * l_discount) AS swx,
+        |    sum(l_quantity * l_extendedprice) AS swy,
+        |    sum(l_quantity * l_discount * l_discount) AS swxx,
+        |    sum(l_quantity * l_discount * l_extendedprice) AS swxy
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT lvl AS l_linestatus,
+        |  round((swy - (swxy - swx * swy / sw) / (swxx - swx * swx / sw) * swx) / sw, 6) AS intercept,
+        |  round((swxy - swx * swy / sw) / (swxx - swx * swx / sw), 6) AS slope
+        |FROM s ORDER BY 1""".stripMargin,
+
+    "q_vif" ->
+      """WITH c AS (SELECT corr(l_quantity, l_discount) AS r FROM lineitem)
+        |SELECT variable, round(1.0 / (1.0 - r * r), 6) AS vif FROM c,
+        |  (VALUES ('l_quantity'), ('l_discount')) AS v(variable)
+        |ORDER BY variable""".stripMargin,
+
+    "q_decomp_twofold" -> (gRegCte +
+      """
+        |SELECT round(a.ybar - b.ybar, 6) AS total_gap,
+        |  round((a.xbar - b.xbar) * b.slope, 6) AS explained,
+        |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * b.slope, 6) AS unexplained
+        |FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin),
+
+    "q_decomp_threefold" -> (gRegCte +
+      """
+        |SELECT round((a.xbar - b.xbar) * b.slope, 6) AS endowments,
+        |  round((a.icept - b.icept) + b.xbar * (a.slope - b.slope), 6) AS coefficients,
+        |  round((a.xbar - b.xbar) * (a.slope - b.slope), 6) AS interaction
+        |FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin),
+
+    "q_decomp_detailed" -> (gRegCte +
+      """
+        |SELECT variable, round(explained, 6) AS explained,
+        |  round(unexplained, 6) AS unexplained FROM (
+        |  SELECT 'intercept' AS variable, 0.0 AS explained,
+        |    a.icept - b.icept AS unexplained
+        |  FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'
+        |  UNION ALL
+        |  SELECT 'l_quantity', (a.xbar - b.xbar) * b.slope,
+        |    a.xbar * (a.slope - b.slope)
+        |  FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'
+        |) ORDER BY variable""".stripMargin),
+
+    "q_decomp_pooled" ->
+      """WITH g AS (
+        |  SELECT l_linestatus AS lvl, avg(l_extendedprice) AS ybar,
+        |         avg(l_quantity) AS xbar
+        |  FROM lineitem GROUP BY 1
+        |), p AS (
+        |  -- pooled OLS of y on [1, x, d] via 3x3 normal equations (Cramer)
+        |  SELECT count(*) AS n, sum(l_quantity) AS sx,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sd,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_quantity * CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sxd,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sdd,
+        |    sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_extendedprice) AS sxy,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0.0 END) AS sdy
+        |  FROM lineitem
+        |), beta AS (
+        |  SELECT
+        |    ((sxy - sx * sy / n) * (sdd - sd * sd / n) - (sdy - sd * sy / n) * (sxd - sx * sd / n))
+        |    / ((sxx - sx * sx / n) * (sdd - sd * sd / n) - (sxd - sx * sd / n) * (sxd - sx * sd / n))
+        |      AS slope_star
+        |  FROM p
+        |)
+        |SELECT round(a.ybar - b.ybar, 6) AS total_gap,
+        |  round((a.xbar - b.xbar) * beta.slope_star, 6) AS explained,
+        |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * beta.slope_star, 6) AS unexplained
+        |FROM g a, g b, beta WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin,
+
+    "q_budget_greedy" -> (gRegCte +
+      """, resid AS (
+        |  SELECT l.l_orderkey, l.l_linenumber,
+        |    l.l_extendedprice - (g.icept + g.slope * l.l_quantity) AS residual
+        |  FROM lineitem l JOIN g ON g.lvl = 'F'
+        |  WHERE l.l_linestatus = 'F'
+        |), gap AS (
+        |  SELECT a.ybar - b.ybar AS total_gap, b.n AS n_b
+        |  FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'
+        |), cand AS (
+        |  SELECT r.*, sum(-residual) OVER (
+        |      ORDER BY residual, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS spent_before
+        |  FROM resid r WHERE residual < 0
+        |)
+        |SELECT l_orderkey, l_linenumber, round(residual, 6) AS residual,
+        |  round(adjustment, 6) AS adjustment FROM (
+        |  SELECT c.*, greatest(0.0, least(-residual,
+        |    least(500000.0, (SELECT total_gap * n_b FROM gap)) - coalesce(spent_before, 0.0)))
+        |    AS adjustment
+        |  FROM cand c
+        |) WHERE adjustment > 1e-9
+        |ORDER BY residual, l_orderkey, l_linenumber""".stripMargin)
+  )
+}

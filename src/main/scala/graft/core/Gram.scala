@@ -1,0 +1,194 @@
+package graft.core
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sufficient statistics of a weighted least-squares problem:
+  * X'WX, X'Wy, sum(w), sum(w*y), sum(w*y^2), n, min(w).
+  *
+  * This is the engine's one scalable compute kernel: every estimator the
+  * reference implements as an in-memory matrix factorization
+  * (`oaxaca_blinder/src/math/ols.rs:44-144`, `logit.rs:51-70`,
+  * `probit.rs:82-112`) reduces to one pass of this aggregation. The
+  * partial-merge is matrix addition, so it `treeAggregate`s linearly at
+  * any data size, and only k-dimensional objects ever reach the driver.
+  */
+final case class GramResult(
+    k: Int,
+    xtx: DenseMatrix[Double],
+    xty: DenseVector[Double],
+    sw: Double,
+    swy: Double,
+    swyy: Double,
+    n: Long,
+    minW: Double) {
+
+  /** Weighted column means of X, assuming column 0 is the intercept. */
+  def xMeans: DenseVector[Double] = {
+    val m = DenseVector.zeros[Double](k)
+    var j = 0
+    while (j < k) { m(j) = xtx(0, j) / sw; j += 1 }
+    m
+  }
+  def yMean: Double = swy / sw
+
+  def plus(o: GramResult): GramResult =
+    GramResult(k, xtx + o.xtx, xty + o.xty, sw + o.sw, swy + o.swy,
+      swyy + o.swyy, n + o.n, math.min(minW, o.minW))
+}
+
+/** Flat mutable accumulation buffer holding `lanes * repsTotal` Gram
+  * systems (lane = group index; rep 0 = real weights, reps 1..B =
+  * bootstrap replicate weights). */
+final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
+    extends Serializable {
+  val tri = k * (k + 1) / 2
+  // per system: packed upper-triangular X'WX, then X'Wy, then [sw, swy, swyy]
+  val stride = tri + k + 3
+  val acc = new Array[Double](lanes * repsTotal * stride)
+  val nPerLane = new Array[Long](lanes)
+  var minW = Double.PositiveInfinity
+
+  def merge(o: GramBuffer): GramBuffer = {
+    var i = 0
+    while (i < acc.length) { acc(i) += o.acc(i); i += 1 }
+    i = 0
+    while (i < lanes) { nPerLane(i) += o.nPerLane(i); i += 1 }
+    minW = math.min(minW, o.minW)
+    this
+  }
+
+  /** Add one observation to `lane` with per-rep weight multipliers. */
+  def add(lane: Int, y: Double, w: Double, x: Array[Double],
+      repMult: Array[Double]): Unit = {
+    var r = 0
+    while (r < repsTotal) {
+      val wr = w * repMult(r)
+      if (wr != 0.0) {
+        val base = (lane * repsTotal + r) * stride
+        var idx = base
+        var i = 0
+        while (i < k) {
+          val wxi = wr * x(i)
+          var j = i
+          while (j < k) { acc(idx) += wxi * x(j); idx += 1; j += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < k) { acc(base + tri + i) += wr * x(i) * y; i += 1 }
+        acc(base + tri + k) += wr
+        acc(base + tri + k + 1) += wr * y
+        acc(base + tri + k + 2) += wr * y * y
+      }
+      r += 1
+    }
+    nPerLane(lane) += 1L
+    if (w < minW) minW = w
+  }
+
+  def result(lane: Int, rep: Int): GramResult = {
+    val base = (lane * repsTotal + rep) * stride
+    val m = DenseMatrix.zeros[Double](k, k)
+    var idx = base
+    var i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) { m(i, j) = acc(idx); m(j, i) = acc(idx); idx += 1; j += 1 }
+      i += 1
+    }
+    val v = DenseVector.zeros[Double](k)
+    i = 0
+    while (i < k) { v(i) = acc(base + tri + i); i += 1 }
+    GramResult(k, m, v, acc(base + tri + k), acc(base + tri + k + 1),
+      acc(base + tri + k + 2), nPerLane(lane),
+      if (minW.isPosInfinity) 0.0 else minW)
+  }
+}
+
+object Gram {
+
+  private val oneRep = Array(1.0)
+
+  /** One Gram pass over all rows: df must contain numeric columns yCol,
+    * xCols (and wCol). Nulls must already be dropped (prep.Cleaner). */
+  def compute(df: DataFrame, yCol: String, xCols: Seq[String],
+      wCol: Option[String] = None): GramResult =
+    computeGrouped(df, yCol, xCols, wCol, lit(0), 1, 0, 0L)(0)(0)
+
+  /** One-lane variant with bootstrap reps: result(r) for r in 0..reps. */
+  def computeReps(df: DataFrame, yCol: String, xCols: Seq[String],
+      wCol: Option[String], reps: Int, seed: Long): Array[GramResult] =
+    computeGrouped(df, yCol, xCols, wCol, lit(0), 1, reps, seed)(0)
+
+  /** Gram pass producing `nLanes * (reps + 1)` systems in ONE scan:
+    * `laneOf` maps each row to a lane index (e.g. group A=0 / B=1; rows
+    * mapping outside [0, nLanes) are skipped). Within each lane, rep 0
+    * uses the real weights and reps 1..B multiply them by i.i.d.
+    * Poisson(1) draws keyed on (seed, rep, row-content hash) — the
+    * scalable equivalent of the reference's per-group with-replacement
+    * resampling (`oaxaca_blinder/src/builder.rs:816-839`); the rayon
+    * rep-parallelism becomes extra accumulator lanes in the same scan.
+    * Returns [lane][rep].
+    */
+  def computeGrouped(df: DataFrame, yCol: String, xCols: Seq[String],
+      wCol: Option[String], laneOf: Column, nLanes: Int, reps: Int,
+      seed: Long): Array[Array[GramResult]] = {
+    val k = xCols.size
+    val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val proj = df.select(
+      (col(yCol).cast("double") +: w +: laneOf.cast("int").as("__lane__") +:
+        xxhash64(df.columns.map(col).toIndexedSeq: _*) +:
+        xCols.map(c => col(c).cast("double"))): _*)
+    val repsTotal = reps + 1
+    val zero = new GramBuffer(k, nLanes, repsTotal)
+    val res = proj.rdd.treeAggregate(zero)(
+      seqOp = (buf, row) => {
+        val lane = row.getInt(2)
+        if (lane >= 0 && lane < nLanes) {
+          val y = row.getDouble(0)
+          val wv = row.getDouble(1)
+          val rh = row.getLong(3)
+          val x = new Array[Double](k)
+          var i = 0
+          while (i < k) { x(i) = row.getDouble(4 + i); i += 1 }
+          val mult =
+            if (reps == 0) oneRep
+            else {
+              val m = new Array[Double](repsTotal)
+              m(0) = 1.0
+              var r = 1
+              while (r < repsTotal) { m(r) = poisson1(mix(rh, seed + r.toLong)); r += 1 }
+              m
+            }
+          buf.add(lane, y, wv, x, mult)
+        }
+        buf
+      },
+      combOp = (a, b) => a.merge(b),
+      depth = 2)
+    Array.tabulate(nLanes)(l => Array.tabulate(repsTotal)(r => res.result(l, r)))
+  }
+
+  /** SplitMix64-style counter-based mixing: deterministic per (row, rep). */
+  def mix(a: Long, b: Long): Long = {
+    var z = a ^ (b * 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Poisson(1) via inverse CDF on a uniform derived from the hash. */
+  def poisson1(h: Long): Double = {
+    val u = ((h >>> 11).toDouble) * 1.1102230246251565e-16 // 2^-53
+    var p = math.exp(-1.0)
+    var cdf = p
+    var x = 0
+    while (u > cdf && x < 64) {
+      x += 1
+      p = p / x
+      cdf += p
+    }
+    x.toDouble
+  }
+}

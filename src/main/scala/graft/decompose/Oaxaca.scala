@@ -1,0 +1,349 @@
+package graft.decompose
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.core._
+import graft.estimators.{Ols, OlsFit}
+import graft.prep.Prep
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+/** Reference-coefficient (beta*) policy for the two-fold decomposition
+  * (`oaxaca_blinder/src/decomposition.rs:5-20`). */
+sealed trait RefCoefficients
+object RefCoefficients {
+  case object GroupA extends RefCoefficients
+  case object GroupB extends RefCoefficients
+  /** Neumark: pooled OLS with a group-indicator column, indicator beta
+    * removed (`oaxaca_blinder/src/builder.rs:547-590`). */
+  case object Pooled extends RefCoefficients
+  /** Cotton: weight-share average of the two group betas
+    * (`oaxaca_blinder/src/builder.rs:591-620`). */
+  case object Cotton extends RefCoefficients
+}
+
+/** One decomposition component with bootstrap inference
+  * (`oaxaca_blinder/src/types.rs`). */
+final case class ComponentResult(
+    name: String,
+    estimate: Double,
+    stdErr: Double,
+    tStat: Double,
+    pValue: Double,
+    ciLower: Double,
+    ciUpper: Double)
+
+/** One full decomposition pass on fixed data/weights
+  * (mirrors `SinglePassResult`). */
+final case class SinglePass(
+    explained: Double,
+    unexplained: Double,
+    endowments: Double,
+    coefficients: Double,
+    interaction: Double,
+    totalGap: Double,
+    detailedExplained: Seq[(String, Double)],
+    detailedUnexplained: Seq[(String, Double)],
+    detailedSelection: Seq[(String, Double)],
+    xaMean: DenseVector[Double],
+    xbMean: DenseVector[Double],
+    betaA: DenseVector[Double],
+    betaB: DenseVector[Double],
+    betaStar: DenseVector[Double])
+
+final case class OaxacaResults(
+    totalGap: Double,
+    twoFold: Seq[ComponentResult],
+    threeFold: Seq[ComponentResult],
+    detailedExplained: Seq[ComponentResult],
+    detailedUnexplained: Seq[ComponentResult],
+    detailedSelection: Seq[ComponentResult],
+    nA: Long,
+    nB: Long,
+    groupALevel: String,
+    groupBLevel: String,
+    names: Seq[String],
+    xaMean: DenseVector[Double],
+    xbMean: DenseVector[Double],
+    betaStar: DenseVector[Double],
+    point: SinglePass) {
+
+  /** Detailed components as a small DataFrame (one row per variable). */
+  def detailedDf(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("variable", StringType),
+      StructField("explained", DoubleType),
+      StructField("unexplained", DoubleType),
+      StructField("explained_se", DoubleType),
+      StructField("unexplained_se", DoubleType)))
+    val unexByName = detailedUnexplained.map(c => c.name -> c).toMap
+    val rows = detailedExplained.map { e =>
+      val u = unexByName.get(e.name)
+      Row(e.name, e.estimate, u.map(_.estimate).getOrElse(0.0), e.stdErr,
+        u.map(_.stdErr).getOrElse(Double.NaN))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  def aggregateDf(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("component", StringType),
+      StructField("estimate", DoubleType),
+      StructField("std_err", DoubleType),
+      StructField("p_value", DoubleType),
+      StructField("ci_lower", DoubleType),
+      StructField("ci_upper", DoubleType)))
+    val rows =
+      (ComponentResult("total_gap", totalGap, Double.NaN, Double.NaN,
+        Double.NaN, Double.NaN, Double.NaN) +: (twoFold ++ threeFold)).map(c =>
+        Row(c.name, c.estimate, c.stdErr, c.pValue, c.ciLower, c.ciUpper))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}
+
+/** Configuration (the fluent-builder surface of
+  * `oaxaca_blinder/src/builder.rs:165-246`). */
+final case class OaxacaConfig(
+    outcome: String,
+    group: String,
+    reference: String,
+    predictors: Seq[String] = Nil,
+    categorical: Seq[String] = Nil,
+    normalize: Seq[String] = Nil,
+    weights: Option[String] = None,
+    refCoefficients: RefCoefficients = RefCoefficients.GroupB,
+    bootstrapReps: Int = 20,
+    seed: Long = 42L)
+
+/** Distributed Oaxaca–Blinder mean decomposition (SURVEY §2.4 D1–D10).
+  *
+  * The whole analysis — both group fits, the pooled Neumark fit, and ALL
+  * bootstrap replicates — is ONE scan of the cleaned data: per-group Gram
+  * lanes with per-rep Poisson weights ([[graft.core.Gram.computeGrouped]]),
+  * then k-dimensional driver math. The pooled-with-indicator Gram is
+  * assembled algebraically from the two group Grams (the indicator's
+  * cross-products equal group A's intercept row), so Neumark costs no
+  * extra pass.
+  */
+object Oaxaca {
+
+  def run(df: DataFrame, cfg: OaxacaConfig): OaxacaResults = {
+    val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++
+      cfg.categorical ++ cfg.weights.toSeq
+    val cleaned = Prep.clean(df, modelCols.distinct)
+    val (dummied0, dummyInfos) = Prep.oneHot(cleaned, cfg.categorical)
+    val dummied = Prep.withIntercept(dummied0)
+    val xCols = Prep.designCols(cfg.predictors, dummyInfos)
+    val names = Prep.designNames(xCols)
+    val split = Prep.splitGroups(dummied, cfg.group, cfg.reference)
+
+    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, cfg.weights,
+      Prep.laneOf(split, cfg.group), nLanes = 2, reps = cfg.bootstrapReps,
+      seed = cfg.seed)
+    val gramsA = lanes(0)
+    val gramsB = lanes(1)
+    if (gramsA(0).n == 0 || gramsB(0).n == 0)
+      throw InvalidGroupVariable("One group has no data")
+
+    val categoryCounts = dummyInfos.map(d => d.varName -> d.numLevels).toMap
+    val baseCategories = dummyInfos.map(d => d.varName -> s"${d.varName}_${d.base}").toMap
+
+    val point = singlePass(gramsA(0), gramsB(0), names, cfg, categoryCounts,
+      baseCategories)
+
+    val repPasses = (1 to cfg.bootstrapReps).flatMap { r =>
+      Try(singlePass(gramsA(r), gramsB(r), names, cfg, categoryCounts,
+        baseCategories)) match {
+        case Success(p) => Some(p)
+        case Failure(_) => None
+      }
+    }
+    if (repPasses.size < cfg.bootstrapReps)
+      System.err.println(s"Warning: ${cfg.bootstrapReps - repPasses.size} out of " +
+        s"${cfg.bootstrapReps} bootstrap replications failed and were discarded.")
+
+    def comp(name: String, pointV: Double, reps: Seq[Double]): ComponentResult = {
+      val (se, p, (lo, hi)) = Bootstrap.stats(reps)
+      val t = if (math.abs(se) > 1e-9) pointV / se else 0.0
+      ComponentResult(name, pointV, se, t, p, lo, hi)
+    }
+    def detailed(pt: Seq[(String, Double)],
+        extract: SinglePass => Seq[(String, Double)]): Seq[ComponentResult] = {
+      val byName = mutable.HashMap.empty[String, mutable.ArrayBuffer[Double]]
+      repPasses.foreach(r => extract(r).foreach { case (n, v) =>
+        byName.getOrElseUpdate(n, mutable.ArrayBuffer.empty) += v
+      })
+      pt.map { case (n, v) => comp(n, v, byName.getOrElse(n, Nil).toSeq) }
+    }
+
+    OaxacaResults(
+      totalGap = point.totalGap,
+      twoFold = Seq(
+        comp("explained", point.explained, repPasses.map(_.explained)),
+        comp("unexplained", point.unexplained, repPasses.map(_.unexplained))),
+      threeFold = Seq(
+        comp("endowments", point.endowments, repPasses.map(_.endowments)),
+        comp("coefficients", point.coefficients, repPasses.map(_.coefficients)),
+        comp("interaction", point.interaction, repPasses.map(_.interaction))),
+      detailedExplained = detailed(point.detailedExplained, _.detailedExplained),
+      detailedUnexplained = detailed(point.detailedUnexplained, _.detailedUnexplained),
+      detailedSelection = detailed(point.detailedSelection, _.detailedSelection),
+      nA = gramsA(0).n, nB = gramsB(0).n,
+      groupALevel = split.levelA, groupBLevel = split.levelB,
+      names = names, xaMean = point.xaMean, xbMean = point.xbMean,
+      betaStar = point.betaStar, point = point)
+  }
+
+  /** All driver-side math for one (possibly reweighted) replicate:
+    * mirrors `run_single_pass` (`oaxaca_blinder/src/builder.rs:420-699`)
+    * with Gram inputs instead of row matrices. */
+  def singlePass(ga: GramResult, gb: GramResult, names: Seq[String],
+      cfg: OaxacaConfig, categoryCounts: Map[String, Int],
+      baseCategories: Map[String, String]): SinglePass = {
+
+    val fitA = Ols.fromGram(ga, names)
+    val fitB = Ols.fromGram(gb, names)
+    val xaMean = ga.xMeans
+    val xbMean = gb.xMeans
+
+    val (betaA, baseA) = Yun.normalize(fitA.beta, names, cfg.normalize, categoryCounts)
+    val (betaB, baseB) = Yun.normalize(fitB.beta, names, cfg.normalize, categoryCounts)
+
+    var baseStar = Map.empty[String, Double]
+    val betaStar: DenseVector[Double] = cfg.refCoefficients match {
+      case RefCoefficients.GroupA => baseStar = baseA; betaA
+      case RefCoefficients.GroupB => baseStar = baseB; betaB
+      case RefCoefficients.Pooled =>
+        val pooledNames = names :+ "__ob_group_indicator__"
+        val pooledFit = Ols.fromGram(pooledGram(ga, gb), pooledNames)
+        val (norm, bs) = Yun.normalize(pooledFit.beta, pooledNames, cfg.normalize, categoryCounts)
+        baseStar = bs
+        norm(0 until names.size).copy
+      case RefCoefficients.Cotton =>
+        val wa = ga.sw / (ga.sw + gb.sw)
+        val wb = 1.0 - wa
+        baseStar = cfg.normalize.map(v =>
+          v -> (baseA.getOrElse(v, 0.0) * wa + baseB.getOrElse(v, 0.0) * wb)).toMap
+        betaA * wa + betaB * wb
+    }
+
+    val dx = xaMean - xbMean
+    val dbeta = betaA - betaB
+    val endowments = dx dot betaB
+    val coefficients = xbMean dot dbeta
+    val interaction = dx dot dbeta
+
+    var explained = dx dot betaStar
+    val total = (xaMean dot betaA) - (xbMean dot betaB)
+    var unexplained = total - explained
+
+    val detExp = mutable.ArrayBuffer.empty[(String, Double)]
+    val detUnexp = mutable.ArrayBuffer.empty[(String, Double)]
+    names.indices.foreach { i =>
+      detExp += names(i) -> (xaMean(i) - xbMean(i)) * betaStar(i)
+      detUnexp += names(i) ->
+        (xaMean(i) * (betaA(i) - betaStar(i)) + xbMean(i) * (betaStar(i) - betaB(i)))
+    }
+
+    // Base-category contributions under Yun normalization
+    // (`oaxaca_blinder/src/builder.rs:634-674`).
+    cfg.normalize.foreach { v =>
+      baseCategories.get(v).foreach { baseName =>
+        val idx = names.indices.filter(i => names(i).startsWith(s"${v}_"))
+        val xaBase = 1.0 - idx.map(xaMean(_)).sum
+        val xbBase = 1.0 - idx.map(xbMean(_)).sum
+        val bA = baseA.getOrElse(v, 0.0)
+        val bB = baseB.getOrElse(v, 0.0)
+        val bS = baseStar.getOrElse(v, 0.0)
+        val cu = xaBase * (bA - bS) + xbBase * (bS - bB)
+        val ce = (xaBase - xbBase) * bS
+        detExp += baseName -> ce
+        detUnexp += baseName -> cu
+        explained += ce
+        unexplained += cu
+      }
+    }
+
+    val totalGap = ga.yMean - gb.yMean
+
+    SinglePass(explained, unexplained, endowments, coefficients, interaction,
+      totalGap, detExp.toSeq, detUnexp.toSeq, Nil, xaMean, xbMean, betaA,
+      betaB, betaStar)
+  }
+
+  /** Pooled design [X | groupIndicator] Gram assembled from the two group
+    * Grams: with intercept at column 0, X'd = (group A Gram row 0),
+    * d'd = sw_A, X'y unchanged, d'y = swy_A. Equivalent to the
+    * reference's vstack + re-regression (`builder.rs:547-590`) with zero
+    * extra data passes. */
+  def pooledGram(ga: GramResult, gb: GramResult): GramResult = {
+    val k = ga.k
+    val xtx = DenseMatrix.zeros[Double](k + 1, k + 1)
+    val xty = DenseVector.zeros[Double](k + 1)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j < k) { xtx(i, j) = ga.xtx(i, j) + gb.xtx(i, j); j += 1 }
+      xtx(i, k) = ga.xtx(0, i)
+      xtx(k, i) = ga.xtx(0, i)
+      xty(i) = ga.xty(i) + gb.xty(i)
+      i += 1
+    }
+    xtx(k, k) = ga.sw
+    xty(k) = ga.swy
+    GramResult(k + 1, xtx, xty, ga.sw + gb.sw, ga.swy + gb.swy,
+      ga.swyy + gb.swyy, ga.n + gb.n, math.min(ga.minW, gb.minW))
+  }
+}
+
+/** Yun categorical-coefficient normalization
+  * (`oaxaca_blinder/src/math/normalization.rs:5-51`). */
+object Yun {
+  /** Returns the normalized beta and per-variable base-category
+    * coefficient (-mean of the m-level dummy coefficients). */
+  def normalize(beta: DenseVector[Double], names: Seq[String],
+      normVars: Seq[String], categoryCounts: Map[String, Int])
+      : (DenseVector[Double], Map[String, Double]) = {
+    if (normVars.isEmpty) return (beta, Map.empty)
+    val out = beta.copy
+    val base = mutable.HashMap.empty[String, Double]
+    normVars.foreach { v =>
+      val prefix = s"${v}_"
+      val idx = names.indices.filter(i => names(i).startsWith(prefix))
+      if (idx.nonEmpty) {
+        val m = categoryCounts.getOrElse(v, idx.size + 1)
+        if (m > 0) {
+          val mean = idx.map(out(_)).sum / m.toDouble
+          base(v) = -mean
+          out(0) += mean
+          idx.foreach(i => out(i) -= mean)
+        }
+      }
+    }
+    (out, base.toMap)
+  }
+}
+
+/** Bootstrap summary statistics (`oaxaca_blinder/src/inference.rs:4-34`):
+  * SE = sample stddev of replicate estimates; two-tailed sign p-value;
+  * percentile CI with floor indexing. */
+object Bootstrap {
+  def stats(estimates: Seq[Double]): (Double, Double, (Double, Double)) = {
+    if (estimates.isEmpty)
+      return (Double.NaN, Double.NaN, (Double.NaN, Double.NaN))
+    val n = estimates.size.toDouble
+    val mean = estimates.sum / n
+    val se =
+      if (estimates.size < 2) Double.NaN
+      else math.sqrt(estimates.map(v => (v - mean) * (v - mean)).sum / (n - 1.0))
+    val propPos = estimates.count(_ >= 0.0) / n
+    val propNeg = estimates.count(_ <= 0.0) / n
+    val p = math.min(2.0 * math.min(propPos, propNeg), 1.0)
+    val sorted = estimates.sorted
+    val lowerIdx = math.floor(0.025 * n).toInt
+    val upperIdx = math.min(math.floor(0.975 * n).toInt, estimates.size - 1)
+    (se, p, (sorted(lowerIdx), sorted(upperIdx)))
+  }
+}

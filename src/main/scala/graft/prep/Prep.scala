@@ -1,0 +1,100 @@
+package graft.prep
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data preparation operators (SURVEY §2.2). All are lazy DataFrame
+  * transformations — Catalyst prunes/pushes them into the scan. */
+object Prep {
+
+  val InterceptCol = "__ob_intercept__"
+
+  /** Validate columns exist, then drop rows with nulls in any model
+    * column. Mirrors `clean_dataframe`
+    * (`oaxaca_blinder/src/builder.rs:760-784`). */
+  def clean(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    cols.foreach(c => if (!have.contains(c)) throw ColumnNotFound(c))
+    df.na.drop("any", cols)
+  }
+
+  /** Two-group split by sorted distinct levels: reference level = group B,
+    * first other sorted level = group A
+    * (`oaxaca_blinder/src/builder.rs:61-103`). */
+  final case class GroupSplit(levelA: String, levelB: String,
+      dfA: DataFrame, dfB: DataFrame, indicatorA: Column)
+
+  def groupLevels(df: DataFrame, groupCol: String): Seq[String] =
+    df.select(col(groupCol).cast("string")).na.drop().distinct()
+      .orderBy(col(groupCol)).collect().map(_.getString(0)).toSeq
+
+  def splitGroups(df: DataFrame, groupCol: String, reference: String): GroupSplit = {
+    val levels = groupLevels(df, groupCol)
+    if (levels.size < 2)
+      throw InvalidGroupVariable(
+        s"Group variable '$groupCol' must have at least 2 levels, found ${levels.size}")
+    if (!levels.contains(reference))
+      throw InvalidGroupVariable(
+        s"Reference level '$reference' not found in '$groupCol' (levels: ${levels.mkString(", ")})")
+    val levelA = levels.filter(_ != reference).head
+    val g = col(groupCol).cast("string")
+    GroupSplit(levelA, reference,
+      df.filter(g === lit(levelA)), df.filter(g === lit(reference)),
+      g === lit(levelA))
+  }
+
+  /** Lane index for one-pass grouped aggregation: A -> 0, B(ref) -> 1. */
+  def laneOf(split: GroupSplit, groupCol: String): Column = {
+    val g = col(groupCol).cast("string")
+    when(g === lit(split.levelA), 0).when(g === lit(split.levelB), 1).otherwise(-1)
+  }
+
+  /** One-hot metadata: base level is the first sorted distinct level,
+    * dummies are named `{var}_{level}` as Double 0/1 columns
+    * (`oaxaca_blinder/src/builder.rs:380-418`). */
+  final case class DummyInfo(varName: String, base: String,
+      levels: Seq[String], dummyCols: Seq[String]) {
+    def numLevels: Int = levels.size
+  }
+
+  /** Expand categorical columns into named Double dummy columns
+    * (drop-first coding). Named columns — not OneHotEncoder vectors — so
+    * the detailed decomposition stays addressable per `{var}_{level}`. */
+  def oneHot(df: DataFrame, categoricals: Seq[String]): (DataFrame, Seq[DummyInfo]) = {
+    var out = df
+    val infos = categoricals.map { v =>
+      val levels = groupLevels(df, v)
+      if (levels.size < 2)
+        throw InvalidGroupVariable(
+          s"Categorical '$v' must have at least 2 levels, found ${levels.size}")
+      val base = levels.head
+      val nonBase = levels.tail
+      val cols = nonBase.map(l => s"${v}_$l")
+      nonBase.zip(cols).foreach { case (l, c) =>
+        out = out.withColumn(c,
+          when(col(v).cast("string") === lit(l), 1.0).otherwise(0.0))
+      }
+      DummyInfo(v, base, levels, cols)
+    }
+    (out, infos)
+  }
+
+  /** Add the intercept column and return the design column order:
+    * [intercept, numeric predictors..., dummy columns...]
+    * (`oaxaca_blinder/src/builder.rs:294-378`). */
+  def withIntercept(df: DataFrame): DataFrame =
+    df.withColumn(InterceptCol, lit(1.0))
+
+  def designCols(numeric: Seq[String], dummies: Seq[DummyInfo]): Seq[String] =
+    InterceptCol +: (numeric ++ dummies.flatMap(_.dummyCols))
+
+  /** Human-facing names for design columns (intercept renamed). */
+  def designNames(cols: Seq[String]): Seq[String] =
+    cols.map(c => if (c == InterceptCol) "intercept" else c)
+
+  /** Stable row id attached at ingest (P7): content-derived, not
+    * partition-derived, so it survives re-planning. */
+  def withRowId(df: DataFrame, idCol: String = "__row_id__"): DataFrame =
+    df.withColumn(idCol, monotonically_increasing_id())
+}

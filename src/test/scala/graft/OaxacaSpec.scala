@@ -1,0 +1,146 @@
+package graft
+
+import graft.core._
+import graft.decompose._
+import graft.estimators.Ols
+import graft.prep.Prep
+
+/** Mirrors the reference's integration invariants
+  * (`oaxaca_blinder/tests/integration_test.rs`, `weights_test.rs`):
+  * total gap exact, explained + unexplained == gap to 1e-9 for all four
+  * beta* policies, weighted vs unweighted gaps. */
+class OaxacaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleDf = {
+    val wage = Seq(10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0,
+      10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0)
+    val edu = Seq(12.0, 16.0, 14.0, 16.0, 18.0, 12.0, 16.0, 14.0, 16.0, 18.0,
+      12.0, 16.0, 14.0, 16.0, 18.0, 12.0, 16.0, 14.0, 16.0, 18.0)
+    val gender = Seq("F", "F", "F", "F", "F", "M", "M", "M", "M", "M",
+      "F", "F", "F", "F", "F", "M", "M", "M", "M", "M")
+    wage.lazyZip(edu).lazyZip(gender).toSeq.toDF("wage", "education", "gender")
+  }
+
+  private def checkIdentity(cfg: OaxacaConfig): OaxacaResults = {
+    val res = Oaxaca.run(sampleDf, cfg)
+    assert(math.abs(res.totalGap - 10.0) < 1e-9, s"gap ${res.totalGap}")
+    val explained = res.twoFold.find(_.name == "explained").get.estimate
+    val unexplained = res.twoFold.find(_.name == "unexplained").get.estimate
+    assert(math.abs(explained + unexplained - res.totalGap) < 1e-9)
+    // three-fold identity: endow + coeff + interaction == total gap
+    val tf = res.threeFold.map(_.estimate).sum
+    assert(math.abs(tf - res.totalGap) < 1e-9)
+    assert(res.nA == 10 && res.nB == 10)
+    res
+  }
+
+  test("full run, GroupB reference") {
+    checkIdentity(OaxacaConfig("wage", "gender", "F",
+      predictors = Seq("education"), bootstrapReps = 5))
+  }
+
+  test("full run, GroupA reference") {
+    checkIdentity(OaxacaConfig("wage", "gender", "F",
+      predictors = Seq("education"), bootstrapReps = 5,
+      refCoefficients = RefCoefficients.GroupA))
+  }
+
+  test("full run, Pooled (Neumark) reference") {
+    checkIdentity(OaxacaConfig("wage", "gender", "F",
+      predictors = Seq("education"), bootstrapReps = 5,
+      refCoefficients = RefCoefficients.Pooled))
+  }
+
+  test("full run, Cotton (Weighted) reference") {
+    checkIdentity(OaxacaConfig("wage", "gender", "F",
+      predictors = Seq("education"), bootstrapReps = 5,
+      refCoefficients = RefCoefficients.Cotton))
+  }
+
+  test("categorical predictor with Yun normalization keeps the identity") {
+    val union = Seq("none", "union", "union_plus", "none", "union",
+      "union_plus", "none", "union", "union_plus", "none",
+      "none", "union", "union_plus", "none", "union",
+      "union_plus", "none", "union", "union_plus", "none")
+    val df = sampleDf.withColumn("rn",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    // attach union column by position via zip on driver (20 rows, test only)
+    val rows = sampleDf.collect().zip(union).map { case (r, u) =>
+      (r.getDouble(0), r.getDouble(1), r.getString(2), u)
+    }.toSeq
+    val df2 = rows.toDF("wage", "education", "gender", "union")
+    val res = Oaxaca.run(df2, OaxacaConfig("wage", "gender", "F",
+      predictors = Seq("education"), categorical = Seq("union"),
+      normalize = Seq("union"), bootstrapReps = 5))
+    assert(math.abs(res.totalGap - 10.0) < 1e-9)
+    val explained = res.twoFold.find(_.name == "explained").get.estimate
+    val unexplained = res.twoFold.find(_.name == "unexplained").get.estimate
+    assert(math.abs(explained + unexplained - res.totalGap) < 1e-9)
+    // base-category component present in detailed results
+    assert(res.detailedExplained.exists(_.name == "union_none"))
+  }
+
+  test("weighted vs unweighted total gap (weights_test.rs)") {
+    val df = Seq(
+      (10.0, "A", 1.0, 1.0), (10.0, "A", 1.0, 1.0), (2.0, "A", 10.0, 0.0),
+      (5.0, "B", 1.0, 0.0), (7.0, "B", 1.0, 1.0), (8.0, "B", 1.0, 1.0)
+    ).toDF("outcome", "group", "weight", "x")
+    val unw = Oaxaca.run(df, OaxacaConfig("outcome", "group", "B",
+      predictors = Seq("x"), bootstrapReps = 0))
+    assert(math.abs(unw.totalGap - 0.666) < 0.01)
+    val w = Oaxaca.run(df, OaxacaConfig("outcome", "group", "B",
+      predictors = Seq("x"), weights = Some("weight"), bootstrapReps = 0))
+    assert(math.abs(w.totalGap - (-3.333)) < 0.01)
+  }
+
+  test("null handling: rows with nulls in model columns are dropped") {
+    val df = Seq(
+      (Some(10.0), "A", Some(12.0)), (Some(11.0), "A", Some(13.0)),
+      (Some(12.0), "A", Some(14.0)), (None, "A", Some(15.0)),
+      (Some(20.0), "B", Some(12.0)), (Some(21.0), "B", Some(13.0)),
+      (Some(22.0), "B", Some(14.0)), (Some(23.0), "B", None)
+    ).toDF("outcome", "group", "education")
+    val res = Oaxaca.run(df, OaxacaConfig("outcome", "group", "B",
+      predictors = Seq("education"), bootstrapReps = 0))
+    assert(res.nA == 3 && res.nB == 3)
+  }
+
+  test("missing column raises ColumnNotFound") {
+    val df = Seq((1.0, "A")).toDF("outcome", "group")
+    assertThrows[ColumnNotFound] {
+      Oaxaca.run(df, OaxacaConfig("outcome", "group", "A",
+        predictors = Seq("nope"), bootstrapReps = 0))
+    }
+  }
+
+  test("OLS exact fit: y = 1 + 2x has beta (1,2) and sigma2 0") {
+    val df = (1 to 5).map(i => (1.0 + 2.0 * i, i.toDouble)).toDF("y", "x")
+    val prepared = Prep.withIntercept(df)
+    val fit = Ols.fit(prepared, "y", Seq(Prep.InterceptCol, "x"))
+    assert(math.abs(fit.beta(0) - 1.0) < 1e-9)
+    assert(math.abs(fit.beta(1) - 2.0) < 1e-9)
+    assert(math.abs(fit.sigma2) < 1e-9)
+  }
+
+  test("bootstrap SE is produced and reasonable on a bigger sample") {
+    val n = 2000
+    val rng = new scala.util.Random(7)
+    val rows = (0 until n).map { i =>
+      val g = if (i % 2 == 0) "A" else "B"
+      val x = rng.nextDouble() * 10
+      val y = (if (g == "A") 5.0 else 2.0) + 1.5 * x + rng.nextGaussian()
+      (y, x, g)
+    }
+    val df = rows.toDF("y", "x", "g")
+    val res = Oaxaca.run(df, OaxacaConfig("y", "g", "B",
+      predictors = Seq("x"), bootstrapReps = 50, seed = 11L))
+    val exp = res.twoFold.find(_.name == "explained").get
+    val unexp = res.twoFold.find(_.name == "unexplained").get
+    assert(exp.stdErr > 0.0 && exp.stdErr < 1.0)
+    assert(unexp.stdErr > 0.0 && unexp.stdErr < 1.0)
+    // unexplained ~ 3.0 gap by construction, significantly non-zero
+    assert(math.abs(unexp.estimate - 3.0) < 0.5)
+    assert(unexp.pValue < 0.05)
+  }
+}
