@@ -184,6 +184,72 @@ object Queries {
           res.twoFold.find(_.name == "unexplained").get.estimate))
     }),
 
+    // ---- RIF / KDE / DFL / logit (E2, E7-E9, D11, D14) ----
+    "q_rif" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val (out, info) = Rif.transformPerGroup(li, "l_extendedprice",
+        "l_linestatus", 0.5)
+      val avgs = out.groupBy(col("l_linestatus").cast("string").as("g"))
+        .agg(avg(col("__rif__")).as("avg_rif")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val rows = info.map(i => Row(i.level, r6d(i.qTau), r6d(i.bandwidth),
+        r6d(i.density), r6d(avgs(i.level))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("l_linestatus", StringType),
+        StructField("q_tau", DoubleType),
+        StructField("bandwidth", DoubleType),
+        StructField("density", DoubleType),
+        StructField("avg_rif", DoubleType)))).orderBy("l_linestatus")
+    }),
+
+    "q_rif_decomp" -> ((s, d) => {
+      val res = RifDecomposer.decomposeQuantile(t(s, d, "lineitem"),
+        decompCfg, tau = 0.5)
+      oneRow(s,
+        Seq("total_gap", "explained", "unexplained"),
+        Seq(res.totalGap,
+          res.twoFold.find(_.name == "explained").get.estimate,
+          res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
+    "q_kde" -> ((s, d) => {
+      val grid = Array.tabulate(11)(i => i * 0.01)
+      val dens = Kde.onGrid(t(s, d, "lineitem"), "l_discount", None, grid, 0.02)
+      val rows = grid.indices.map(i => Row(i, r6d(grid(i)), r6d(dens(i))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("idx", IntegerType),
+        StructField("grid", DoubleType),
+        StructField("density", DoubleType)))).orderBy("idx")
+    }),
+
+    // no SQL oracle (IRLS): rows-only checks
+    "q_logit" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem")
+        .withColumn("is_r", when(col("l_returnflag") === "R", 1.0).otherwise(0.0)))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity", "l_discount")
+      val fit = Logit.fit(li, "is_r", xCols)
+      val rows = xCols.zipWithIndex.map { case (c, i) =>
+        Row(if (c == Prep.InterceptCol) "intercept" else c, r6d(fit.beta(i)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("variable", StringType),
+        StructField("coef", DoubleType)))).orderBy("variable")
+    }),
+
+    "q_dfl" -> ((s, d) => {
+      val res = Dfl.run(t(s, d, "lineitem"), "l_extendedprice",
+        "l_linestatus", "F", Seq("l_quantity", "l_returnflag"))
+      val rows = res.grid.indices.map(i => Row(i, r6d(res.grid(i)),
+        r6d(res.densityA(i)), r6d(res.densityB(i)),
+        r6d(res.densityBCounterfactual(i))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("idx", IntegerType),
+        StructField("grid", DoubleType),
+        StructField("density_a", DoubleType),
+        StructField("density_b", DoubleType),
+        StructField("density_b_cf", DoubleType)))).orderBy("idx")
+    }),
+
     // ---- budget optimizer (D15) ----
     "q_budget_greedy" -> ((s, d) => {
       val li = Prep.withIntercept(t(s, d, "lineitem"))
@@ -227,6 +293,43 @@ object Queries {
       |         regr_intercept(l_extendedprice, l_quantity) AS icept,
       |         count(*) AS n
       |  FROM lineitem GROUP BY 1
+      |)""".stripMargin
+
+  /** RIF scalar pipeline (rif.rs conventions: type-7 q_tau, ceil-index
+    * IQR, 1e-8 floors) shared by the q_rif* oracles. */
+  private val rifCte =
+    """WITH s AS (
+      |  SELECT l_linestatus AS g, count(*) AS n,
+      |         stddev_samp(l_extendedprice) AS std,
+      |         quantile_cont(l_extendedprice, 0.5) AS q
+      |  FROM lineitem GROUP BY 1
+      |), ranked AS (
+      |  SELECT l_linestatus AS g, l_extendedprice AS y,
+      |         row_number() OVER (PARTITION BY l_linestatus
+      |           ORDER BY l_extendedprice) AS rn
+      |  FROM lineitem
+      |), iqr AS (
+      |  SELECT r.g,
+      |    max(CASE WHEN r.rn = greatest(CAST(ceil(0.75 * s.n) AS BIGINT), 1)
+      |      THEN r.y END)
+      |    - max(CASE WHEN r.rn = greatest(CAST(ceil(0.25 * s.n) AS BIGINT), 1)
+      |      THEN r.y END) AS iqr
+      |  FROM ranked r JOIN s ON r.g = s.g GROUP BY r.g
+      |), bw AS (
+      |  SELECT s.g,
+      |    0.9 * (CASE WHEN m.sp < 1e-8 THEN 1.0 ELSE m.sp END)
+      |      * pow(s.n, -0.2) AS h
+      |  FROM s JOIN (
+      |    SELECT i.g, CASE WHEN i.iqr > 1e-8
+      |      THEN least(s2.std, i.iqr / 1.34) ELSE s2.std END AS sp
+      |    FROM iqr i JOIN s s2 ON i.g = s2.g) m ON s.g = m.g
+      |), dens AS (
+      |  SELECT s.g, greatest(
+      |      sum(exp(-0.5 * pow((s.q - l.l_extendedprice) / b.h, 2)))
+      |        / sqrt(2 * pi()) / (s.n * b.h), 1e-8) AS f
+      |  FROM lineitem l JOIN s ON l.l_linestatus = s.g
+      |    JOIN bw b ON b.g = s.g
+      |  GROUP BY s.g, s.n, b.h, s.q
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -374,6 +477,44 @@ object Queries {
         |  round((a.xbar - b.xbar) * beta.slope_star, 6) AS explained,
         |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * beta.slope_star, 6) AS unexplained
         |FROM g a, g b, beta WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin,
+
+    "q_rif" -> (rifCte +
+      """
+        |SELECT s.g AS l_linestatus, round(s.q, 6) AS q_tau,
+        |  round(b.h, 6) AS bandwidth, round(d.f, 6) AS density,
+        |  round(avg(s.q + (0.5 - CASE WHEN l.l_extendedprice <= s.q
+        |    THEN 1.0 ELSE 0.0 END) / d.f), 6) AS avg_rif
+        |FROM lineitem l JOIN s ON l.l_linestatus = s.g
+        |  JOIN bw b ON b.g = s.g JOIN dens d ON d.g = s.g
+        |GROUP BY s.g, s.q, b.h, d.f ORDER BY 1""".stripMargin),
+
+    "q_rif_decomp" -> (rifCte +
+      """, rifd AS (
+        |  SELECT l.l_linestatus AS g, l.l_quantity AS x,
+        |    s.q + (0.5 - CASE WHEN l.l_extendedprice <= s.q
+        |      THEN 1.0 ELSE 0.0 END) / d.f AS y
+        |  FROM lineitem l JOIN s ON l.l_linestatus = s.g
+        |    JOIN dens d ON d.g = s.g
+        |), rg AS (
+        |  SELECT g, avg(y) AS ybar, avg(x) AS xbar, regr_slope(y, x) AS slope
+        |  FROM rifd GROUP BY 1
+        |)
+        |SELECT round(a.ybar - b.ybar, 6) AS total_gap,
+        |  round((a.xbar - b.xbar) * b.slope, 6) AS explained,
+        |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * b.slope, 6) AS unexplained
+        |FROM rg a, rg b WHERE a.g = 'O' AND b.g = 'F'""".stripMargin),
+
+    "q_kde" ->
+      """WITH grid AS (
+        |  SELECT CAST(range AS INTEGER) AS idx,
+        |         range * CAST(0.01 AS DOUBLE) AS g
+        |  FROM range(11)
+        |), n AS (SELECT count(*) AS c FROM lineitem)
+        |SELECT grid.idx AS idx, round(grid.g, 6) AS grid,
+        |  round(sum(exp(-0.5 * pow((grid.g - l.l_discount) / 0.02, 2)))
+        |    / sqrt(2 * pi()) / (n.c * 0.02), 6) AS density
+        |FROM grid, lineitem l, n
+        |GROUP BY grid.idx, grid.g, n.c ORDER BY idx""".stripMargin,
 
     "q_budget_greedy" -> (gRegCte +
       """, resid AS (

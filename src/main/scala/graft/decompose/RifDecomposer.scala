@@ -1,0 +1,29 @@
+package graft.decompose
+
+import graft.estimators.Rif
+import graft.prep.Prep
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RIF-regression quantile decomposition (D11,
+  * `oaxaca_blinder/src/builder.rs:711-757`): clean, split, RIF-transform
+  * the outcome within each group, recombine, then run the standard mean
+  * decomposition on the transformed outcome with the same configuration.
+  */
+object RifDecomposer {
+
+  def decomposeQuantile(df: DataFrame, cfg: OaxacaConfig, tau: Double)
+      : OaxacaResults = {
+    val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++
+      cfg.categorical ++ cfg.weights.toSeq
+    val cleaned = Prep.clean(df, modelCols.distinct)
+    // validates >= 2 levels and the reference level exists
+    Prep.splitGroups(cleaned, cfg.group, cfg.reference)
+    val (transformed, _) =
+      Rif.transformPerGroup(cleaned, cfg.outcome, cfg.group, tau)
+    val replaced = transformed
+      .withColumn(cfg.outcome, col("__rif__"))
+      .drop("__rif__")
+    Oaxaca.run(replaced, cfg)
+  }
+}
