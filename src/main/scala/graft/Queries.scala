@@ -236,6 +236,37 @@ object Queries {
         StructField("coef", DoubleType)))).orderBy("variable")
     }),
 
+    "q_probit" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem")
+        .withColumn("is_r", when(col("l_returnflag") === "R", 1.0).otherwise(0.0)))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity", "l_discount")
+      val fit = Probit.fit(li, "is_r", xCols)
+      val rows = xCols.zipWithIndex.map { case (c, i) =>
+        Row(if (c == Prep.InterceptCol) "intercept" else c, r6d(fit.beta(i)),
+          r6d(math.sqrt(fit.vcov(i, i))))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("variable", StringType),
+        StructField("coef", DoubleType),
+        StructField("std_err", DoubleType)))).orderBy("variable")
+    }),
+
+    "q_heckman_decomp" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("sel", when(col("l_tax") > 0.03, 1.0).otherwise(0.0))
+      val res = Oaxaca.run(li, OaxacaConfig("l_extendedprice", "l_linestatus",
+        "F", predictors = Seq("l_quantity"), bootstrapReps = 0,
+        selectionOutcome = Some("sel"),
+        selectionPredictors = Seq("l_discount")))
+      val unex = res.detailedUnexplained.map(c => c.name -> c.estimate).toMap
+      val rows = res.detailedExplained.map(c =>
+        Row(c.name, r6d(c.estimate), r6d(unex(c.name))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("variable", StringType),
+        StructField("explained", DoubleType),
+        StructField("unexplained", DoubleType)))).orderBy("variable")
+    }),
+
     "q_dfl" -> ((s, d) => {
       val res = Dfl.run(t(s, d, "lineitem"), "l_extendedprice",
         "l_linestatus", "F", Seq("l_quantity", "l_returnflag"))

@@ -2,7 +2,7 @@ package graft.decompose
 
 import breeze.linalg.{DenseMatrix, DenseVector}
 import graft.core._
-import graft.estimators.{Ols, OlsFit}
+import graft.estimators.{Heckman, Ols, OlsFit}
 import graft.prep.Prep
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -115,7 +115,9 @@ final case class OaxacaConfig(
     weights: Option[String] = None,
     refCoefficients: RefCoefficients = RefCoefficients.GroupB,
     bootstrapReps: Int = 20,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    selectionOutcome: Option[String] = None,
+    selectionPredictors: Seq[String] = Nil)
 
 /** Distributed Oaxaca–Blinder mean decomposition (SURVEY §2.4 D1–D10).
   *
@@ -131,13 +133,17 @@ object Oaxaca {
 
   def run(df: DataFrame, cfg: OaxacaConfig): OaxacaResults = {
     val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++
-      cfg.categorical ++ cfg.weights.toSeq
+      cfg.categorical ++ cfg.weights.toSeq ++ cfg.selectionOutcome.toSeq ++
+      cfg.selectionPredictors
     val cleaned = Prep.clean(df, modelCols.distinct)
     val (dummied0, dummyInfos) = Prep.oneHot(cleaned, cfg.categorical)
     val dummied = Prep.withIntercept(dummied0)
     val xCols = Prep.designCols(cfg.predictors, dummyInfos)
     val names = Prep.designNames(xCols)
     val split = Prep.splitGroups(dummied, cfg.group, cfg.reference)
+
+    if (cfg.selectionOutcome.isDefined)
+      return runHeckman(dummied, split, xCols, names, cfg)
 
     val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, cfg.weights,
       Prep.laneOf(split, cfg.group), nLanes = 2, reps = cfg.bootstrapReps,
@@ -160,9 +166,18 @@ object Oaxaca {
         case Failure(_) => None
       }
     }
-    if (repPasses.size < cfg.bootstrapReps)
-      System.err.println(s"Warning: ${cfg.bootstrapReps - repPasses.size} out of " +
-        s"${cfg.bootstrapReps} bootstrap replications failed and were discarded.")
+    assemble(point, repPasses, cfg.bootstrapReps, gramsA(0).n, gramsB(0).n,
+      split.levelA, split.levelB, names)
+  }
+
+  /** Bootstrap-stat assembly shared by the OLS and Heckman paths
+    * (mirrors `builder.rs:849-983`, incl. by-name detailed matching). */
+  private def assemble(point: SinglePass, repPasses: Seq[SinglePass],
+      requestedReps: Int, nA: Long, nB: Long, levelA: String, levelB: String,
+      names: Seq[String]): OaxacaResults = {
+    if (repPasses.size < requestedReps)
+      System.err.println(s"Warning: ${requestedReps - repPasses.size} out of " +
+        s"$requestedReps bootstrap replications failed and were discarded.")
 
     def comp(name: String, pointV: Double, reps: Seq[Double]): ComponentResult = {
       val (se, p, (lo, hi)) = Bootstrap.stats(reps)
@@ -190,10 +205,101 @@ object Oaxaca {
       detailedExplained = detailed(point.detailedExplained, _.detailedExplained),
       detailedUnexplained = detailed(point.detailedUnexplained, _.detailedUnexplained),
       detailedSelection = detailed(point.detailedSelection, _.detailedSelection),
-      nA = gramsA(0).n, nB = gramsB(0).n,
-      groupALevel = split.levelA, groupBLevel = split.levelB,
+      nA = nA, nB = nB,
+      groupALevel = levelA, groupBLevel = levelB,
       names = names, xaMean = point.xaMean, xbMean = point.xbMean,
       betaStar = point.betaStar, point = point)
+  }
+
+  /** Heckman-selection decomposition path (SURVEY §2.3 E6, §2.4 D7):
+    * per-group two-step fits (probit + IMR-augmented OLS), names gain a
+    * final "IMR" entry, and detailed selection contributions
+    * theta_ref * delta_ref * gamma_ref_i * (Zbar_A_i - Zbar_B_i) are
+    * reported per selection predictor (`builder.rs:477-534`). Bootstrap
+    * replicates rerun the full two-step under per-rep Poisson weights. */
+  private def runHeckman(dummied: DataFrame, split: Prep.GroupSplit,
+      xCols: Seq[String], names0: Seq[String], cfg: OaxacaConfig): OaxacaResults = {
+    if (cfg.refCoefficients == RefCoefficients.Pooled)
+      throw InvalidArgument(
+        "Pooled reference coefficients are not supported with Heckman selection")
+    val selX = Prep.InterceptCol +: cfg.selectionPredictors
+    val names = names0 :+ "IMR"
+    val selNames = "intercept" +: cfg.selectionPredictors
+
+    val hashCol = xxhash64(dummied.columns.map(col).toIndexedSeq: _*)
+    val pois = udf((h: Long, s: Long) => Gram.poisson1(Gram.mix(h, s)))
+
+    def pass(rep: Int): SinglePass = {
+      val (dfA, dfB, wName) =
+        if (rep == 0) (split.dfA, split.dfB, cfg.weights)
+        else {
+          val w = pois(hashCol, lit(cfg.seed + rep.toLong)) *
+            cfg.weights.map(col(_).cast("double")).getOrElse(lit(1.0))
+          val withW = dummied.withColumn("__boot_w__", w)
+          val g = col(cfg.group).cast("string")
+          (withW.filter(g === lit(split.levelA)),
+            withW.filter(g === lit(split.levelB)), Some("__boot_w__"))
+        }
+      val fitA = Heckman.fit(dfA, cfg.outcome, xCols, cfg.selectionOutcome.get,
+        selX, wName)
+      val fitB = Heckman.fit(dfB, cfg.outcome, xCols, cfg.selectionOutcome.get,
+        selX, wName)
+
+      val betaA = fitA.beta
+      val betaB = fitB.beta
+      val xaMean = fitA.xMeans
+      val xbMean = fitB.xMeans
+      val betaStar: DenseVector[Double] = cfg.refCoefficients match {
+        case RefCoefficients.GroupA => betaA
+        case RefCoefficients.Cotton =>
+          val swA = fitA.nSelected.toDouble
+          val swB = fitB.nSelected.toDouble
+          val wa = swA / (swA + swB)
+          betaA * wa + betaB * (1.0 - wa)
+        case _ => betaB
+      }
+
+      val dx = xaMean - xbMean
+      val dbeta = betaA - betaB
+      val explained = dx dot betaStar
+      val total = (xaMean dot betaA) - (xbMean dot betaB)
+      val detExp = names.indices.map(i =>
+        names(i) -> (xaMean(i) - xbMean(i)) * betaStar(i))
+      val detUnexp = names.indices.map(i => names(i) ->
+        (xaMean(i) * (betaA(i) - betaStar(i)) + xbMean(i) * (betaStar(i) - betaB(i))))
+
+      // detailed selection (theta = IMR coefficient of the reference side)
+      val (thetaRef, deltaRef, gammaRef, _) = cfg.refCoefficients match {
+        case RefCoefficients.GroupA => (betaA(betaA.length - 1), fitA.imrDelta, fitA.gamma, fitA)
+        case _ => (betaB(betaB.length - 1), fitB.imrDelta, fitB.gamma, fitB)
+      }
+      val detSel =
+        if (gammaRef.length == selNames.size && fitA.zMeans.length == selNames.size)
+          selNames.indices.map { i =>
+            selNames(i) -> thetaRef * deltaRef * gammaRef(i) *
+              (fitA.zMeans(i) - fitB.zMeans(i))
+          }
+        else Nil
+
+      // total gap over all (cleaned) group rows, weighted
+      val w = wName.map(col(_).cast("double")).getOrElse(lit(1.0))
+      def gmean(d: DataFrame): Double = {
+        val r = d.agg(sum(col(cfg.outcome).cast("double") * w), sum(w)).head()
+        r.getDouble(0) / r.getDouble(1)
+      }
+      val totalGap = gmean(dfA) - gmean(dfB)
+
+      SinglePass(explained, total - explained,
+        dx dot betaB, xbMean dot dbeta, dx dot dbeta,
+        totalGap, detExp, detUnexp, detSel.toSeq, xaMean, xbMean,
+        betaA, betaB, betaStar)
+    }
+
+    val point = pass(0)
+    val repPasses = (1 to cfg.bootstrapReps).flatMap(r =>
+      Try(pass(r)).toOption)
+    assemble(point, repPasses, cfg.bootstrapReps,
+      split.dfA.count(), split.dfB.count(), split.levelA, split.levelB, names)
   }
 
   /** All driver-side math for one (possibly reweighted) replicate:

@@ -1,0 +1,78 @@
+package graft.estimators
+
+import breeze.linalg.DenseVector
+import graft.core._
+import graft.prep.Prep
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Heckman two-step selection correction
+  * (`oaxaca_blinder/src/heckman.rs:38-108`):
+  * (1) probit of the selection outcome on [intercept, Z] over all group
+  * rows; (2) inverse Mills ratio lambda = phi(z'g)/Phi(z'g) (0 when
+  * Phi < 1e-10) on the selected rows; (3) OLS of the outcome on
+  * [X, lambda] over the selected rows. Also returns the selection-side
+  * means and delta = mean(-lambda (lambda + z'g)) used by the detailed
+  * selection decomposition (`builder.rs:477-534`).
+  */
+final case class HeckmanFit(
+    gamma: DenseVector[Double],          // selection (probit) coefficients
+    beta: DenseVector[Double],           // outcome coefficients, IMR last
+    imrCoeff: Double,
+    imrMean: Double,
+    imrDelta: Double,
+    xMeans: DenseVector[Double],         // selected-row X means, IMR mean last
+    zMeans: DenseVector[Double],         // all-row selection X means
+    nSelected: Long,
+    n: Long,
+    probitConverged: Boolean)
+
+object Heckman {
+
+  val ImrCol = "__ob_imr__"
+
+  /** `df` = one cleaned group; xCols/selXCols must include the intercept
+    * column (first). `wCol` resamples/weights every stage (None mirrors
+    * the reference exactly). */
+  def fit(df: DataFrame, outcome: String, xCols: Seq[String],
+      selectionOutcome: String, selXCols: Seq[String],
+      wCol: Option[String] = None): HeckmanFit = {
+    val spark = df.sparkSession
+    val probit = Probit.fit(df, selectionOutcome, selXCols, wCol = wCol)
+    val gamma = probit.beta
+
+    val zg = Ols.predictionCol(selXCols, gamma)
+    val phi = NormalDist.pdfCol(zg)
+    val bigPhi = NormalDist.cdfCol(spark, zg)
+    val imr = when(bigPhi < 1e-10, 0.0).otherwise(phi / bigPhi)
+
+    val selected = df
+      .filter(col(selectionOutcome).cast("double") === 1.0)
+      .withColumn(ImrCol, imr)
+
+    val augCols = xCols :+ ImrCol
+    val fit = Ols.fit(selected, outcome, augCols, wCol)
+
+    // one pass for all the means/delta aggregates on the selected rows
+    val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val aggs =
+      (xCols :+ ImrCol).map(c => sum(col(c).cast("double") * w).as(s"m_$c")) ++
+      Seq(sum(-col(ImrCol) * (col(ImrCol) + zg) * w).as("delta_sum"),
+        sum(w).as("sw"), count(lit(1)).as("n_sel"))
+    val selRow = selected.agg(aggs.head, aggs.tail: _*).head()
+    val swSel = selRow.getDouble(augCols.size + 1)
+    val xMeans = DenseVector.tabulate(augCols.size)(i => selRow.getDouble(i) / swSel)
+    val imrDelta = selRow.getDouble(augCols.size) / swSel
+    val nSel = selRow.getLong(augCols.size + 2)
+
+    val zAggs = selXCols.map(c => sum(col(c).cast("double") * w).as(s"m_$c")) ++
+      Seq(sum(w).as("sw"), count(lit(1)).as("n"))
+    val zRow = df.agg(zAggs.head, zAggs.tail: _*).head()
+    val swAll = zRow.getDouble(selXCols.size)
+    val zMeans = DenseVector.tabulate(selXCols.size)(i => zRow.getDouble(i) / swAll)
+
+    HeckmanFit(gamma, fit.beta, fit.beta(augCols.size - 1),
+      xMeans(augCols.size - 1), imrDelta, xMeans, zMeans,
+      nSel, zRow.getLong(selXCols.size + 1), probit.converged)
+  }
+}

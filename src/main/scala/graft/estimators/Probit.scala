@@ -1,0 +1,92 @@
+package graft.estimators
+
+import breeze.linalg.{norm, DenseMatrix, DenseVector}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Probit via Fisher scoring (`oaxaca_blinder/src/math/probit.rs:25-172`):
+  * score weights lambda = phi/Phi (y=1) or -phi/(1-Phi) (y=0) with Phi
+  * clamped to [1e-10, 1-1e-10], expected-information weights
+  * w = phi^2 / (Phi (1-Phi)), 1e-9 diagonal ridge, Cholesky with LU
+  * fallback. Each scoring iteration is ONE distributed Gram pass via the
+  * working response z = Xb + lambda/w; vcov is the inverse of the final
+  * ridged information matrix.
+  */
+final case class ProbitFit(
+    names: Seq[String],
+    beta: DenseVector[Double],
+    vcov: DenseMatrix[Double],
+    converged: Boolean,
+    iterations: Int) {
+
+  def xbCol(xCols: Seq[String]): Column = Ols.predictionCol(xCols, beta)
+}
+
+object Probit {
+
+  private val Ridge = 1e-9
+
+  /** `targetCol` numeric 0/1; `xCols` should include the intercept.
+    * `wCol` multiplies the information weights (bootstrap resampling /
+    * WLS probit; the reference's unweighted probit is wCol = None). */
+  def fit(df: DataFrame, targetCol: String, xCols: Seq[String],
+      maxIter: Int = 100, tol: Double = 1e-6,
+      wCol: Option[String] = None): ProbitFit = {
+    val spark = df.sparkSession
+    val k = xCols.size
+    val proj = df.select((col(targetCol).cast("double").as(targetCol) +:
+      xCols.map(c => col(c).cast("double").as(c))) ++
+      wCol.map(c => col(c).cast("double").as(c)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var beta = DenseVector.zeros[Double](k)
+      var converged = false
+      var iters = 0
+      var lastGram: GramResult = null
+      while (iters < maxIter && !converged) {
+        iters += 1
+        val z = Ols.predictionCol(xCols, beta)
+        val phi = NormalDist.pdfCol(z)
+        val bigPhi0 = NormalDist.cdfCol(spark, z)
+        val bigPhi = least(greatest(bigPhi0, lit(1e-10)), lit(1.0 - 1e-10))
+        val y = col(targetCol)
+        val lambda = when(y > 0.5, phi / bigPhi)
+          .otherwise(-phi / (lit(1.0) - bigPhi))
+        val w0 = (phi * phi) / (bigPhi * (lit(1.0) - bigPhi))
+        val w = wCol.map(c => w0 * col(c)).getOrElse(w0)
+        val zWork = z + when(w0 > 0.0, lambda / w0).otherwise(0.0)
+        val g = Gram.compute(
+          proj.withColumn("__z__", zWork).withColumn("__w__", w),
+          "__z__", xCols, Some("__w__"))
+        lastGram = g
+        // (X'WX + rI) b' = X'Wz + r b  (identical to the reference's
+        // ridged Newton step, see scaladoc)
+        val rhs = g.xty + (beta * Ridge)
+        val newBeta =
+          try LinAlg.ridgeSolve(g.xtx, rhs, Ridge)
+          catch {
+            case _: SingularMatrix =>
+              val aa = g.xtx.copy
+              var i = 0
+              while (i < k) { aa(i, i) += Ridge; i += 1 }
+              try aa \ rhs
+              catch {
+                case e: Exception => throw SingularMatrix(
+                  "Failed to solve Hessian system in Probit: " + e.getMessage)
+              }
+          }
+        val step = newBeta - beta
+        beta = newBeta
+        if (norm(step) < tol) converged = true
+      }
+      val info = lastGram.xtx.copy
+      var i = 0
+      while (i < k) { info(i, i) += Ridge; i += 1 }
+      ProbitFit(xCols, beta, LinAlg.symInverse(info), converged, iters)
+    } finally {
+      proj.unpersist()
+    }
+  }
+}
