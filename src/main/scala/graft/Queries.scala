@@ -2,6 +2,7 @@ package graft
 
 import graft.core._
 import graft.decompose._
+import graft.equity._
 import graft.estimators._
 import graft.prep.Prep
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -29,6 +30,32 @@ object Queries {
   // single predictor l_quantity.
   private def decompCfg = OaxacaConfig("l_extendedprice", "l_linestatus", "F",
     predictors = Seq("l_quantity"), bootstrapReps = 0)
+
+  // Equity-layer setup: fair model on reference group "F", target group
+  // "O", single predictor l_quantity (k = 2 keeps the leverage/PI math
+  // SQL-expressible for the oracle).
+  private def equityCfg = EquityConfig("l_extendedprice", "l_linestatus", "F",
+    predictors = Seq("l_quantity"))
+
+  /** (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    * the equity queries assign a row id by row_number over ALL columns —
+    * ties are then full duplicates, interchangeable in both engines.
+    * (Harness-only device; the operators themselves take any unique id.) */
+  private def withRowId(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+      col("l_quantity"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    df.withColumn("row_id", row_number().over(w).cast("long"))
+  }
+
+  private val rowIdCte =
+    """base AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+      |    l_extendedprice, l_quantity, l_discount, l_tax, l_returnflag,
+      |    l_linestatus, l_shipdate) AS BIGINT) AS row_id
+      |  FROM lineitem
+      |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- classic relational layer (SURVEY §2.6) ----
@@ -281,6 +308,43 @@ object Queries {
         StructField("density_b_cf", DoubleType)))).orderBy("idx")
     }),
 
+    // ---- pay-equity layer (G2, G4) ----
+    "q_fair_wages" -> ((s, d) => {
+      val li = withRowId(t(s, d, "lineitem"))
+      val res = Equity.optimize(li, equityCfg, "row_id")
+      res.adjustments
+        .select(col("row_id"), r6(col("fair_wage")).as("fair_wage"),
+          r6(col("fair_wage_lower_bound")).as("fair_lower"),
+          r6(col("fair_wage_upper_bound")).as("fair_upper"),
+          r6(col("diff")).as("diff"))
+        .orderBy(col("diff").desc, col("row_id")).limit(20)
+    }),
+
+    "q_equity_optimize" -> ((s, d) => {
+      val li = withRowId(t(s, d, "lineitem"))
+      val res = Equity.optimize(li, equityCfg.copy(budget = 500000.0), "row_id")
+      res.adjustments.filter(col("adjustment") > 1e-9)
+        .select(col("row_id"), r6(col("adjustment")).as("adjustment"),
+          r6(col("new_wage")).as("new_wage"))
+        .orderBy(col("row_id"))
+    }),
+
+    "q_frontier" -> ((s, d) => {
+      val li = withRowId(t(s, d, "lineitem"))
+      val pts = Frontier.compute(li, equityCfg, "row_id", steps = 4,
+        paymentScale = Some(6))
+      def r(x: Double, s: Int) =
+        BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = pts.zipWithIndex.map { case (p, i) =>
+        Row(i, r(p.budget, 2), r(p.tStatistic, 4), p.isSignificant)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("step", IntegerType),
+        StructField("budget", DoubleType),
+        StructField("t_stat", DoubleType),
+        StructField("is_significant", BooleanType)))).orderBy("step")
+    }),
+
     // ---- budget optimizer (D15) ----
     "q_budget_greedy" -> ((s, d) => {
       val li = Prep.withIntercept(t(s, d, "lineitem"))
@@ -324,6 +388,30 @@ object Queries {
       |         regr_intercept(l_extendedprice, l_quantity) AS icept,
       |         count(*) AS n
       |  FROM lineitem GROUP BY 1
+      |)""".stripMargin
+
+  /** Fair-wage model oracle (G2): simple-regression fair model fit on
+    * reference group 'F', prediction intervals via the k=2 closed-form
+    * leverage h = 1/n + (x-xbar)^2/Sxx; target rows are group 'O'. */
+  private val fairCte =
+    """WITH """ + rowIdCte + """, ref AS (
+      |  SELECT count(*) AS n, avg(l_quantity) AS xbar,
+      |    regr_intercept(l_extendedprice, l_quantity) AS a,
+      |    regr_slope(l_extendedprice, l_quantity) AS b,
+      |    regr_sxx(l_extendedprice, l_quantity) AS sxx,
+      |    regr_syy(l_extendedprice, l_quantity)
+      |      * (1 - pow(corr(l_extendedprice, l_quantity), 2)) AS rss
+      |  FROM base WHERE l_linestatus = 'F'
+      |), model AS (
+      |  SELECT n, xbar, a, b, sxx, rss / (n - 2) AS sigma2 FROM ref
+      |), pi AS (
+      |  SELECT l.row_id,
+      |    l.l_extendedprice AS y, l.l_quantity AS x,
+      |    (m.a + m.b * l.l_quantity) AS fair,
+      |    1.9599639845400545 * sqrt(m.sigma2 * (1.0 + 1.0 / m.n
+      |      + (l.l_quantity - m.xbar) * (l.l_quantity - m.xbar) / m.sxx)) AS margin,
+      |    (m.a + m.b * l.l_quantity) - l.l_extendedprice AS diff
+      |  FROM base l, model m WHERE l.l_linestatus = 'O'
       |)""".stripMargin
 
   /** RIF scalar pipeline (rif.rs conventions: type-7 q_tau, ceil-index
@@ -508,6 +596,86 @@ object Queries {
         |  round((a.xbar - b.xbar) * beta.slope_star, 6) AS explained,
         |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * beta.slope_star, 6) AS unexplained
         |FROM g a, g b, beta WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin,
+
+    "q_fair_wages" -> (fairCte +
+      """
+        |SELECT row_id, round(fair, 6) AS fair_wage,
+        |  round(fair - margin, 6) AS fair_lower,
+        |  round(fair + margin, 6) AS fair_upper,
+        |  round(diff, 6) AS diff
+        |FROM pi ORDER BY diff DESC, row_id LIMIT 20""".stripMargin),
+
+    "q_equity_optimize" -> (fairCte +
+      """, cand AS (
+        |  SELECT row_id, y, diff,
+        |    sum(diff) OVER (ORDER BY diff DESC, row_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+        |  FROM pi WHERE diff > 1e-6
+        |)
+        |SELECT row_id, round(pay, 6) AS adjustment,
+        |  round(y + pay, 6) AS new_wage
+        |FROM (
+        |  SELECT row_id, y, least(diff,
+        |    greatest(0.0, 500000.0 - coalesce(prefix, 0.0))) AS pay
+        |  FROM cand
+        |) WHERE pay > 1e-9 ORDER BY row_id""".stripMargin),
+
+    "q_frontier" -> (fairCte +
+      """, cand AS (
+        |  SELECT row_id, x, y, round(diff, 6) AS rdiff, diff,
+        |    sum(round(diff, 6)) OVER (ORDER BY round(diff, 6) DESC, row_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+        |  FROM pi WHERE diff > 1e-6
+        |), need AS (SELECT sum(diff) * 1.1 / 4 AS stepsize FROM cand
+        |), pool AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sd,
+        |    sum(l_quantity) AS sx,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END) AS sdx,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_extendedprice) AS sy,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0.0 END) AS sdy,
+        |    sum(l_quantity * l_extendedprice) AS sxy,
+        |    sum(l_extendedprice * l_extendedprice) AS syy
+        |  FROM lineitem
+        |), delta AS (
+        |  SELECT step, coalesce(sum(pay), 0.0) AS dy,
+        |    coalesce(sum(pay * x), 0.0) AS dxy,
+        |    coalesce(sum(2.0 * y * pay + pay * pay), 0.0) AS dyy
+        |  FROM (
+        |    SELECT s.step, c.x, c.y, least(c.rdiff, greatest(0.0,
+        |      s.step * (SELECT stepsize FROM need) - coalesce(c.prefix, 0.0))) AS pay
+        |    FROM (SELECT CAST(range AS INTEGER) AS step FROM range(5)) s
+        |    CROSS JOIN cand c
+        |  ) GROUP BY step
+        |), solved AS (
+        |  SELECT d.step, d.step * (SELECT stepsize FROM need) AS budget,
+        |    p.n, p.sd, p.sx, p.sdx, p.sxx,
+        |    p.sy + d.dy AS syt, p.sdy + d.dy AS sdyt,
+        |    p.sxy + d.dxy AS sxyt, p.syy + d.dyy AS syyt,
+        |    p.n * (p.sd * p.sxx - p.sdx * p.sdx)
+        |      - p.sd * (p.sd * p.sxx - p.sdx * p.sx)
+        |      + p.sx * (p.sd * p.sdx - p.sd * p.sx) AS det
+        |  FROM delta d, pool p
+        |), beta AS (
+        |  SELECT step, budget, n, syt, sdyt, sxyt, syyt,
+        |    ((syt) * (sd * sxx - sdx * sdx) - sd * (sdyt * sxx - sdx * sxyt)
+        |      + sx * (sdyt * sdx - sd * sxyt)) / det AS b0,
+        |    (n * (sdyt * sxx - sdx * sxyt) - (syt) * (sd * sxx - sdx * sx)
+        |      + sx * (sd * sxyt - sdyt * sx)) / det AS b1,
+        |    (n * (sd * sxyt - sdyt * sdx) - sd * (sd * sxyt - sdyt * sx)
+        |      + (syt) * (sd * sdx - sd * sx)) / det AS b2,
+        |    (n * sxx - sx * sx) / det AS inv11
+        |  FROM solved
+        |)
+        |SELECT step, round(budget, 2) AS budget, round(t, 4) AS t_stat,
+        |  abs(t) > 1.9599639845400545 AS is_significant
+        |FROM (
+        |  SELECT step, budget,
+        |    b1 / sqrt(((syyt - (b0 * syt + b1 * sdyt + b2 * sxyt)) / (n - 3))
+        |      * inv11) AS t
+        |  FROM beta
+        |) ORDER BY step""".stripMargin),
 
     "q_rif" -> (rifCte +
       """

@@ -26,8 +26,8 @@ object BudgetOptimizer {
     if (totalGap <= targetGap)
       return base.filter(lit(false)).withColumn("adjustment", lit(0.0))
     val effective = math.min(budget, (totalGap - targetGap) * nB.toDouble)
-    val ordering = res.asc +: tieBreak.map(_.asc)
-    Windows.exclusivePrefixSum(base, ordering, -res, "__spent_before__")
+    Windows.exclusivePrefixSum(base, res, ascending = true, tieBreak, -res,
+        "__spent_before__")
       .withColumn("adjustment",
         greatest(lit(0.0), least(-res, lit(effective) - col("__spent_before__"))))
       .filter(col("adjustment") > 1e-9)

@@ -1,0 +1,332 @@
+package graft.equity
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.core._
+import graft.decompose.{Oaxaca, OaxacaConfig, OaxacaResults, RefCoefficients}
+import graft.estimators.Ols
+import graft.prep.Prep
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pay-equity engine layer (SURVEY §2.5, `engine/src/analysis.rs` +
+  * `defensibility.rs`), re-expressed distributed: the fair-wage model and
+  * its prediction-interval machinery are one Gram pass + k-dimensional
+  * driver math; per-employee fair wages, leverages and intervals are pure
+  * codegen column arithmetic; greedy allocation uses the scale-safe
+  * global prefix sum (no candidate collect).
+  */
+sealed trait OptimizationTarget
+object OptimizationTarget {
+  /** Fit the fair model on the reference group (`analysis.rs:434-440`). */
+  case object Reference extends OptimizationTarget
+  /** Fit on both groups stacked (`analysis.rs:441-460`). */
+  case object Pooled extends OptimizationTarget
+}
+
+sealed trait RangeTarget
+object RangeTarget {
+  case object Midpoint extends RangeTarget
+  case object LowerBound extends RangeTarget
+  case object UpperBound extends RangeTarget
+}
+
+sealed trait AllocationStrategy
+object AllocationStrategy {
+  /** Largest gaps first until the budget is exhausted (`analysis.rs:744-787`). */
+  case object Greedy extends AllocationStrategy
+  /** Pro-rata coverage ratio (`analysis.rs:788-830`). */
+  case object Equitable extends AllocationStrategy
+}
+
+final case class EquityConfig(
+    outcome: String,
+    group: String,
+    reference: String,
+    predictors: Seq[String],
+    categorical: Seq[String] = Nil,
+    target: OptimizationTarget = OptimizationTarget.Reference,
+    rangeTarget: RangeTarget = RangeTarget.Midpoint,
+    strategy: AllocationStrategy = AllocationStrategy.Greedy,
+    budget: Double = 0.0,
+    minGapPct: Double = 0.0,
+    forensic: Boolean = false,
+    adjustBoth: Boolean = false,
+    confidence: Double = 0.95)
+
+/** Fair-wage model: beta from least squares, sigma^2 and (X'X)^-1 from
+  * the REFERENCE group (`analysis.rs:477-530`), z from the confidence
+  * level clamped to [0.50, 0.999]. */
+final case class FairModel(
+    names: Seq[String],
+    xCols: Seq[String],
+    beta: DenseVector[Double],
+    sigma2: Double,
+    covInv: DenseMatrix[Double],
+    zScore: Double) {
+
+  def fairWageCol: Column = Ols.predictionCol(xCols, beta)
+
+  /** Leverage h = x' (X'X)^-1 x as codegen arithmetic (k^2 terms). */
+  def leverageCol: Column = {
+    val k = xCols.size
+    val terms = for (i <- 0 until k; j <- 0 until k) yield
+      col(xCols(i)).cast("double") * col(xCols(j)).cast("double") * lit(covInv(i, j))
+    terms.reduce(_ + _)
+  }
+
+  /** (lower, upper) prediction-interval columns around the fair wage;
+    * collapses to the point estimate when sigma^2 <= 1e-9. */
+  def intervalCols: (Column, Column) = {
+    val fair = fairWageCol
+    if (sigma2 <= 1e-9) (fair, fair)
+    else {
+      val margin = lit(zScore) * sqrt(lit(sigma2) * (lit(1.0) + leverageCol))
+      (fair - margin, fair + margin)
+    }
+  }
+}
+
+final case class OptimizeMetrics(
+    totalCost: Double,
+    originalGap: Double,
+    newGap: Double,
+    originalUnexplainedGap: Double,
+    newUnexplainedGap: Double,
+    requiredBudget: Double,
+    modelCoefficients: Seq[(String, Double)])
+
+final case class OptimizeResult(
+    adjustments: DataFrame,
+    metrics: OptimizeMetrics,
+    model: FairModel)
+
+object Equity {
+
+  /** Shared prep: clean, dummy-encode, intercept-first design (the
+    * engine's prepare_data layout), two-group split. */
+  private[equity] def prepare(df: DataFrame, cfg: EquityConfig)
+      : (DataFrame, Seq[String], Seq[String], Prep.GroupSplit) = {
+    val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++ cfg.categorical
+    val cleaned = Prep.clean(df, modelCols.distinct)
+    val (dummied0, infos) = Prep.oneHot(cleaned, cfg.categorical)
+    val dummied = Prep.withIntercept(dummied0)
+    val xCols = Prep.designCols(cfg.predictors, infos)
+    (dummied, xCols, Prep.designNames(xCols), Prep.splitGroups(dummied, cfg.group, cfg.reference))
+  }
+
+  private[equity] def fitFairModel(gTarget: GramResult, gRef: GramResult,
+      xCols: Seq[String], names: Seq[String], cfg: EquityConfig): FairModel = {
+    val gFit = cfg.target match {
+      case OptimizationTarget.Reference => gRef
+      case OptimizationTarget.Pooled => gRef.plus(gTarget)
+    }
+    val beta = LinAlg.solveLeastSquares(gFit.xtx, gFit.xty)
+    // sigma^2 always from the reference group residuals
+    val rss = math.max(
+      gRef.swyy - 2.0 * (beta dot gRef.xty) + (beta dot (gRef.xtx * beta)), 0.0)
+    val dof = gRef.n.toDouble - xCols.size
+    val sigma2 = if (dof > 0.0) rss / dof else 0.0
+    val covInv =
+      try LinAlg.symInverse(gRef.xtx)
+      catch {
+        case _: SingularMatrix => throw SingularMatrix(
+          "Covariance matrix is singular, likely due to perfect multicollinearity.")
+      }
+    val conf = math.min(math.max(cfg.confidence, 0.50), 0.999)
+    val z = NormalDist.inverseCdf(1.0 - (1.0 - conf) / 2.0)
+    FairModel(names, xCols, beta, sigma2, covInv, z)
+  }
+
+  /** G2 `optimize_inner` (`engine/src/analysis.rs:309-869`). `idCol`
+    * must uniquely identify rows (the engine's row index). */
+  def optimize(df: DataFrame, cfg: EquityConfig, idCol: String): OptimizeResult = {
+    val (dummied, xCols, names, split) = prepare(df, cfg)
+
+    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
+      Prep.laneOf(split, cfg.group), 2, 0, 0L)
+    val gTarget = lanes(0)(0) // non-reference = target group
+    val gRef = lanes(1)(0)
+    val model = fitFairModel(gTarget, gRef, xCols, names, cfg)
+
+    // original gap via a pooled-reference decomposition (`analysis.rs:348-361`)
+    val originalGap = Oaxaca.run(df, OaxacaConfig(cfg.outcome, cfg.group,
+      cfg.reference, cfg.predictors, cfg.categorical,
+      refCoefficients = RefCoefficients.Pooled, bootstrapReps = 0)).totalGap
+
+    val (lowerC, upperC) = model.intervalCols
+    val fair = model.fairWageCol
+    val targetWage = cfg.rangeTarget match {
+      case RangeTarget.Midpoint => fair
+      case RangeTarget.LowerBound => lowerC
+      case RangeTarget.UpperBound => upperC
+    }
+    val actual = col(cfg.outcome).cast("double")
+    val diffC = targetWage - actual
+    val gapPct = when(abs(actual) > 1e-6, diffC / actual).otherwise(0.0)
+
+    val g = col(cfg.group).cast("string")
+    val isTarget = g =!= lit(cfg.reference)
+    val eligibleC =
+      when(isTarget, diffC > 1e-6 && gapPct >= cfg.minGapPct)
+        .otherwise(lit(cfg.adjustBoth) && diffC > 1e-6 && gapPct >= cfg.minGapPct)
+    val keep =
+      if (cfg.forensic) lit(true)
+      else if (cfg.adjustBoth) diffC > 1e-6 && gapPct >= cfg.minGapPct
+      else isTarget && diffC > 1e-6 && gapPct >= cfg.minGapPct
+
+    val annotated = dummied
+      .withColumn("__diff__", diffC)
+      .withColumn("__fair__", fair)
+      .withColumn("__lower__", lowerC)
+      .withColumn("__upper__", upperC)
+      .withColumn("__eligible__", eligibleC)
+      .withColumn("__is_target__", isTarget)
+
+    val sums = annotated.agg(
+      sum(when(col("__is_target__"), col("__diff__")).otherwise(0.0)).as("net_b"),
+      sum(when(col("__eligible__"), col("__diff__")).otherwise(0.0)).as("need"),
+      sum(when(col("__is_target__"), 1L).otherwise(0L)).as("n_target")).head()
+    val netResidualSumB = sums.getDouble(0)
+    val totalNeed = sums.getDouble(1)
+    val nTarget = sums.getLong(2).toDouble
+    val effectiveBudget =
+      if (cfg.budget > 0.0) cfg.budget else totalNeed * 1.00001
+
+    val candidates = annotated.filter(keep)
+    val paid = cfg.strategy match {
+      case AllocationStrategy.Greedy =>
+        val eligible = candidates.filter(col("__eligible__"))
+        val withPrefix = Windows.exclusivePrefixSum(eligible,
+          col("__diff__"), ascending = false, Seq(col(idCol)),
+          col("__diff__"), "__spent_before__")
+        val withPay = withPrefix.withColumn("__pay__",
+          greatest(lit(0.0), least(col("__diff__"),
+            lit(effectiveBudget) - col("__spent_before__"))))
+        candidates.filter(!col("__eligible__"))
+          .withColumn("__spent_before__", lit(0.0))
+          .withColumn("__pay__", lit(0.0))
+          .unionByName(withPay)
+      case AllocationStrategy.Equitable =>
+        val ratio = if (totalNeed > 0.0)
+          math.min(effectiveBudget / totalNeed, 1.0) else 0.0
+        candidates.withColumn("__pay__",
+          when(col("__eligible__"), col("__diff__") * lit(ratio)).otherwise(0.0))
+    }
+
+    val adjustments = paid.select(
+      col(idCol),
+      g.as("group_level"),
+      col("__pay__").as("adjustment"),
+      actual.as("current_wage"),
+      (actual + col("__pay__")).as("new_wage"),
+      col("__fair__").as("fair_wage"),
+      col("__lower__").as("fair_wage_lower_bound"),
+      col("__upper__").as("fair_wage_upper_bound"),
+      col("__diff__").as("diff"),
+      col("__eligible__").as("is_eligible"))
+      .orderBy(col(idCol))
+
+    val totalCost = adjustments.agg(sum(col("adjustment"))).head().getDouble(0)
+    val newGap = if (nTarget > 0.0) originalGap + totalCost / nTarget else originalGap
+    val origUnexp = if (nTarget > 0.0) -netResidualSumB / nTarget else 0.0
+    val newUnexp = if (nTarget > 0.0)
+      -(netResidualSumB - totalCost) / nTarget else origUnexp
+
+    OptimizeResult(adjustments,
+      OptimizeMetrics(totalCost, originalGap, newGap, origUnexp, newUnexp,
+        totalNeed, names.zipWithIndex.map { case (n, i) => n -> model.beta(i) }),
+      model)
+  }
+
+  /** Per-feature contribution columns x_j * beta_j (`analysis.rs:723-742`). */
+  def contributionCols(model: FairModel): Seq[Column] =
+    model.xCols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast("double") * lit(model.beta(i)))
+        .as(s"contrib_${model.names(i)}")
+    }
+
+  /** G3 `verify_inner` (`engine/src/analysis.rs:40-96`): apply wage
+    * deltas by row id, re-run the decomposition on the mutated frame. */
+  def verifyAdjustments(df: DataFrame, adjustments: DataFrame, idCol: String,
+      deltaCol: String, cfg: EquityConfig,
+      bootstrapReps: Int = 0): OaxacaResults = {
+    val mutated = applyDeltas(df, adjustments, idCol, deltaCol, cfg.outcome)
+    Oaxaca.run(mutated, OaxacaConfig(cfg.outcome, cfg.group, cfg.reference,
+      cfg.predictors, cfg.categorical,
+      refCoefficients = RefCoefficients.Pooled, bootstrapReps = bootstrapReps))
+  }
+
+  /** P12: outcome := outcome + delta for matching row ids (broadcast
+    * join; the adjustment set is always small relative to the data). */
+  def applyDeltas(df: DataFrame, deltas: DataFrame, idCol: String,
+      deltaCol: String, outcome: String): DataFrame = {
+    val d = deltas.select(col(idCol), col(deltaCol).cast("double").as("__delta__"))
+    df.join(broadcast(d), Seq(idCol), "left")
+      .withColumn(outcome,
+        col(outcome).cast("double") + coalesce(col("__delta__"), lit(0.0)))
+      .drop("__delta__")
+  }
+
+  /** G5 `check_defensibility_inner` (`engine/src/defensibility.rs:9-388`):
+    * apply predictor overrides by row id, refit the fair model on the
+    * overridden reference group, then judge each proposed adjustment:
+    * defensible iff new wage >= lower PI bound - 1.0. */
+  def checkDefensibility(df: DataFrame, adjustments: DataFrame,
+      overrides: Option[DataFrame], idCol: String, deltaCol: String,
+      cfg: EquityConfig): DataFrame = {
+    // overrides: long-format (id, predictor, value) -> wide coalesce
+    val overridden = overrides match {
+      case None => df
+      case Some(ov) =>
+        val preds = ov.select(col("predictor").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        preds.foldLeft(df) { case (acc, p) =>
+          val pv = ov.filter(col("predictor") === lit(p))
+            .select(col(idCol), col("value").cast("double").as(s"__ov_$p"))
+          acc.join(broadcast(pv), Seq(idCol), "left")
+            .withColumn(p, coalesce(col(s"__ov_$p"), col(p).cast("double")))
+            .drop(s"__ov_$p")
+        }
+    }
+    val (dummied, xCols, names, split) = prepare(overridden, cfg)
+    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
+      Prep.laneOf(split, cfg.group), 2, 0, 0L)
+    val model = fitFairModel(lanes(0)(0), lanes(1)(0), xCols, names,
+      cfg.copy(target = OptimizationTarget.Reference))
+
+    val (lowerC, upperC) = model.intervalCols
+    val adj = adjustments.select(col(idCol),
+      col(deltaCol).cast("double").as("adjustment"))
+    val actual = col(cfg.outcome).cast("double")
+    dummied.join(broadcast(adj), Seq(idCol), "inner")
+      .withColumn("current_wage", actual)
+      .withColumn("new_wage", actual + col("adjustment"))
+      .withColumn("fair_wage", model.fairWageCol)
+      .withColumn("fair_wage_lower_bound", lowerC)
+      .withColumn("fair_wage_upper_bound", upperC)
+      .withColumn("is_defensible",
+        col("new_wage") >= col("fair_wage_lower_bound") - lit(1.0))
+      .withColumn("defensibility_message",
+        when(col("is_defensible"),
+          lit("Wage is within or above the calculated fair range."))
+        .otherwise(concat(
+          lit("Wage is "),
+          format_number(col("fair_wage_lower_bound") - col("new_wage"), 2),
+          lit(" below the defensible lower bound ("),
+          format_number(col("fair_wage_lower_bound"), 2), lit(")."))))
+      .select(col(idCol), col("adjustment"), col("current_wage"),
+        col("new_wage"), col("fair_wage"), col("fair_wage_lower_bound"),
+        col("fair_wage_upper_bound"), col("is_defensible"),
+        col("defensibility_message"))
+      .orderBy(col(idCol))
+  }
+
+  /** G1 `decompose_inner` summary block (`analysis.rs:102-140`): group
+    * counts and outcome means. */
+  def groupSummary(df: DataFrame, cfg: EquityConfig): DataFrame =
+    Prep.clean(df, Seq(cfg.outcome, cfg.group))
+      .groupBy(col(cfg.group).cast("string").as("group_level"))
+      .agg(count(lit(1)).as("n"),
+        avg(col(cfg.outcome).cast("double")).as("mean_outcome"))
+      .orderBy(col("group_level"))
+}
