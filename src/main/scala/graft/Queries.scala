@@ -308,6 +308,38 @@ object Queries {
         StructField("density_b_cf", DoubleType)))).orderBy("idx")
     }),
 
+    // ---- AKM + matching (E10-E16) ----
+    "q_matching_knn" -> ((s, d) => {
+      val cust = t(s, d, "customer").withColumn("treated",
+        when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0))
+      Matching.run(cust, "treated", Seq("c_acctbal"), k = 3,
+          Matching.Euclidean, "c_custkey")
+        .select(col("c_custkey"), r6(col("__match_weight__")).as("weight"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_matching_psm" -> ((s, d) => {
+      val cust = t(s, d, "customer").withColumn("treated",
+        when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0))
+      Matching.run(cust, "treated", Seq("c_acctbal"), k = 3,
+          Matching.Propensity, "c_custkey")
+        .select(col("c_custkey"), r6(col("__match_weight__")).as("weight"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_akm" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("worker", concat(lit("w"), pmod(col("l_suppkey"), lit(200))))
+        .withColumn("firm", concat(lit("f"), pmod(col("l_partkey"), lit(50))))
+      val res = Akm.run(li, "l_extendedprice", "worker", "firm",
+        Seq("l_quantity"), tolerance = 1e-8, maxIters = 1000)
+      res.firmEffects
+        .select(col("firm"), r6(col("effect")).as("effect"))
+        .withColumn("beta_x", lit(r6d(res.beta(0))))
+        .withColumn("r2", lit(r6d(res.r2)))
+        .orderBy(col("firm"))
+    }),
+
     // ---- pay-equity layer (G2, G4) ----
     "q_fair_wages" -> ((s, d) => {
       val li = withRowId(t(s, d, "lineitem"))
@@ -596,6 +628,21 @@ object Queries {
         |  round((a.xbar - b.xbar) * beta.slope_star, 6) AS explained,
         |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * beta.slope_star, 6) AS unexplained
         |FROM g a, g b, beta WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin,
+
+    "q_matching_knn" ->
+      """WITH t AS (SELECT c_custkey AS tid, c_acctbal AS tx
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |c AS (SELECT c_custkey AS cid, c_acctbal AS cx
+        |  FROM customer WHERE c_mktsegment <> 'BUILDING'),
+        |pairs AS (SELECT tid, cid, (tx - cx) * (tx - cx) AS d2 FROM t, c),
+        |ranked AS (SELECT cid, row_number() OVER (
+        |  PARTITION BY tid ORDER BY d2, cid) AS rn FROM pairs),
+        |cw AS (SELECT cid, count(*) / 3.0 AS w FROM ranked
+        |  WHERE rn <= 3 GROUP BY cid)
+        |SELECT c_custkey, round(CASE WHEN c_mktsegment = 'BUILDING'
+        |  THEN 1.0 ELSE coalesce(w, 0.0) END, 6) AS weight
+        |FROM customer LEFT JOIN cw ON c_custkey = cid
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_fair_wages" -> (fairCte +
       """
