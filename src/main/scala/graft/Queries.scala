@@ -308,6 +308,47 @@ object Queries {
         StructField("density_b_cf", DoubleType)))).orderBy("idx")
     }),
 
+    // ---- quantile decomposition + JMP (E5, D12, D13) ----
+    "q_jmp" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p1 = li.filter(year(col("l_shipdate")) <= 1997)
+      val p2 = li.filter(year(col("l_shipdate")) > 1997)
+      val res = Jmp.run(p1, p2, decompCfg)
+      oneRow(s,
+        Seq("total_change", "quantity_effect", "price_effect", "gap_effect"),
+        Seq(res.totalChange, res.quantityEffect, res.priceEffect, res.gapEffect))
+    }),
+
+    "q_quantreg" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity")
+      val rows = Seq(0.25, 0.5, 0.75).map { tau =>
+        val b = QuantileReg.fit(li, "l_extendedprice", xCols, tau)
+        Row(tau, r6d(b(0)), r6d(b(1)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("tau", DoubleType),
+        StructField("intercept", DoubleType),
+        StructField("slope", DoubleType)))).orderBy("tau")
+    }),
+
+    "q_mm_quantile" -> ((s, d) => {
+      val res = MachadoMata.run(t(s, d, "lineitem"),
+        MmConfig("l_extendedprice", "l_linestatus", "F",
+          predictors = Seq("l_quantity"), quantiles = Seq(0.25, 0.5, 0.75),
+          simulations = 100, bootstrapReps = 0, seed = 42L,
+          maxRowsPerGroup = 20000))
+      val rows = res.effects.toSeq.sortBy(_._1).map { case (k, e) =>
+        Row(k, r6d(e("gap").estimate), r6d(e("characteristics").estimate),
+          r6d(e("coefficients").estimate))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("quantile", StringType),
+        StructField("gap", DoubleType),
+        StructField("characteristics", DoubleType),
+        StructField("coefficients", DoubleType)))).orderBy("quantile")
+    }),
+
     // ---- AKM + matching (E10-E16) ----
     "q_matching_knn" -> ((s, d) => {
       val cust = t(s, d, "customer").withColumn("treated",
@@ -628,6 +669,35 @@ object Queries {
         |  round((a.xbar - b.xbar) * beta.slope_star, 6) AS explained,
         |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * beta.slope_star, 6) AS unexplained
         |FROM g a, g b, beta WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin,
+
+    "q_jmp" ->
+      """WITH g1 AS (
+        |  SELECT l_linestatus AS lvl, avg(l_extendedprice) AS ybar,
+        |    avg(l_quantity) AS xbar,
+        |    regr_slope(l_extendedprice, l_quantity) AS slope
+        |  FROM lineitem WHERE year(l_shipdate) <= 1997 GROUP BY 1
+        |), g2 AS (
+        |  SELECT l_linestatus AS lvl, avg(l_extendedprice) AS ybar,
+        |    avg(l_quantity) AS xbar,
+        |    regr_slope(l_extendedprice, l_quantity) AS slope
+        |  FROM lineitem WHERE year(l_shipdate) > 1997 GROUP BY 1
+        |), c1 AS (
+        |  SELECT a.ybar - b.ybar AS gap,
+        |    (a.xbar - b.xbar) * b.slope AS explained,
+        |    a.xbar - b.xbar AS dx, b.slope AS slopeb
+        |  FROM g1 a, g1 b WHERE a.lvl = 'O' AND b.lvl = 'F'
+        |), c2 AS (
+        |  SELECT a.ybar - b.ybar AS gap,
+        |    (a.xbar - b.xbar) * b.slope AS explained,
+        |    a.xbar - b.xbar AS dx
+        |  FROM g2 a, g2 b WHERE a.lvl = 'O' AND b.lvl = 'F'
+        |)
+        |SELECT round(c2.gap - c1.gap, 6) AS total_change,
+        |  round((c2.dx - c1.dx) * c1.slopeb, 6) AS quantity_effect,
+        |  round((c2.explained - c1.explained) - (c2.dx - c1.dx) * c1.slopeb, 6)
+        |    AS price_effect,
+        |  round((c2.gap - c2.explained) - (c1.gap - c1.explained), 6) AS gap_effect
+        |FROM c1, c2""".stripMargin,
 
     "q_matching_knn" ->
       """WITH t AS (SELECT c_custkey AS tid, c_acctbal AS tx
