@@ -22,9 +22,11 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries ++ QueriesExt.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracleSql
+  def oracleSql: Map[String, String] =
+    Queries.oracleSql ++ QueriesExt.oracleSql
 }

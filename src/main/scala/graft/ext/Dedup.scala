@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * shuffle-efficient DataFrame transformations:
+  *
+  * - exact: hash-groupBy on md5(text), keep the minimum id;
+  * - n-gram Jaccard: word-shingle inverted index self-join, exact
+  *   Jaccard on distinct shingle sets;
+  * - MinHash + LSH banding: engine-portable md5-derived hash family,
+  *   per-doc signatures by groupBy-min, band buckets, bucket join for
+  *   candidates, exact-Jaccard verification;
+  * - SimHash: sign-aggregated 16-bit signatures, near-dup if Hamming
+  *   distance <= maxHamming;
+  * - embedding cosine: pairwise cosine over `array<float>` columns.
+  *
+  * The md5-based hash family (`TextAnalysis.hash56`) is reproducible in
+  * ANSI SQL, so every operator here is oracle-checkable.
+  */
+object Dedup {
+
+  /** Distinct word shingles (n-grams joined by single spaces) per doc.
+    * Documents with fewer than n tokens produce no shingles. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), "\\s+").as("__toks__"))
+      .filter(size(col("__toks__")) >= n)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(__toks__) - $n),
+           |  i -> concat_ws(' ', slice(__toks__, i + 1, $n)))""".stripMargin)))
+        .as("shingle"))
+      .filter(col("shingle") =!= "")
+
+  /** Exact duplicate groups: (md5, n_copies, min id) for texts occurring
+    * more than once. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Exact-dedup projection: keeps the minimum-id row per distinct text. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
+  /** Exact pairwise Jaccard over shared-shingle candidates:
+    * (id_a < id_b, jaccard) for jaccard >= threshold. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sz", "sz_a"), col("id_a") === col(sizes.columns.head))
+      .drop(sizes.columns.head)
+      .join(sizes.withColumnRenamed("sz", "sz_b"), col("id_b") === col(sizes.columns.head))
+      .drop(sizes.columns.head)
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for hash j in 0..numHashes-1,
+    * sig_j = min over shingles of hash56(j || ':' || shingle). */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(j =>
+      min(TextAnalysis.hash56(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH-banded MinHash near-dup candidates, verified with exact Jaccard.
+    * bands * rowsPerBand must equal numHashes. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val sigs = minhashSignatures(sh, idCol, numHashes)
+    // band key = md5 of the concatenated band slice
+    val banded = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      sigs.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws("_", slice: _*)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), "id_b")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed(idCol, "id_a"), "id_a")
+      .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed(idCol, "id_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash from token hashes: bit b of the signature is set iff
+    * sum over distinct tokens of (2 * bit_b(hash) - 1) > 0. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(array_distinct(split(col(textCol), "\\s+"))).as("__tok__"))
+      .filter(col("__tok__") =!= "")
+      .withColumn("__h__", TextAnalysis.hash56(col("__tok__")))
+    val bitSums = (0 until 16).map(b =>
+      sum(shiftright(col("__h__"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b"))
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 16).map(b =>
+      when(col(s"s_$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val s = simhash(df, idCol, textCol)
+    val a = s.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
+    val b = s.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Cosine similarity of two double-array columns (codegen higher-order
+    * functions, no UDF). */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-duplicate pairs: pairwise cosine >= threshold.
+    * Brute-force O(n^2) — the scale path blocks by an LSH bucket first
+    * (see [[Ann.lshTopK]]). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v__"))
+    val a = v.select(col(idCol).as("id_a"), col("__v__").as("v_a"))
+    val b = v.select(col(idCol).as("id_b"), col("__v__").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineCol(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming-ready event aggregations. The reference engine
+  * is batch-only (SURVEY §1.1), so these are engine extensions: each
+  * transform is written against an unbounded-safe subset of operations
+  * (event-time tumbling windows + watermarks, no global sorts), so the
+  * SAME function runs over a batch DataFrame (driver oracle checks) or a
+  * readStream source (see StreamingSpec).
+  */
+object Streams {
+
+  /** Tumbling-window counts and value stats by event type. On a
+    * streaming input, append mode with the given watermark; on a batch
+    * input, identical results. */
+  def windowedEventStats(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours", streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+  }
+
+  /** Per-user session counts with a fixed gap encoded as a tumbling
+    * session-window approximation (session_window is also available on
+    * streams; this variant stays append-safe). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("user_id"), col("n_events"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.ext._
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline extension operators: dedup family, ANN, text
+  * analysis, multimodal plumbing, streaming-safe aggregations. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "a"),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "a"),
+    (2L, "der schnelle braune fuchs springt und der hund ist faul", "de", "b"),
+    (3L, "el perro es una mascota para la casa de los gatos", "es", "b"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en", "c"), // dup of 0
+    (5L, "completely different words about spark engines and data", "en", "c")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup finds the duplicate group and keeps the min id") {
+    val groups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2)
+    assert(groups(0).getAs[Long]("keep_id") == 0L)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(kept.count() == 5)
+    assert(kept.filter($"doc_id" === 4L).count() == 0)
+  }
+
+  test("n-gram Jaccard: identical docs 1.0, one-word-change high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((0L, 4L)) - 1.0) < 1e-12)
+    assert(pairs((0L, 1L)) > 0.5 && pairs((0L, 1L)) < 1.0)
+    assert(!pairs.contains((0L, 5L)))
+  }
+
+  test("MinHash LSH finds the exact-dup and near-dup pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleN = 3,
+      numHashes = 16, bands = 8, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 4L)) && math.abs(pairs((0L, 4L)) - 1.0) < 1e-12)
+    // the (0,1) near-dup shares most shingles; 8 bands of 2 catches it whp
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("SimHash: identical docs at Hamming 0; related docs close") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 4L)) == 0)
+    assert(pairs((0L, 1L)) <= 6) // one word changed out of nine
+  }
+
+  test("embedding cosine near-dup and brute-force ANN agree") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)), (3L, Seq(0.0f, 0.95f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+    val topk = Ann.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(topk(0L) == 1L && topk(1L) == 0L && topk(2L) == 3L && topk(3L) == 2L)
+  }
+
+  test("IVF ANN achieves high recall@5 vs brute force") {
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(queries, vecs, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("language ID matches the stopword-dominant language") {
+    val preds = docs.select($"doc_id", $"lang", TextAnalysis.langId($"text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds(0L) == "en" && preds(2L) == "de" && preds(3L) == "es")
+  }
+
+  test("fingerprint is word-order insensitive and content sensitive") {
+    val d2 = Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma alpha beta"),
+      (2L, "alpha beta delta")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(d2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) != fps(2L))
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val d2 = Seq((0L, "the cat sat on the mat and the dog ran to the park"),
+      (1L, ";;;!!!...,,,;;;")).toDF("doc_id", "text")
+    val cols = TextAnalysis.qualityCols($"text")
+    val out = d2.select(($"doc_id" +: cols.map { case (n, c) => c.as(n) }): _*)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(out(0L) > out(1L))
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("multimodal decode: schema, determinism, content sensitivity") {
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text", "source")
+    assert(media.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val feats = Multimodal.decodeFeatures(media, dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Seq[Double]]("features").size == 8))
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Double](3).toVector).toMap
+    assert(byId(0L) == byId(4L)) // identical payloads -> identical features
+    assert(byId(0L) != byId(1L))
+    // determinism across executions
+    val again = Multimodal.decodeFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](3).toVector).toMap
+    assert(again == byId)
+  }
+
+  test("streaming windowed stats equal the batch computation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val events = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 60000L),
+        (i % 7).toLong, if (i % 2 == 0) "click" else "view", i * 1.5)
+    }
+    val batchDf = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = Streams.windowedEventStats(batchDf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.windowedEventStats(sdf, streaming = true)
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode("append").start()
+    stream.addData(events)
+    q.processAllAvailable()
+    // append mode emits only windows closed by the watermark; every
+    // emitted row must match the batch result exactly
+    val got = spark.sql("SELECT * FROM winstats").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(expected(k) == v, s"window $k") }
+  }
+}
