@@ -81,31 +81,40 @@ object QuantileReg {
   /** Distributed IRLS: one Gram pass per iteration; the 100 TB path for
     * a single-tau fit. */
   def fit(df: DataFrame, yCol: String, xCols: Seq[String], tau: Double,
-      maxIter: Int = 50, tol: Double = 1e-8): DenseVector[Double] = {
-    require(tau > 0.0 && tau < 1.0, "Tau must be between 0 and 1.")
+      maxIter: Int = 50, tol: Double = 1e-8): DenseVector[Double] =
+    fitMany(df, yCol, xCols, Seq(tau), maxIter, tol).head
+
+  /** Several taus over ONE cached projection of the data. */
+  def fitMany(df: DataFrame, yCol: String, xCols: Seq[String],
+      taus: Seq[Double], maxIter: Int = 50,
+      tol: Double = 1e-8): Seq[DenseVector[Double]] = {
+    taus.foreach(t => require(t > 0.0 && t < 1.0, "Tau must be between 0 and 1."))
     val proj = df.select((col(yCol).cast("double").as(yCol) +:
       xCols.map(c => col(c).cast("double").as(c))): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val k = xCols.size
-      var beta = {
+      val olsBeta = {
         val g = Gram.compute(proj, yCol, xCols)
         LinAlg.solveLeastSquares(g.xtx, g.xty)
       }
-      var iter = 0
-      var done = false
-      while (iter < maxIter && !done) {
-        iter += 1
-        val r = col(yCol) - Ols.predictionCol(xCols, beta)
-        val c = when(r > 0.0, tau).otherwise(1.0 - tau)
-        val w = c / greatest(abs(r), lit(Eps))
-        val g = Gram.compute(proj.withColumn("__w__", w), yCol, xCols, Some("__w__"))
-        val nb = LinAlg.ridgeSolve(g.xtx, g.xty,
-          1e-10 * (breeze.linalg.trace(g.xtx) / k + 1.0))
-        if (norm(nb - beta) < tol) done = true
-        beta = nb
+      taus.map { tau =>
+        var beta = olsBeta
+        var iter = 0
+        var done = false
+        while (iter < maxIter && !done) {
+          iter += 1
+          val r = col(yCol) - Ols.predictionCol(xCols, beta)
+          val c = when(r > 0.0, tau).otherwise(1.0 - tau)
+          val w = c / greatest(abs(r), lit(Eps))
+          val g = Gram.compute(proj.withColumn("__w__", w), yCol, xCols, Some("__w__"))
+          val nb = LinAlg.ridgeSolve(g.xtx, g.xty,
+            1e-10 * (breeze.linalg.trace(g.xtx) / k + 1.0))
+          if (norm(nb - beta) < tol) done = true
+          beta = nb
+        }
+        beta
       }
-      beta
     } finally { proj.unpersist() }
   }
 }

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Deduplication operators for training-data pipelines, all expressed as
   * shuffle-efficient DataFrame transformations:
@@ -151,17 +152,39 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: pairwise cosine >= threshold.
-    * Brute-force O(n^2) — the scale path blocks by an LSH bucket first
-    * (see [[Ann.lshTopK]]). */
+    * Physical plan: broadcast the (normalized) corpus vectors to every
+    * executor and stream the table once with a tight while-loop dot
+    * product per partition — O(n^2) flops but ONE scan, no 12M-row
+    * crossJoin materialization and no per-pair array allocation. The
+    * 100 TB path blocks candidates by LSH bucket first (Ann.ivfTopK /
+    * MinHash-style banding); this exact kernel then runs per block. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol),
-      transform(col(vecCol), x => x.cast("double")).as("__v__"))
-    val a = v.select(col(idCol).as("id_a"), col("__v__").as("v_a"))
-    val b = v.select(col(idCol).as("id_b"), col("__v__").as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineCol(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    val spark = df.sparkSession
+    val proj = df.select(col(idCol).cast("long"),
+      transform(col(vecCol), x => x.cast("double")))
+    val corpus = proj.collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    val pairs = proj.rdd.mapPartitions { it =>
+      val corp = bc.value
+      it.flatMap { r =>
+        val idA = r.getLong(0)
+        val va = r.getSeq[Double](1).toArray
+        val na = math.sqrt(va.map(x => x * x).sum)
+        corp.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
+          var dot = 0.0
+          var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          val cos = dot / (na * nb)
+          if (cos >= threshold) Some(Row(idA, idB, cos)) else None
+        }
+      }
+    }
+    spark.createDataFrame(pairs, StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType),
+      StructField("cosine", DoubleType))))
   }
 }
