@@ -1,0 +1,108 @@
+package graft.api
+
+import graft.decompose._
+import graft.estimators.{Akm, Matching}
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** CLI surface (S8) mirroring the reference's clap arguments
+  * (`oaxaca_blinder/src/main.rs:43-159`): --data, --outcome, --group,
+  * --reference, --predictors, --categorical, --analysis-type
+  * {mean,quantile,akm,match}, --ref-coeffs, --quantiles,
+  * --bootstrap-reps, --simulations, --formula, --weights,
+  * --worker-col/--firm-col, --k-neighbors, --matching-method,
+  * --output-json/--output-markdown.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"Missing required argument --$k"))
+
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[*]"))
+      .appName("oaxaca-cli")
+      .config("spark.sql.shuffle.partitions",
+        opts.getOrElse("shuffle-partitions", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val data = req("data")
+      val df =
+        if (data.endsWith(".parquet")) spark.read.parquet(data)
+        else spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(data)
+
+      opts.getOrElse("analysis-type", "mean") match {
+        case "mean" | "quantile" =>
+          var b = OaxacaBuilder(df, req("outcome"), req("group"), req("reference"))
+          opts.get("formula").foreach(f => b = b.formula(f))
+          opts.get("predictors").foreach(p => b = b.predictors(p.split(',').toIndexedSeq: _*))
+          opts.get("categorical").foreach(p => b = b.categoricalPredictors(p.split(',').toIndexedSeq: _*))
+          opts.get("normalize").foreach(p => b = b.normalize(p.split(',').toIndexedSeq: _*))
+          opts.get("weights").foreach(w => b = b.weights(w))
+          b = b.bootstrapReps(opts.getOrElse("bootstrap-reps", "50").toInt)
+          opts.get("ref-coeffs").foreach { rc =>
+            b = b.referenceCoefficients(rc.toLowerCase match {
+              case "groupa" => RefCoefficients.GroupA
+              case "groupb" => RefCoefficients.GroupB
+              case "pooled" | "neumark" => RefCoefficients.Pooled
+              case "weighted" | "cotton" => RefCoefficients.Cotton
+              case other => sys.error(s"Unknown ref-coeffs '$other'")
+            })
+          }
+          opts.get("selection-outcome").foreach(so => b = b.heckmanSelection(
+            so, opts.getOrElse("selection-predictors", "").split(',')
+              .filter(_.nonEmpty).toIndexedSeq: _*))
+          val res =
+            if (opts.getOrElse("analysis-type", "mean") == "quantile")
+              b.decomposeQuantile(opts.getOrElse("quantiles", "0.5")
+                .split(',').head.toDouble)
+            else b.run()
+          println(Export.summary(res))
+          opts.get("output-json").foreach(p =>
+            Files.writeString(Paths.get(p), Export.toJson(res)))
+          opts.get("output-markdown").foreach(p =>
+            Files.writeString(Paths.get(p), Export.toMarkdown(res)))
+
+        case "akm" =>
+          val res = Akm.run(df, req("outcome"), req("worker-col"),
+            req("firm-col"),
+            opts.get("predictors").map(_.split(',').toSeq).getOrElse(Nil))
+          println(s"AKM: beta=${res.beta} r2=${res.r2} n=${res.nObs}")
+          res.firmEffects.show(20, truncate = false)
+
+        case "match" =>
+          val method = opts.getOrElse("matching-method", "euclidean") match {
+            case "euclidean" => Matching.Euclidean
+            case "mahalanobis" => Matching.Mahalanobis
+            case "psm" => Matching.Propensity
+            case other => sys.error(s"Unknown matching method '$other'")
+          }
+          val out = Matching.run(df, req("treatment"),
+            req("predictors").split(',').toSeq,
+            opts.getOrElse("k-neighbors", "1").toInt, method, req("id-col"))
+          out.select(req("id-col"), "__match_weight__").show(20)
+
+        case other => sys.error(s"Unknown analysis type '$other'")
+      }
+    } finally spark.stop()
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(a.drop(2)) = args(i + 1); i += 2
+        } else { m(a.drop(2)) = "true"; i += 1 }
+      } else i += 1
+    }
+    m.toMap
+  }
+}

@@ -1,0 +1,94 @@
+package graft.api
+
+import graft.decompose.{ComponentResult, OaxacaResults}
+
+/** Result export surfaces (S4-S6, `oaxaca_blinder/src/display.rs`):
+  * JSON, Markdown, LaTeX, and a console summary. */
+object Export {
+
+  private def fmt(x: Double): String =
+    if (x.isNaN) "null" else if (x.isInfinite) (if (x > 0) "1e308" else "-1e308")
+    else f"$x%.10g"
+
+  private def jsonComp(c: ComponentResult): String =
+    s"""{"name": "${c.name}", "estimate": ${fmt(c.estimate)}, """ +
+      s""""std_err": ${fmt(c.stdErr)}, "t_stat": ${fmt(c.tStat)}, """ +
+      s""""p_value": ${fmt(c.pValue)}, "ci_lower": ${fmt(c.ciLower)}, """ +
+      s""""ci_upper": ${fmt(c.ciUpper)}}"""
+
+  /** Pretty JSON with the reference's result shape (total gap, two-fold
+    * aggregate + detailed, three-fold aggregate, counts). */
+  def toJson(r: OaxacaResults): String = {
+    def arr(cs: Seq[ComponentResult]) =
+      cs.map(jsonComp).mkString("[", ",\n      ", "]")
+    s"""{
+       |  "total_gap": ${fmt(r.totalGap)},
+       |  "n_a": ${r.nA},
+       |  "n_b": ${r.nB},
+       |  "group_a": "${r.groupALevel}",
+       |  "group_b": "${r.groupBLevel}",
+       |  "two_fold": {
+       |    "aggregate": ${arr(r.twoFold)},
+       |    "detailed_explained": ${arr(r.detailedExplained)},
+       |    "detailed_unexplained": ${arr(r.detailedUnexplained)},
+       |    "detailed_selection": ${arr(r.detailedSelection)}
+       |  },
+       |  "three_fold": {
+       |    "aggregate": ${arr(r.threeFold)}
+       |  }
+       |}""".stripMargin
+  }
+
+  /** Markdown table (`display.rs:115-132`). */
+  def toMarkdown(r: OaxacaResults): String = {
+    val sb = new StringBuilder
+    sb.append("### Oaxaca-Blinder Decomposition Results\n\n")
+    sb.append("| Component | Estimate | Std. Err. | p-value | 95% CI |\n")
+    sb.append("|---|---|---|---|---|\n")
+    r.twoFold.foreach { c =>
+      sb.append(f"| ${c.name} | ${c.estimate}%.4f | ${c.stdErr}%.4f | " +
+        f"${c.pValue}%.4f | [${c.ciLower}%.3f, ${c.ciUpper}%.3f] |\n")
+    }
+    sb.toString
+  }
+
+  /** LaTeX table (`display.rs:84-113`). */
+  def toLatex(r: OaxacaResults): String = {
+    val sb = new StringBuilder
+    sb.append("\\begin{table}[ht]\n\\centering\n\\begin{tabular}{lcccc}\n\\hline\n")
+    sb.append("Component & Estimate & Std. Err. & p-value & 95\\% CI \\\\\n\\hline\n")
+    sb.append("\\multicolumn{5}{l}{\\textit{Two-Fold Decomposition}} \\\\\n")
+    r.twoFold.foreach { c =>
+      sb.append(f"${c.name} & ${c.estimate}%.4f & ${c.stdErr}%.4f & " +
+        f"${c.pValue}%.4f & [${c.ciLower}%.3f, ${c.ciUpper}%.3f] \\\\\n")
+    }
+    sb.append("\\hline\n\\end{tabular}\n")
+    sb.append("\\caption{Oaxaca-Blinder Decomposition Results}\n")
+    sb.append("\\label{tab:oaxaca_results}\n\\end{table}\n")
+    sb.toString
+  }
+
+  /** Console summary (`display.rs:7-79`). */
+  def summary(r: OaxacaResults): String = {
+    val sb = new StringBuilder
+    sb.append("=== Oaxaca-Blinder Decomposition ===\n")
+    sb.append(f"Total gap (${r.groupALevel} - ${r.groupBLevel}): ${r.totalGap}%.6f   ")
+    sb.append(s"n_a=${r.nA} n_b=${r.nB}\n\n")
+    def block(title: String, cs: Seq[ComponentResult]): Unit = if (cs.nonEmpty) {
+      sb.append(title + "\n")
+      sb.append(f"${"component"}%-22s ${"estimate"}%12s ${"std_err"}%12s " +
+        f"${"p_value"}%9s ${"ci_lower"}%12s ${"ci_upper"}%12s\n")
+      cs.foreach { c =>
+        sb.append(f"${c.name}%-22s ${c.estimate}%12.4f ${c.stdErr}%12.4f " +
+          f"${c.pValue}%9.4f ${c.ciLower}%12.4f ${c.ciUpper}%12.4f\n")
+      }
+      sb.append("\n")
+    }
+    block("Two-fold decomposition:", r.twoFold)
+    block("Three-fold decomposition:", r.threeFold)
+    block("Detailed (explained):", r.detailedExplained)
+    block("Detailed (unexplained):", r.detailedUnexplained)
+    block("Detailed (selection):", r.detailedSelection)
+    sb.toString
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.{Export, Formula, OaxacaBuilder}
+import graft.core.InvalidGroupVariable
+
+/** Formula grammar (`formula.rs` tests), builder API and export shapes
+  * (`export_test.rs` smoke). */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("formula parses predictors and C()/factor() categoricals") {
+    val f = Formula.parse("wage ~ education + experience + C(sector) + factor(region)")
+    assert(f.outcome == "wage")
+    assert(f.predictors == Seq("education", "experience"))
+    assert(f.categoricalPredictors == Seq("sector", "region"))
+    assertThrows[InvalidGroupVariable](Formula.parse("no tilde here"))
+    assertThrows[InvalidGroupVariable](Formula.parse(" ~ x"))
+    assertThrows[InvalidGroupVariable](Formula.parse("y ~ "))
+  }
+
+  private def df = Seq(
+    (10.0, 12.0, "F", "A"), (12.0, 16.0, "F", "B"), (11.0, 14.0, "F", "A"),
+    (13.0, 16.0, "F", "B"), (15.0, 18.0, "F", "A"), (20.0, 12.0, "M", "B"),
+    (22.0, 16.0, "M", "A"), (21.0, 14.0, "M", "B"), (23.0, 16.0, "M", "A"),
+    (25.0, 18.0, "M", "B")
+  ).toDF("wage", "education", "gender", "sector")
+
+  test("builder with formula reproduces the explicit-config run") {
+    val viaFormula = OaxacaBuilder(df, "wage", "gender", "F")
+      .formula("wage ~ education + C(sector)").bootstrapReps(0).run()
+    val explicit = OaxacaBuilder(df, "wage", "gender", "F")
+      .predictors("education").categoricalPredictors("sector")
+      .bootstrapReps(0).run()
+    assert(viaFormula.totalGap == explicit.totalGap)
+    assert(viaFormula.twoFold.map(_.estimate) == explicit.twoFold.map(_.estimate))
+  }
+
+  test("export formats contain the expected sections (export_test.rs)") {
+    val res = OaxacaBuilder(df, "wage", "gender", "F")
+      .predictors("education").bootstrapReps(3).run()
+    val json = Export.toJson(res)
+    assert(json.contains("\"total_gap\""))
+    assert(json.contains("\"two_fold\""))
+    assert(json.contains("\"detailed_explained\""))
+    // JSON must be parseable (driver-side check uses strict parsers)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(json)
+    assert(math.abs(tree.get("total_gap").asDouble() - res.totalGap) < 1e-9)
+    assert(tree.get("n_a").asLong() == 5L)
+
+    val md = Export.toMarkdown(res)
+    assert(md.contains("| Component |") && md.contains("| explained |"))
+    val tex = Export.toLatex(res)
+    assert(tex.contains("\\begin{table}") && tex.contains("Two-Fold"))
+    val sum = Export.summary(res)
+    assert(sum.contains("Total gap") && sum.contains("explained"))
+  }
+
+  test("CSV round-trip ingest (S1/S3) preserves the analysis") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val b = OaxacaBuilder.fromCsv(spark, dir, "wage", "gender", "F")
+      .predictors("education").bootstrapReps(0)
+    val res = b.run()
+    assert(math.abs(res.totalGap - 10.0) < 1e-9)
+  }
+}
