@@ -136,9 +136,15 @@ object Gram {
       seed: Long): Array[Array[GramResult]] = {
     val k = xCols.size
     val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    // Poisson replicate seeding hashes ONLY the model columns (content
+    // hash over y/w/x), so column pruning still reaches the scan; with
+    // reps == 0 no hash is computed at all.
+    val rowHash =
+      if (reps == 0) lit(0L)
+      else xxhash64((col(yCol) +: wCol.map(col).toSeq ++: xCols.map(col)): _*)
     val proj = df.select(
       (col(yCol).cast("double") +: w +: laneOf.cast("int").as("__lane__") +:
-        xxhash64(df.columns.map(col).toIndexedSeq: _*) +:
+        rowHash +:
         xCols.map(c => col(c).cast("double"))): _*)
     val repsTotal = reps + 1
     val zero = new GramBuffer(k, nLanes, repsTotal)

@@ -226,7 +226,9 @@ object Oaxaca {
     val names = names0 :+ "IMR"
     val selNames = "intercept" +: cfg.selectionPredictors
 
-    val hashCol = xxhash64(dummied.columns.map(col).toIndexedSeq: _*)
+    // content hash over the model columns only (keeps column pruning)
+    val hashCol = xxhash64((col(cfg.outcome) +: col(cfg.group) +:
+      (xCols ++ selX).distinct.map(col)): _*)
     val pois = udf((h: Long, s: Long) => Gram.poisson1(Gram.mix(h, s)))
 
     def pass(rep: Int): SinglePass = {
