@@ -431,6 +431,28 @@ object Queries {
         StructField("is_significant", BooleanType)))).orderBy("step")
     }),
 
+    "q_g1_decompose" -> ((s, d) => {
+      val res = Equity.decompose(t(s, d, "lineitem"), equityCfg,
+        bootstrapReps = 0)
+      val rows = Seq(Row(
+        r6d(res.totalGap), r6d(res.explainedGap), r6d(res.unexplainedGap),
+        r6d(res.explainedPercentage), r6d(res.unexplainedPercentage),
+        res.summary.totalCount, res.summary.groupACount,
+        res.summary.groupBCount, r6d(res.summary.groupAMean),
+        r6d(res.summary.groupBMean)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("total_gap", DoubleType),
+        StructField("explained_gap", DoubleType),
+        StructField("unexplained_gap", DoubleType),
+        StructField("explained_pct", DoubleType),
+        StructField("unexplained_pct", DoubleType),
+        StructField("total_count", LongType),
+        StructField("group_a_count", LongType),
+        StructField("group_b_count", LongType),
+        StructField("group_a_mean", DoubleType),
+        StructField("group_b_mean", DoubleType))))
+    }),
+
     // ---- budget optimizer (D15) ----
     "q_budget_greedy" -> ((s, d) => {
       val li = Prep.withIntercept(t(s, d, "lineitem"))
@@ -844,6 +866,42 @@ object Queries {
         |    / sqrt(2 * pi()) / (n.c * 0.02), 6) AS density
         |FROM grid, lineitem l, n
         |GROUP BY grid.idx, grid.g, n.c ORDER BY idx""".stripMargin,
+
+    "q_g1_decompose" ->
+      """WITH g AS (
+        |  SELECT l_linestatus AS lvl, avg(l_extendedprice) AS ybar,
+        |         avg(l_quantity) AS xbar, count(*) AS n
+        |  FROM lineitem GROUP BY 1
+        |), p AS (
+        |  SELECT count(*) AS n, sum(l_quantity) AS sx,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sd,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_quantity * CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sxd,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sdd,
+        |    sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_extendedprice) AS sxy,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0.0 END) AS sdy
+        |  FROM lineitem
+        |), beta AS (
+        |  SELECT
+        |    ((sxy - sx * sy / n) * (sdd - sd * sd / n) - (sdy - sd * sy / n) * (sxd - sx * sd / n))
+        |    / ((sxx - sx * sx / n) * (sdd - sd * sd / n) - (sxd - sx * sd / n) * (sxd - sx * sd / n))
+        |      AS slope_star
+        |  FROM p
+        |), comp AS (
+        |  SELECT a.ybar - b.ybar AS total_gap,
+        |    (a.xbar - b.xbar) * beta.slope_star AS explained,
+        |    a.n AS n_o, b.n AS n_f, a.ybar AS mean_o, b.ybar AS mean_f
+        |  FROM g a, g b, beta WHERE a.lvl = 'O' AND b.lvl = 'F'
+        |)
+        |SELECT round(total_gap, 6) AS total_gap,
+        |  round(explained, 6) AS explained_gap,
+        |  round(total_gap - explained, 6) AS unexplained_gap,
+        |  round(explained / total_gap * 100.0, 6) AS explained_pct,
+        |  round((total_gap - explained) / total_gap * 100.0, 6) AS unexplained_pct,
+        |  n_o + n_f AS total_count, n_f AS group_a_count, n_o AS group_b_count,
+        |  round(mean_f, 6) AS group_a_mean, round(mean_o, 6) AS group_b_mean
+        |FROM comp""".stripMargin,
 
     "q_budget_greedy" -> (gRegCte +
       """, resid AS (

@@ -321,6 +321,70 @@ object Equity {
       .orderBy(col(idCol))
   }
 
+  /** G1 `decompose_inner` result (`engine/src/analysis.rs:98-307`):
+    * summary stats, percentages of total, optional three-fold /
+    * single-quantile (Machado-Mata) modes. The summary's "group A" is
+    * the REFERENCE group, mirroring the engine's naming flip. */
+  final case class DecompositionSummary(
+      totalCount: Long, groupACount: Long, groupBCount: Long,
+      groupAMean: Double, groupBMean: Double)
+
+  final case class DecompositionResult(
+      totalGap: Double, explainedGap: Double, unexplainedGap: Double,
+      interactionGap: Option[Double],
+      explainedPercentage: Double, unexplainedPercentage: Double,
+      interactionPercentage: Option[Double],
+      detailedExplained: Seq[graft.decompose.ComponentResult],
+      detailedUnexplained: Seq[graft.decompose.ComponentResult],
+      summary: DecompositionSummary,
+      unexplainedStandardError: Option[Double])
+
+  def decompose(df: DataFrame, cfg: EquityConfig,
+      refCoefficients: RefCoefficients = RefCoefficients.Pooled,
+      bootstrapReps: Int = 100, threeFold: Boolean = false,
+      quantile: Option[Double] = None, seed: Long = 42L): DecompositionResult = {
+    val g = col(cfg.group).cast("string")
+    val y = col(cfg.outcome).cast("double")
+    val sums = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(g === cfg.reference, 1L).otherwise(0L)).as("na"),
+      avg(when(g === cfg.reference, y)).as("ma"),
+      avg(when(g =!= cfg.reference, y)).as("mb")).head()
+    val summary = DecompositionSummary(sums.getLong(0), sums.getLong(1),
+      sums.getLong(0) - sums.getLong(1), sums.getDouble(2), sums.getDouble(3))
+
+    val (total, explained, unexplained, interaction, dExp, dUnexp, se) =
+      quantile match {
+        case Some(q) =>
+          val mm = graft.decompose.MachadoMata.run(df,
+            graft.decompose.MmConfig(cfg.outcome, cfg.group, cfg.reference,
+              cfg.predictors, cfg.categorical, quantiles = Seq(q),
+              bootstrapReps = bootstrapReps, seed = seed))
+          val e = mm.effects.head._2
+          (e("gap").estimate, e("characteristics").estimate,
+            e("coefficients").estimate, None, Nil, Nil, None)
+        case None =>
+          val res = Oaxaca.run(df, OaxacaConfig(cfg.outcome, cfg.group,
+            cfg.reference, cfg.predictors, cfg.categorical,
+            refCoefficients = refCoefficients, bootstrapReps = bootstrapReps,
+            seed = seed))
+          if (threeFold) {
+            val m = res.threeFold.map(c => c.name -> c.estimate).toMap
+            (res.totalGap, m("endowments"), m("coefficients"),
+              Some(m("interaction")), Nil, Nil, None)
+          } else {
+            val unex = res.twoFold.find(_.name == "unexplained").get
+            (res.totalGap,
+              res.twoFold.find(_.name == "explained").get.estimate,
+              unex.estimate, None, res.detailedExplained,
+              res.detailedUnexplained, Some(unex.stdErr))
+          }
+      }
+    DecompositionResult(total, explained, unexplained, interaction,
+      explained / total * 100.0, unexplained / total * 100.0,
+      interaction.map(_ / total * 100.0), dExp, dUnexp, summary, se)
+  }
+
   /** G1 `decompose_inner` summary block (`analysis.rs:102-140`): group
     * counts and outcome means. */
   def groupSummary(df: DataFrame, cfg: EquityConfig): DataFrame =

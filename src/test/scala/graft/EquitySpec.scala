@@ -127,6 +127,24 @@ class EquitySpec extends SparkSpec {
     assert(pts.last.pValue >= pts.head.pValue - 1e-9)
   }
 
+  test("G1 decompose: summary counts, percentages, quantile mode (F11)") {
+    val res = Equity.decompose(f11, f11cfg, bootstrapReps = 5)
+    assert(res.summary.totalCount == 160)
+    assert(res.summary.groupACount == 80 && res.summary.groupBCount == 80)
+    // percentages of total sum to 100 in two-fold mode
+    assert(math.abs(res.explainedPercentage + res.unexplainedPercentage - 100.0) < 1e-9)
+    assert(res.detailedExplained.nonEmpty)
+    assert(res.unexplainedStandardError.isDefined)
+    // quantile mode: detailed components are empty (engine parity)
+    val q = Equity.decompose(f11, f11cfg, bootstrapReps = 2,
+      quantile = Some(0.5))
+    assert(q.detailedExplained.isEmpty && q.detailedUnexplained.isEmpty)
+    assert(math.abs(q.explainedGap + q.unexplainedGap - q.totalGap) < 1e-9)
+    // three-fold mode exposes the interaction term
+    val tf = Equity.decompose(f11, f11cfg, bootstrapReps = 2, threeFold = true)
+    assert(tf.interactionGap.isDefined && tf.interactionPercentage.isDefined)
+  }
+
   test("defensibility: funded adjustments are defensible") {
     val res = Equity.optimize(f11, f11cfg, "id")
     val out = Equity.checkDefensibility(f11,
