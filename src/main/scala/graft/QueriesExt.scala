@@ -119,7 +119,15 @@ object QueriesExt {
         .select(col("window_start"), col("event_type"), col("n_events"),
           r6(col("sum_value")).as("sum_value"),
           r6(col("avg_value")).as("avg_value"))
-        .orderBy(col("window_start"), col("event_type")))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "q_sessions" -> ((s, d) =>
+      Streams.sessionCounts(events(s, d), gap = "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id")))
   )
 
   // ---------------------------------------------------------------------
@@ -294,6 +302,27 @@ object QueriesExt {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
         |  round(avg(value), 6) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gaps-and-islands session equivalent of session_window(ts, 30 min):
+    // a new session starts when the gap from the previous event is >= 30
+    // minutes (session_window merges events with gap < gap duration)
+    "q_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |), per AS (
+        |  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+        |  max(n) AS max_session_events
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

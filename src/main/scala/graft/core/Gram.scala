@@ -133,20 +133,23 @@ object Gram {
     */
   def computeGrouped(df: DataFrame, yCol: String, xCols: Seq[String],
       wCol: Option[String], laneOf: Column, nLanes: Int, reps: Int,
-      seed: Long): Array[Array[GramResult]] = {
+      seed: Long, repWeightCols: Seq[String] = Nil): Array[Array[GramResult]] = {
     val k = xCols.size
     val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val externalReps = repWeightCols.nonEmpty
+    val nReps = if (externalReps) repWeightCols.size else reps
     // Poisson replicate seeding hashes ONLY the model columns (content
     // hash over y/w/x), so column pruning still reaches the scan; with
-    // reps == 0 no hash is computed at all.
+    // reps == 0 (or external replicate weights) no hash is computed.
     val rowHash =
-      if (reps == 0) lit(0L)
+      if (nReps == 0 || externalReps) lit(0L)
       else xxhash64((col(yCol) +: wCol.map(col).toSeq ++: xCols.map(col)): _*)
     val proj = df.select(
       (col(yCol).cast("double") +: w +: laneOf.cast("int").as("__lane__") +:
         rowHash +:
-        xCols.map(c => col(c).cast("double"))): _*)
-    val repsTotal = reps + 1
+        (xCols.map(c => col(c).cast("double")) ++
+          repWeightCols.map(c => col(c).cast("double")))): _*)
+    val repsTotal = nReps + 1
     val zero = new GramBuffer(k, nLanes, repsTotal)
     val res = proj.rdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
@@ -159,12 +162,17 @@ object Gram {
           var i = 0
           while (i < k) { x(i) = row.getDouble(4 + i); i += 1 }
           val mult =
-            if (reps == 0) oneRep
+            if (nReps == 0) oneRep
             else {
               val m = new Array[Double](repsTotal)
               m(0) = 1.0
               var r = 1
-              while (r < repsTotal) { m(r) = poisson1(mix(rh, seed + r.toLong)); r += 1 }
+              while (r < repsTotal) {
+                m(r) =
+                  if (externalReps) row.getDouble(4 + k + (r - 1))
+                  else poisson1(mix(rh, seed + r.toLong))
+                r += 1
+              }
               m
             }
           buf.add(lane, y, wv, x, mult)

@@ -103,6 +103,17 @@ final case class OaxacaResults(
   }
 }
 
+/** Bootstrap resampling semantics: Poissonized weights (one scan for all
+  * replicates — the 100 TB path) or the reference's exact per-group
+  * multinomial with-replacement draw (count vectors are generated on the
+  * driver, O(reps * n) memory — test/small-scale fidelity mode,
+  * `oaxaca_blinder/src/builder.rs:822-827`). */
+sealed trait BootstrapMode
+object BootstrapMode {
+  case object Poisson extends BootstrapMode
+  case object Multinomial extends BootstrapMode
+}
+
 /** Configuration (the fluent-builder surface of
   * `oaxaca_blinder/src/builder.rs:165-246`). */
 final case class OaxacaConfig(
@@ -117,7 +128,8 @@ final case class OaxacaConfig(
     bootstrapReps: Int = 20,
     seed: Long = 42L,
     selectionOutcome: Option[String] = None,
-    selectionPredictors: Seq[String] = Nil)
+    selectionPredictors: Seq[String] = Nil,
+    bootstrapMode: BootstrapMode = BootstrapMode.Poisson)
 
 /** Distributed Oaxaca–Blinder mean decomposition (SURVEY §2.4 D1–D10).
   *
@@ -145,9 +157,14 @@ object Oaxaca {
     if (cfg.selectionOutcome.isDefined)
       return runHeckman(dummied, split, xCols, names, cfg)
 
-    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, cfg.weights,
+    val (gramInput, repWeightCols) = cfg.bootstrapMode match {
+      case BootstrapMode.Multinomial if cfg.bootstrapReps > 0 =>
+        multinomialWeights(dummied, split, xCols, cfg)
+      case _ => (dummied, Seq.empty[String])
+    }
+    val lanes = Gram.computeGrouped(gramInput, cfg.outcome, xCols, cfg.weights,
       Prep.laneOf(split, cfg.group), nLanes = 2, reps = cfg.bootstrapReps,
-      seed = cfg.seed)
+      seed = cfg.seed, repWeightCols = repWeightCols)
     val gramsA = lanes(0)
     val gramsB = lanes(1)
     if (gramsA(0).n == 0 || gramsB(0).n == 0)
@@ -302,6 +319,73 @@ object Oaxaca {
       Try(pass(r)).toOption)
     assemble(point, repPasses, cfg.bootstrapReps,
       split.dfA.count(), split.dfB.count(), split.levelA, split.levelB, names)
+  }
+
+  /** Exact per-group multinomial replicate weights: rows get a stable
+    * within-group index; seeded count vectors are drawn on the driver
+    * and joined back as one weight column per replicate. */
+  private def multinomialWeights(dummied: DataFrame, split: Prep.GroupSplit,
+      xCols: Seq[String], cfg: OaxacaConfig): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = dummied.sparkSession
+    val reps = cfg.bootstrapReps
+    val g = col(cfg.group).cast("string")
+    val orderCols = (col(cfg.outcome) +: xCols.map(col)) :+ g
+    val withIdx = dummied.withColumn("__bi__",
+      row_number().over(Window.partitionBy(g).orderBy(orderCols: _*)) - 1)
+    val sizes = withIdx.groupBy(g.as("__g__")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wCols = (1 to reps).map(r => s"__mw_$r")
+    val rows = sizes.toSeq.sortBy(_._1).flatMap { case (lvl, nL) =>
+      val n = nL.toInt
+      val counts = Array.ofDim[Int](reps, n)
+      for (r <- 0 until reps) {
+        val rng = new scala.util.Random(
+          Gram.mix(cfg.seed, lvl.hashCode.toLong * 1000003L + r + 1))
+        var i = 0
+        while (i < n) { counts(r)(rng.nextInt(n)) += 1; i += 1 }
+      }
+      (0 until n).map(i => org.apache.spark.sql.Row.fromSeq(
+        lvl +: i +: (0 until reps).map(r => counts(r)(i).toDouble)))
+    }
+    val schema = StructType(
+      StructField("__g__", StringType) +: StructField("__bj__", IntegerType) +:
+        wCols.map(c => StructField(c, DoubleType)))
+    val wdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(rows.size / 100000, 1)), schema)
+    (withIdx.join(wdf,
+      g === wdf("__g__") && col("__bi__") === wdf("__bj__"))
+      .drop("__g__", "__bj__"),
+      wCols)
+  }
+
+  /** Group-B model residuals y - x'beta_B from the RAW (pre-Yun) fit —
+    * what `OaxacaResults.residuals` feeds into the budget optimizer
+    * (`builder.rs:932-950`, `types.rs:98-156`). */
+  def groupBResiduals(df: DataFrame, cfg: OaxacaConfig,
+      residualCol: String = "residual"): DataFrame = {
+    val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++
+      cfg.categorical ++ cfg.weights.toSeq
+    val cleaned = Prep.clean(df, modelCols.distinct)
+    val (dummied0, dummyInfos) = Prep.oneHot(cleaned, cfg.categorical)
+    val dummied = Prep.withIntercept(dummied0)
+    val xCols = Prep.designCols(cfg.predictors, dummyInfos)
+    val split = Prep.splitGroups(dummied, cfg.group, cfg.reference)
+    val g = Gram.compute(split.dfB, cfg.outcome, xCols, cfg.weights)
+    val fitB = Ols.fromGram(g, xCols)
+    split.dfB.withColumn(residualCol,
+      Ols.residualCol(cfg.outcome, xCols, fitB.beta))
+  }
+
+  /** `results.optimize_budget(budget, target)` convenience: greedy raises
+    * over the most negative group-B residuals (D15). */
+  def optimizeBudget(df: DataFrame, cfg: OaxacaConfig, results: OaxacaResults,
+      budget: Double, targetGap: Double,
+      tieBreak: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val dfB = groupBResiduals(df, cfg)
+    BudgetOptimizer.optimize(dfB, "residual", tieBreak, results.totalGap,
+      results.nB, budget, targetGap)
   }
 
   /** All driver-side math for one (possibly reweighted) replicate:

@@ -123,6 +123,66 @@ class OaxacaSpec extends SparkSpec {
     assert(math.abs(fit.sigma2) < 1e-9)
   }
 
+  test("VIF golden values (diagnostics.rs)") {
+    val df = Seq((1.0, 2.0, 1.0), (2.0, 3.0, 5.0), (3.0, 1.0, 2.0),
+      (4.0, 5.0, 4.0), (5.0, 4.0, 3.0)).toDF("x1", "x2", "x3")
+    val vifs = graft.estimators.Vif.compute(df, Seq("x1", "x2", "x3")).toMap
+    assert(math.abs(vifs("x1") - 1.5763546798) < 1e-6)
+    assert(math.abs(vifs("x2") - 2.2413793103) < 1e-6)
+    assert(math.abs(vifs("x3") - 1.5763546798) < 1e-6)
+    // perfect multicollinearity -> infinity
+    val dfc = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 1.0), (3.0, 6.0, 2.0),
+      (4.0, 8.0, 2.0), (5.0, 10.0, 3.0)).toDF("x1", "x2", "x3")
+    val vc = graft.estimators.Vif.compute(dfc, Seq("x1", "x2", "x3")).toMap
+    assert(vc("x1").isInfinity)
+    // < 2 predictors rejected
+    assertThrows[graft.core.DiagnosticError] {
+      graft.estimators.Vif.compute(df, Seq("x1"))
+    }
+  }
+
+  test("multinomial (exact) bootstrap mode produces sane SEs too") {
+    val n = 500
+    val rng = new scala.util.Random(19)
+    val rows = (0 until n).map { i =>
+      val g = if (i % 2 == 0) "A" else "B"
+      val x = rng.nextDouble() * 10
+      ((if (g == "A") 5.0 else 2.0) + 1.5 * x + rng.nextGaussian(), x, g)
+    }
+    val df = rows.toDF("y", "x", "g")
+    val exact = Oaxaca.run(df, OaxacaConfig("y", "g", "B",
+      predictors = Seq("x"), bootstrapReps = 30, seed = 4L,
+      bootstrapMode = BootstrapMode.Multinomial))
+    val pois = Oaxaca.run(df, OaxacaConfig("y", "g", "B",
+      predictors = Seq("x"), bootstrapReps = 30, seed = 4L))
+    // identical point estimates (up to summation-order float noise from
+    // the weight join's row reordering); SEs agree within sampling noise
+    assert(math.abs(exact.totalGap - pois.totalGap) < 1e-9)
+    val seE = exact.twoFold.find(_.name == "unexplained").get.stdErr
+    val seP = pois.twoFold.find(_.name == "unexplained").get.stdErr
+    assert(seE > 0 && seP > 0)
+    assert(seE / seP > 0.4 && seE / seP < 2.5, s"seE=$seE seP=$seP")
+    // exact mode: every replicate preserves the group sizes, so the
+    // per-rep gap estimates never drop a group
+    assert(exact.twoFold.forall(c => !c.estimate.isNaN))
+  }
+
+  test("optimizeBudget on results mirrors D15 (types.rs)") {
+    val df = Seq(
+      (30.0, 10.0, "A"), (32.0, 12.0, "A"), (34.0, 14.0, "A"),
+      (10.0, 10.0, "B"), (15.0, 10.0, "B"), (20.0, 10.0, "B"),
+      (12.0, 12.0, "B"), (17.0, 12.0, "B"), (22.0, 12.0, "B")
+    ).toDF("wage", "education", "group")
+    val cfg = OaxacaConfig("wage", "group", "B",
+      predictors = Seq("education"), bootstrapReps = 0)
+    val res = Oaxaca.run(df, cfg)
+    val adj = Oaxaca.optimizeBudget(df, cfg, res, budget = 5.0,
+      targetGap = 10.0, tieBreak = Seq(org.apache.spark.sql.functions.col("wage")))
+      .collect()
+    assert(adj.length == 1)
+    assert(math.abs(adj(0).getAs[Double]("adjustment") - 5.0) < 1e-9)
+  }
+
   test("bootstrap SE is produced and reasonable on a bigger sample") {
     val n = 2000
     val rng = new scala.util.Random(7)
