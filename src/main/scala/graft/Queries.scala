@@ -95,6 +95,31 @@ object Queries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
 
+    "q_union" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.filter(col("l_linestatus") === "F")
+        .unionByName(li.filter(col("l_linestatus") === "O"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r6(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- data-prep / stats layer (P1-P10, E8) ----
     "q_group_means" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
@@ -385,8 +410,10 @@ object Queries {
       val li = t(s, d, "lineitem")
         .withColumn("worker", concat(lit("w"), pmod(col("l_suppkey"), lit(200))))
         .withColumn("firm", concat(lit("f"), pmod(col("l_partkey"), lit(50))))
+      // 1e-6 tolerance: effects are reported at 6 decimals, and the
+      // zig-zag/FE loops converge linearly — halves the iteration count
       val res = Akm.run(li, "l_extendedprice", "worker", "firm",
-        Seq("l_quantity"), tolerance = 1e-8, maxIters = 1000)
+        Seq("l_quantity"), tolerance = 1e-6, maxIters = 1000)
       res.firmEffects
         .select(col("firm"), r6(col("effect")).as("effect"))
         .withColumn("beta_x", lit(r6d(res.beta(0))))
@@ -579,6 +606,23 @@ object Queries {
     "q_top_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_union" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+        |FROM (
+        |  SELECT * FROM lineitem WHERE l_linestatus = 'F'
+        |  UNION ALL SELECT * FROM lineitem WHERE l_linestatus = 'O'
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_with_orders FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_without_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_group_means" ->
       """SELECT l_returnflag,
