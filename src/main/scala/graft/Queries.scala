@@ -73,8 +73,8 @@ object Queries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           r6(sum(col("l_quantity"))).as("sum_qty"),
-          r6(sum(col("l_extendedprice"))).as("sum_price"),
-          r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           r6(avg(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -84,7 +84,7 @@ object Queries {
       val cust = t(s, d, "customer")
       orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(r6(sum(col("o_totalprice"))).as("revenue"),
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
@@ -458,6 +458,38 @@ object Queries {
         StructField("is_significant", BooleanType)))).orderBy("step")
     }),
 
+    "q_decomp_groupa" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"),
+        decompCfg.copy(refCoefficients = RefCoefficients.GroupA))
+      oneRow(s,
+        Seq("total_gap", "explained", "unexplained"),
+        Seq(res.totalGap,
+          res.twoFold.find(_.name == "explained").get.estimate,
+          res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
+    "q_decomp_cotton" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"),
+        decompCfg.copy(refCoefficients = RefCoefficients.Cotton))
+      oneRow(s,
+        Seq("total_gap", "explained", "unexplained"),
+        Seq(res.totalGap,
+          res.twoFold.find(_.name == "explained").get.estimate,
+          res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
+    "q_wls_decomp" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"),
+        OaxacaConfig("l_extendedprice", "l_linestatus", "F",
+          predictors = Seq("l_discount"), weights = Some("l_quantity"),
+          bootstrapReps = 0))
+      oneRow(s,
+        Seq("total_gap", "explained", "unexplained"),
+        Seq(res.totalGap,
+          res.twoFold.find(_.name == "explained").get.estimate,
+          res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
     "q_g1_decompose" -> ((s, d) => {
       val res = Equity.decompose(t(s, d, "lineitem"), equityCfg,
         bootstrapReps = 0)
@@ -590,15 +622,15 @@ object Queries {
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 6) AS sum_qty,
-        |  round(sum(l_extendedprice), 6) AS sum_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_mktseg_revenue" ->
       """SELECT c_mktsegment,
-        |  round(sum(o_totalprice), 6) AS revenue,
+        |  round(sum(o_totalprice), 2) AS revenue,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -910,6 +942,42 @@ object Queries {
         |    / sqrt(2 * pi()) / (n.c * 0.02), 6) AS density
         |FROM grid, lineitem l, n
         |GROUP BY grid.idx, grid.g, n.c ORDER BY idx""".stripMargin,
+
+    "q_decomp_groupa" -> (gRegCte +
+      """
+        |SELECT round(a.ybar - b.ybar, 6) AS total_gap,
+        |  round((a.xbar - b.xbar) * a.slope, 6) AS explained,
+        |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * a.slope, 6) AS unexplained
+        |FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin),
+
+    "q_decomp_cotton" -> (gRegCte +
+      """
+        |SELECT round(a.ybar - b.ybar, 6) AS total_gap,
+        |  round((a.xbar - b.xbar)
+        |    * (a.slope * a.n / (a.n + b.n) + b.slope * b.n / (a.n + b.n)), 6)
+        |    AS explained,
+        |  round((a.ybar - b.ybar) - (a.xbar - b.xbar)
+        |    * (a.slope * a.n / (a.n + b.n) + b.slope * b.n / (a.n + b.n)), 6)
+        |    AS unexplained
+        |FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin),
+
+    "q_wls_decomp" ->
+      """WITH s AS (
+        |  SELECT l_linestatus AS lvl, sum(l_quantity) AS sw,
+        |    sum(l_quantity * l_discount) AS swx,
+        |    sum(l_quantity * l_extendedprice) AS swy,
+        |    sum(l_quantity * l_discount * l_discount) AS swxx,
+        |    sum(l_quantity * l_discount * l_extendedprice) AS swxy
+        |  FROM lineitem GROUP BY 1
+        |), g AS (
+        |  SELECT lvl, swy / sw AS ybar, swx / sw AS xbar,
+        |    (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS slope
+        |  FROM s
+        |)
+        |SELECT round(a.ybar - b.ybar, 6) AS total_gap,
+        |  round((a.xbar - b.xbar) * b.slope, 6) AS explained,
+        |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * b.slope, 6) AS unexplained
+        |FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin,
 
     "q_g1_decompose" ->
       """WITH g AS (

@@ -117,9 +117,18 @@ object QueriesExt {
     "q_events_window" -> ((s, d) =>
       Streams.windowedEventStats(events(s, d))
         .select(col("window_start"), col("event_type"), col("n_events"),
-          r6(col("sum_value")).as("sum_value"),
-          r6(col("avg_value")).as("avg_value"))
+          round(col("sum_value"), 2).as("sum_value"),
+          // avg derived from the ROUNDED sum: both engines then divide
+          // bit-identical doubles, so no rounding-boundary races
+          round(round(col("sum_value"), 2) / col("n_events"), 6).as("avg_value"))
         .orderBy(col("window_start"), col("event_type"))),
+
+    "q_events_gap" -> ((s, d) =>
+      Streams.windowedGroupGap(events(s, d), "event_type", "click", "view",
+          "value")
+        .select(col("window_start"), round(col("gap"), 4).as("gap"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("window_start"))),
 
     "q_sessions" -> ((s, d) =>
       Streams.sessionCounts(events(s, d), gap = "30 minutes")
@@ -300,9 +309,17 @@ object QueriesExt {
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
-        |  round(avg(value), 6) AS avg_value
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |  round(round(sum(value), 2) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_gap" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  round(avg(CASE WHEN event_type = 'click' THEN value END)
+        |    - avg(CASE WHEN event_type = 'view' THEN value END), 4) AS gap,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // gaps-and-islands session equivalent of session_window(ts, 30 min):
     // a new session starts when the gap from the previous event is >= 30
@@ -321,8 +338,8 @@ object QueriesExt {
         |), per AS (
         |  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2
         |)
-        |SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
-        |  max(n) AS max_session_events
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
         |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -26,6 +26,27 @@ object Streams {
         col("n_events"), col("sum_value"), col("avg_value"))
   }
 
+  /** Streaming analog of the D8 total gap: per event-time window, the
+    * difference in mean value between two levels of a group column.
+    * Conditional aggregates are append-safe, so the same decomposition
+    * headline metric runs continuously over a stream. */
+  def windowedGroupGap(events: DataFrame, groupCol: String, levelA: String,
+      levelB: String, valueCol: String, windowLength: String = "1 hour",
+      watermark: String = "2 hours", streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    val g = col(groupCol).cast("string")
+    val v = col(valueCol).cast("double")
+    src.groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(
+        avg(when(g === levelA, v)).as("mean_a"),
+        avg(when(g === levelB, v)).as("mean_b"),
+        sum(when(g === levelA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(g === levelB, 1L).otherwise(0L)).as("n_b"))
+      .select(col("w.start").as("window_start"),
+        (col("mean_a") - col("mean_b")).as("gap"),
+        col("mean_a"), col("mean_b"), col("n_a"), col("n_b"))
+  }
+
   /** Per-user session counts with a fixed gap encoded as a tumbling
     * session-window approximation (session_window is also available on
     * streams; this variant stays append-safe). */

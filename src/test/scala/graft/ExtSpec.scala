@@ -122,6 +122,34 @@ class ExtSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("streaming windowed group gap equals the batch gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val events = (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 45000L),
+        (i % 5).toLong, if (i % 3 == 0) "click" else "view",
+        (if (i % 3 == 0) 10.0 else 4.0) + i * 0.01)
+    }
+    val batchDf = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = Streams.windowedGroupGap(batchDf, "event_type", "click",
+      "view", "value").collect()
+      .map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.windowedGroupGap(sdf, "event_type", "click", "view",
+        "value", streaming = true)
+      .writeStream.format("memory").queryName("gapstats")
+      .outputMode("append").start()
+    stream.addData(events)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT window_start, gap FROM gapstats").collect()
+      .map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    q.stop()
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(math.abs(expected(k) - v) < 1e-12) }
+  }
+
   test("streaming windowed stats equal the batch computation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
