@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB box: the single JVM is executor + driver, so
+  // give it real headroom by default (overridable via SPARK_DRIVER_MEM)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

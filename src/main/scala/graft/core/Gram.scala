@@ -59,27 +59,35 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
     this
   }
 
-  /** Add one observation to `lane` with per-rep weight multipliers. */
+  // scratch for the per-row sufficient-statistic vector (outer product,
+  // x*y, 1, y, y^2); safe because treeAggregate applies seqOp serially
+  // per partition buffer
+  private val scratch = new Array[Double](stride)
+
+  /** Add one observation to `lane` with per-rep weight multipliers. The
+    * row's outer product is computed ONCE and scaled per replicate. */
   def add(lane: Int, y: Double, w: Double, x: Array[Double],
       repMult: Array[Double]): Unit = {
+    var idx = 0
+    var i = 0
+    while (i < k) {
+      val xi = x(i)
+      var j = i
+      while (j < k) { scratch(idx) = xi * x(j); idx += 1; j += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < k) { scratch(tri + i) = x(i) * y; i += 1 }
+    scratch(tri + k) = 1.0
+    scratch(tri + k + 1) = y
+    scratch(tri + k + 2) = y * y
     var r = 0
     while (r < repsTotal) {
       val wr = w * repMult(r)
       if (wr != 0.0) {
         val base = (lane * repsTotal + r) * stride
-        var idx = base
-        var i = 0
-        while (i < k) {
-          val wxi = wr * x(i)
-          var j = i
-          while (j < k) { acc(idx) += wxi * x(j); idx += 1; j += 1 }
-          i += 1
-        }
-        i = 0
-        while (i < k) { acc(base + tri + i) += wr * x(i) * y; i += 1 }
-        acc(base + tri + k) += wr
-        acc(base + tri + k + 1) += wr * y
-        acc(base + tri + k + 2) += wr * y * y
+        var s = 0
+        while (s < stride) { acc(base + s) += wr * scratch(s); s += 1 }
       }
       r += 1
     }

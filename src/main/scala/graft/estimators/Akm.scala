@@ -96,6 +96,15 @@ object Akm {
         }): _*).localCheckpoint()
     val nObs = obs.count()
 
+    // When the effect tables (one row per worker/firm) are small, force
+    // broadcast so each zig-zag iteration avoids reshuffling the full
+    // observation table; beyond the threshold fall back to shuffle joins.
+    val nWorkers = obs.select(col("w")).distinct().count()
+    val nFirms = obs.select(col("f")).distinct().count()
+    val bcastLimit = 2000000L
+    def maybeBroadcast(d: DataFrame, n: Long): DataFrame =
+      if (n <= bcastLimit) broadcast(d) else d
+
     // --- zig-zag demeaning of all vectors at once (`akm.rs:452-527`) ---
     var cur = obs
     var iter = 0
@@ -107,14 +116,14 @@ object Akm {
       val wMeans = withPrev.groupBy(col("w"))
         .agg(vecCols.map(c => avg(col(c)).as(s"${c}m")).head,
           vecCols.tail.map(c => avg(col(c)).as(s"${c}m")): _*)
-      val deW = withPrev.join(wMeans, "w")
+      val deW = withPrev.join(maybeBroadcast(wMeans, nWorkers), "w")
         .select((col("w") +: col("f") +:
           (vecCols.map(c => (col(c) - col(s"${c}m")).as(c)) ++
             vecCols.map(c => col(s"${c}p")))): _*)
       val fMeans = deW.groupBy(col("f"))
         .agg(vecCols.map(c => avg(col(c)).as(s"${c}m")).head,
           vecCols.tail.map(c => avg(col(c)).as(s"${c}m")): _*)
-      val deF = deW.join(fMeans, "f")
+      val deF = deW.join(maybeBroadcast(fMeans, nFirms), "f")
         .select((col("w") +: col("f") +:
           (vecCols.map(c => (col(c) - col(s"${c}m")).as(c)) ++
             vecCols.map(c => col(s"${c}p")))): _*)
@@ -157,13 +166,13 @@ object Akm {
     var feIter = 0
     while (feDiff > tol && feIter < maxIters) {
       feIter += 1
-      val aNew = withR.join(psi, "f").groupBy(col("w"))
+      val aNew = withR.join(maybeBroadcast(psi, nFirms), "f").groupBy(col("w"))
         .agg(avg(col("__r__") - col("__p__")).as("__a2__"))
       val aJ = alpha.join(aNew, "w")
         .select(col("w"), col("__a2__").as("__a__"),
           pow(col("__a2__") - col("__a__"), 2).as("__d__"))
         .localCheckpoint()
-      val pNew = withR.join(aJ.select(col("w"), col("__a__")), "w")
+      val pNew = withR.join(maybeBroadcast(aJ.select(col("w"), col("__a__")), nWorkers), "w")
         .groupBy(col("f")).agg(avg(col("__r__") - col("__a__")).as("__p2__"))
       val pJ = psi.join(pNew, "f")
         .select(col("f"), col("__p2__").as("__p__"),
@@ -185,7 +194,8 @@ object Akm {
     val alphaN = alpha.withColumn("__a__", col("__a__") + lit(refVal))
 
     // R^2
-    val pred = withR.join(alphaN, "w").join(psiN, "f")
+    val pred = withR.join(maybeBroadcast(alphaN, nWorkers), "w")
+      .join(maybeBroadcast(psiN, nFirms), "f")
       .withColumn("__pred__",
         (if (controls.isEmpty) lit(0.0)
          else vecCols.tail.zipWithIndex
