@@ -95,6 +95,29 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
     if (w < minW) minW = w
   }
 
+  /** Accumulate one observation into a single (lane, system) slot —
+    * used by the multi-system pass where each system carries its own
+    * response/weight (and possibly its own trailing design value in x). */
+  def addOne(lane: Int, sys: Int, y: Double, w: Double,
+      x: Array[Double]): Unit = {
+    val base = (lane * repsTotal + sys) * stride
+    var idx = base
+    var i = 0
+    while (i < k) {
+      val wxi = w * x(i)
+      var j = i
+      while (j < k) { acc(idx) += wxi * x(j); idx += 1; j += 1 }
+      acc(base + tri + i) += wxi * y
+      i += 1
+    }
+    acc(base + tri + k) += w
+    acc(base + tri + k + 1) += w * y
+    acc(base + tri + k + 2) += w * y * y
+    if (w < minW) minW = w
+  }
+
+  def bumpLane(lane: Int): Unit = nPerLane(lane) += 1L
+
   def result(lane: Int, rep: Int): GramResult = {
     val base = (lane * repsTotal + rep) * stride
     val m = DenseMatrix.zeros[Double](k, k)
@@ -190,6 +213,61 @@ object Gram {
       combOp = (a, b) => a.merge(b),
       depth = 2)
     Array.tabulate(nLanes)(l => Array.tabulate(repsTotal)(r => res.result(l, r)))
+  }
+
+  /** One system of a multi-system pass: its own response and weight
+    * columns, optionally its own extra design column (appended LAST to
+    * the shared xCols — e.g. a per-replicate inverse Mills ratio). */
+  final case class MultiSystem(yCol: String, wCol: String,
+      extraXCol: Option[String] = None)
+
+  /** Multi-system Gram pass: all systems share the base design columns
+    * but differ in response/weight (and optionally one trailing design
+    * column). ONE scan produces `nLanes * systems.size` Gram systems —
+    * the kernel behind batched iterative bootstrap (every replicate of an
+    * IRLS fit advances per data pass instead of per replicate).
+    * Returns [lane][system]. */
+  def computeMulti(df: DataFrame, xCols: Seq[String],
+      systems: Seq[MultiSystem], laneOf: Column,
+      nLanes: Int): Array[Array[GramResult]] = {
+    require(systems.nonEmpty)
+    val hasExtra = systems.head.extraXCol.isDefined
+    require(systems.forall(_.extraXCol.isDefined == hasExtra),
+      "all systems must agree on having an extra design column")
+    val k = xCols.size + (if (hasExtra) 1 else 0)
+    val nSys = systems.size
+    val sysCols = systems.flatMap(s =>
+      Seq(col(s.yCol).cast("double"), col(s.wCol).cast("double")) ++
+        s.extraXCol.map(col(_).cast("double")))
+    val perSys = if (hasExtra) 3 else 2
+    val proj = df.select(
+      (laneOf.cast("int").as("__lane__") +:
+        (xCols.map(c => col(c).cast("double")) ++ sysCols)): _*)
+    val kBase = xCols.size
+    val zero = new GramBuffer(k, nLanes, nSys)
+    val res = proj.rdd.treeAggregate(zero)(
+      seqOp = (buf, row) => {
+        val lane = row.getInt(0)
+        if (lane >= 0 && lane < nLanes) {
+          val x = new Array[Double](k)
+          var i = 0
+          while (i < kBase) { x(i) = row.getDouble(1 + i); i += 1 }
+          var s = 0
+          while (s < nSys) {
+            val off = 1 + kBase + s * perSys
+            val y = row.getDouble(off)
+            val w = row.getDouble(off + 1)
+            if (hasExtra) x(k - 1) = row.getDouble(off + 2)
+            if (w != 0.0) buf.addOne(lane, s, y, w, x)
+            s += 1
+          }
+          buf.bumpLane(lane)
+        }
+        buf
+      },
+      combOp = (a, b) => a.merge(b),
+      depth = 2)
+    Array.tabulate(nLanes)(l => Array.tabulate(nSys)(s => res.result(l, s)))
   }
 
   /** SplitMix64-style counter-based mixing: deterministic per (row, rep). */

@@ -129,7 +129,10 @@ final case class OaxacaConfig(
     seed: Long = 42L,
     selectionOutcome: Option[String] = None,
     selectionPredictors: Seq[String] = Nil,
-    bootstrapMode: BootstrapMode = BootstrapMode.Poisson)
+    bootstrapMode: BootstrapMode = BootstrapMode.Poisson,
+    /** Heckman bootstrap: advance ALL replicate probit fits per data scan
+      * (multi-system Gram) instead of one IRLS loop per replicate. */
+    heckmanBatched: Boolean = true)
 
 /** Distributed Oaxaca–Blinder mean decomposition (SURVEY §2.4 D1–D10).
   *
@@ -239,6 +242,8 @@ object Oaxaca {
     if (cfg.refCoefficients == RefCoefficients.Pooled)
       throw InvalidArgument(
         "Pooled reference coefficients are not supported with Heckman selection")
+    if (cfg.heckmanBatched)
+      return runHeckmanBatched(dummied, split, xCols, names0, cfg)
     val selX = Prep.InterceptCol +: cfg.selectionPredictors
     val names = names0 :+ "IMR"
     val selNames = "intercept" +: cfg.selectionPredictors
@@ -463,6 +468,146 @@ object Oaxaca {
     SinglePass(explained, unexplained, endowments, coefficients, interaction,
       totalGap, detExp.toSeq, detUnexp.toSeq, Nil, xaMean, xbMean, betaA,
       betaB, betaStar)
+  }
+
+  /** Batched Heckman path: ALL bootstrap replicates advance together —
+    * the selection probits via one multi-system Gram scan per scoring
+    * iteration, the IMR-augmented OLS fits via ONE scan, and the
+    * selection-side aggregates via two more scans. For B replicates this
+    * is ~(scoring iterations + 3) data passes instead of
+    * O(B * iterations). Replicate slots that fail (singular fit) are
+    * dropped, mirroring the reference's drop-with-warning semantics. */
+  private def runHeckmanBatched(dummied: DataFrame, split: Prep.GroupSplit,
+      xCols: Seq[String], names0: Seq[String],
+      cfg: OaxacaConfig): OaxacaResults = {
+    import graft.estimators.Probit
+    import org.apache.spark.storage.StorageLevel
+    val spark = dummied.sparkSession
+    val selX = Prep.InterceptCol +: cfg.selectionPredictors
+    val names = names0 :+ "IMR"
+    val selNames = "intercept" +: cfg.selectionPredictors
+    val selOut = cfg.selectionOutcome.get
+    val nReps = cfg.bootstrapReps
+    val lane = Prep.laneOf(split, cfg.group)
+    val baseW = cfg.weights.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val hashCol = xxhash64((col(cfg.outcome) +: col(cfg.group) +:
+      (xCols ++ selX).distinct.map(col)): _*)
+    val pois = udf((h: Long, s: Long) => Gram.poisson1(Gram.mix(h, s)))
+
+    var withW = dummied.withColumn("__bw_0", baseW)
+    (1 to nReps).foreach { r =>
+      withW = withW.withColumn(s"__bw_$r",
+        pois(hashCol, lit(cfg.seed + r.toLong)) * baseW)
+    }
+    val cached = withW.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wCols = (0 to nReps).map(r => s"__bw_$r")
+      val gammas = Probit.fitManyGrouped(cached, selOut, selX, wCols, lane, 2)
+
+      var aug = cached
+      (0 to nReps).foreach { r =>
+        val zg = (0 until 2).foldLeft(lit(0.0)) { (acc, l) =>
+          when(lane === l, Ols.predictionCol(selX, gammas(l)(r)._1)).otherwise(acc)
+        }
+        val phi = NormalDist.pdfCol(zg)
+        val cdf = NormalDist.cdfCol(spark, zg)
+        aug = aug.withColumn(s"__zg_$r", zg)
+          .withColumn(s"__imr_$r", when(cdf < 1e-10, 0.0).otherwise(phi / cdf))
+      }
+      val selRows = aug.filter(col(selOut).cast("double") === 1.0)
+
+      val systems = (0 to nReps).map(r =>
+        Gram.MultiSystem(cfg.outcome, s"__bw_$r", Some(s"__imr_$r")))
+      val grams = Gram.computeMulti(selRows, xCols, systems, lane, 2)
+
+      // selection delta per (lane, rep) over the selected rows (one pass)
+      val deltaAggs = (0 to nReps).flatMap(r => Seq(
+        sum(col(s"__bw_$r") * -col(s"__imr_$r") *
+          (col(s"__imr_$r") + col(s"__zg_$r"))).as(s"ds_$r"),
+        sum(col(s"__bw_$r")).as(s"dw_$r")))
+      val deltaRows = selRows.filter(lane >= 0)
+        .groupBy(lane.as("__lane__"))
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+
+      // selection-side means, outcome means, counts per (lane, rep) over
+      // ALL rows (one pass)
+      val zAggs = (0 to nReps).flatMap(r =>
+        selX.zipWithIndex.map { case (c, i) =>
+          sum(col(c).cast("double") * col(s"__bw_$r")).as(s"zs_${r}_$i") } ++
+          Seq(sum(col(s"__bw_$r")).as(s"zw_$r"),
+            sum(col(cfg.outcome).cast("double") * col(s"__bw_$r")).as(s"zy_$r"))) ++
+        Seq(count(lit(1)).as("__zn__"))
+      val zRows = aug.filter(lane >= 0)
+        .groupBy(lane.as("__lane__"))
+        .agg(zAggs.head, zAggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+
+      def passFor(r: Int): SinglePass = {
+        val fitA = Ols.fromGram(grams(0)(r), names)
+        val fitB = Ols.fromGram(grams(1)(r), names)
+        val betaA = fitA.beta
+        val betaB = fitB.beta
+        val xaMean = grams(0)(r).xMeans
+        val xbMean = grams(1)(r).xMeans
+        val betaStar: DenseVector[Double] = cfg.refCoefficients match {
+          case RefCoefficients.GroupA => betaA
+          case RefCoefficients.Cotton =>
+            val na = grams(0)(r).n.toDouble
+            val nb = grams(1)(r).n.toDouble
+            val wa = na / (na + nb)
+            betaA * wa + betaB * (1.0 - wa)
+          case _ => betaB
+        }
+        val dx = xaMean - xbMean
+        val dbeta = betaA - betaB
+        val explained = dx dot betaStar
+        val total = (xaMean dot betaA) - (xbMean dot betaB)
+        val detExp = names.indices.map(i =>
+          names(i) -> (xaMean(i) - xbMean(i)) * betaStar(i))
+        val detUnexp = names.indices.map(i => names(i) ->
+          (xaMean(i) * (betaA(i) - betaStar(i)) +
+            xbMean(i) * (betaStar(i) - betaB(i))))
+
+        def zMeans(l: Int): DenseVector[Double] = {
+          val row = zRows(l)
+          val sw = row.getAs[Double](s"zw_$r")
+          DenseVector.tabulate(selX.size)(i =>
+            row.getAs[Double](s"zs_${r}_$i") / sw)
+        }
+        def delta(l: Int): Double = {
+          val row = deltaRows(l)
+          row.getAs[Double](s"ds_$r") / row.getAs[Double](s"dw_$r")
+        }
+        val (thetaRef, deltaRef, gammaRef) = cfg.refCoefficients match {
+          case RefCoefficients.GroupA =>
+            (betaA(betaA.length - 1), delta(0), gammas(0)(r)._1)
+          case _ => (betaB(betaB.length - 1), delta(1), gammas(1)(r)._1)
+        }
+        val zA = zMeans(0)
+        val zB = zMeans(1)
+        val detSel =
+          if (gammaRef.length == selNames.size && zA.length == selNames.size)
+            selNames.indices.map(i =>
+              selNames(i) -> thetaRef * deltaRef * gammaRef(i) * (zA(i) - zB(i)))
+          else Nil
+
+        def gmean(l: Int): Double =
+          zRows(l).getAs[Double](s"zy_$r") / zRows(l).getAs[Double](s"zw_$r")
+        val totalGap = gmean(0) - gmean(1)
+
+        SinglePass(explained, total - explained,
+          dx dot betaB, xbMean dot dbeta, dx dot dbeta,
+          totalGap, detExp, detUnexp, detSel.toSeq, xaMean, xbMean,
+          betaA, betaB, betaStar)
+      }
+
+      val point = passFor(0)
+      val repPasses = (1 to nReps).flatMap(r => Try(passFor(r)).toOption)
+      assemble(point, repPasses, nReps,
+        zRows(0).getAs[Long]("__zn__"), zRows(1).getAs[Long]("__zn__"),
+        split.levelA, split.levelB, names)
+    } finally { cached.unpersist(); () }
   }
 
   /** Pooled design [X | groupIndicator] Gram assembled from the two group

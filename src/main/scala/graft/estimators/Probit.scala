@@ -28,6 +28,65 @@ object Probit {
 
   private val Ridge = 1e-9
 
+  /** Batched probit: one fit per (lane, base-weight system), where each
+    * Fisher-scoring iteration is ONE multi-system Gram scan — the
+    * bootstrap-replicate fits advance together per data pass instead of
+    * one IRLS loop per replicate. Returns [lane][system]
+    * (beta, converged); a slot that hits a singular solve is frozen and
+    * reported unconverged. */
+  def fitManyGrouped(df: DataFrame, targetCol: String, xCols: Seq[String],
+      baseWCols: Seq[String], laneOf: org.apache.spark.sql.Column,
+      nLanes: Int, maxIter: Int = 100,
+      tol: Double = 1e-6): Array[Array[(DenseVector[Double], Boolean)]] = {
+    val spark = df.sparkSession
+    val k = xCols.size
+    val nSys = baseWCols.size
+    val betas = Array.fill(nLanes, nSys)(DenseVector.zeros[Double](k))
+    val converged = Array.fill(nLanes, nSys)(false)
+    val failed = Array.fill(nLanes, nSys)(false)
+    val y = col(targetCol).cast("double")
+    var iter = 0
+    var allDone = false
+    while (iter < maxIter && !allDone) {
+      iter += 1
+      var work = df
+      val systems = (0 until nSys).map { s =>
+        // per-lane linear predictor selected by the lane expression
+        val z = (0 until nLanes).foldLeft(lit(0.0)) { (acc, l) =>
+          when(laneOf === l, Ols.predictionCol(xCols, betas(l)(s))).otherwise(acc)
+        }
+        val phi = NormalDist.pdfCol(z)
+        val bigPhi = least(greatest(NormalDist.cdfCol(spark, z), lit(1e-10)),
+          lit(1.0 - 1e-10))
+        val lambda = when(y > 0.5, phi / bigPhi)
+          .otherwise(-phi / (lit(1.0) - bigPhi))
+        val w0 = (phi * phi) / (bigPhi * (lit(1.0) - bigPhi))
+        val zWork = z + when(w0 > 0.0, lambda / w0).otherwise(0.0)
+        work = work
+          .withColumn(s"__pz_$s", zWork)
+          .withColumn(s"__pw_$s", w0 * col(baseWCols(s)).cast("double"))
+        Gram.MultiSystem(s"__pz_$s", s"__pw_$s")
+      }
+      val grams = Gram.computeMulti(work, xCols, systems, laneOf, nLanes)
+      allDone = true
+      for (l <- 0 until nLanes; s <- 0 until nSys
+           if !converged(l)(s) && !failed(l)(s)) {
+        val g = grams(l)(s)
+        try {
+          val rhs = g.xty + (betas(l)(s) * Ridge)
+          val nb = LinAlg.ridgeSolve(g.xtx, rhs, Ridge)
+          val step = nb - betas(l)(s)
+          betas(l)(s) = nb
+          if (norm(step) < tol) converged(l)(s) = true else allDone = false
+        } catch {
+          case _: SingularMatrix => failed(l)(s) = true
+        }
+      }
+    }
+    Array.tabulate(nLanes)(l => Array.tabulate(nSys)(s =>
+      (betas(l)(s), converged(l)(s) && !failed(l)(s))))
+  }
+
   /** `targetCol` numeric 0/1; `xCols` should include the intercept.
     * `wCol` multiplies the information weights (bootstrap resampling /
     * WLS probit; the reference's unweighted probit is wCol = None). */

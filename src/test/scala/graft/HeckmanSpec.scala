@@ -67,6 +67,36 @@ class HeckmanSpec extends SparkSpec {
     assert(math.abs(explained + unexplained - total) < 1e-9)
   }
 
+  test("batched Heckman bootstrap equals the sequential path") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 600).map { _ =>
+      val z = rng.nextGaussian()
+      val x = z + 0.5 * rng.nextGaussian()
+      val u = rng.nextGaussian()
+      val s = if (0.4 * z + u > 0) 1.0 else 0.0
+      val y = 1.0 + 2.0 * x + 0.8 * u + 0.6 * rng.nextGaussian()
+      val grp = if (rng.nextBoolean()) "A" else "B"
+      (if (s == 1.0) Some(y) else None, x, z, s, grp)
+    }
+    val df = rows.toDF("outcome", "x", "z", "selection", "group")
+    val cfg = OaxacaConfig("outcome", "group", "B", predictors = Seq("x"),
+      bootstrapReps = 4, seed = 9L,
+      selectionOutcome = Some("selection"), selectionPredictors = Seq("z"))
+    val batched = Oaxaca.run(df, cfg.copy(heckmanBatched = true))
+    val seq = Oaxaca.run(df, cfg.copy(heckmanBatched = false))
+    // same Poisson weights + same math -> same point estimates and SEs
+    // (tolerances absorb IRLS stopping-path and summation-order noise)
+    assert(math.abs(batched.totalGap - seq.totalGap) < 1e-9)
+    batched.twoFold.zip(seq.twoFold).foreach { case (b, s) =>
+      assert(math.abs(b.estimate - s.estimate) < 1e-6, s"${b.name} estimate")
+      assert(math.abs(b.stdErr - s.stdErr) < 1e-4, s"${b.name} se b=${b.stdErr} s=${s.stdErr}")
+    }
+    assert(batched.detailedSelection.map(_.name) == seq.detailedSelection.map(_.name))
+    batched.detailedSelection.zip(seq.detailedSelection).foreach { case (b, s) =>
+      assert(math.abs(b.estimate - s.estimate) < 1e-6, s"sel ${b.name}")
+    }
+  }
+
   test("Heckman bootstrap reps produce finite SEs") {
     val rng = new scala.util.Random(7)
     val rows = (0 until 800).map { _ =>
