@@ -68,6 +68,37 @@ object Export {
     sb.toString
   }
 
+  /** Standalone HTML report (S7, the reference's askama template
+    * `templates/report.html` rendered via `main.rs:320-370`). */
+  def toHtml(r: OaxacaResults): String = {
+    def rows(cs: Seq[ComponentResult]) = cs.map(c =>
+      f"<tr><td>${c.name}</td><td>${c.estimate}%.4f</td>" +
+        f"<td>${c.stdErr}%.4f</td><td>${c.pValue}%.4f</td>" +
+        f"<td>[${c.ciLower}%.3f, ${c.ciUpper}%.3f]</td></tr>").mkString("\n")
+    def table(title: String, cs: Seq[ComponentResult]) =
+      if (cs.isEmpty) ""
+      else s"""<h2>$title</h2>
+         |<table border="1" cellpadding="4" cellspacing="0">
+         |<tr><th>Component</th><th>Estimate</th><th>Std. Err.</th>
+         |<th>p-value</th><th>95% CI</th></tr>
+         |${rows(cs)}
+         |</table>""".stripMargin
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8">
+       |<title>Oaxaca-Blinder Decomposition Report</title></head>
+       |<body>
+       |<h1>Oaxaca-Blinder Decomposition Report</h1>
+       |<p>Total gap (${r.groupALevel} &minus; ${r.groupBLevel}):
+       |<b>${f"${r.totalGap}%.6f"}</b> &nbsp; n<sub>a</sub>=${r.nA}
+       |n<sub>b</sub>=${r.nB}</p>
+       |${table("Two-Fold Decomposition", r.twoFold)}
+       |${table("Three-Fold Decomposition", r.threeFold)}
+       |${table("Detailed (Explained)", r.detailedExplained)}
+       |${table("Detailed (Unexplained)", r.detailedUnexplained)}
+       |${table("Detailed (Selection)", r.detailedSelection)}
+       |</body></html>""".stripMargin
+  }
+
   /** Console summary (`display.rs:7-79`). */
   def summary(r: OaxacaResults): String = {
     val sb = new StringBuilder

@@ -49,8 +49,11 @@ object Probit {
     var allDone = false
     while (iter < maxIter && !allDone) {
       iter += 1
+      // only systems with at least one unconverged lane pay for columns
+      val active = (0 until nSys).filter(s =>
+        (0 until nLanes).exists(l => !converged(l)(s) && !failed(l)(s)))
       var work = df
-      val systems = (0 until nSys).map { s =>
+      val systems = active.map { s =>
         // per-lane linear predictor selected by the lane expression
         val z = (0 until nLanes).foldLeft(lit(0.0)) { (acc, l) =>
           when(laneOf === l, Ols.predictionCol(xCols, betas(l)(s))).otherwise(acc)
@@ -69,9 +72,9 @@ object Probit {
       }
       val grams = Gram.computeMulti(work, xCols, systems, laneOf, nLanes)
       allDone = true
-      for (l <- 0 until nLanes; s <- 0 until nSys
+      for (l <- 0 until nLanes; (s, si) <- active.zipWithIndex
            if !converged(l)(s) && !failed(l)(s)) {
-        val g = grams(l)(s)
+        val g = grams(l)(si)
         try {
           val rhs = g.xty + (betas(l)(s) * Ridge)
           val nb = LinAlg.ridgeSolve(g.xtx, rhs, Ridge)

@@ -54,6 +54,9 @@ class ApiSpec extends SparkSpec {
     assert(tex.contains("\\begin{table}") && tex.contains("Two-Fold"))
     val sum = Export.summary(res)
     assert(sum.contains("Total gap") && sum.contains("explained"))
+    val html = Export.toHtml(res)
+    assert(html.contains("<!DOCTYPE html>") && html.contains("Two-Fold"))
+    assert(html.contains("explained"))
   }
 
   test("CSV round-trip ingest (S1/S3) preserves the analysis") {
