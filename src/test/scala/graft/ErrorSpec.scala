@@ -1,0 +1,60 @@
+package graft
+
+import graft.core._
+import graft.decompose.{Oaxaca, OaxacaConfig}
+import graft.estimators.Ols
+import graft.prep.Prep
+
+/** Error taxonomy (SURVEY §2.7): the engine raises the same trigger
+  * points as the reference's OaxacaError/AkmError enums. */
+class ErrorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("negative weights raise InvalidWeights (ols.rs:60-66)") {
+    val df = Prep.withIntercept(Seq((1.0, 1.0, -1.0), (2.0, 2.0, 1.0),
+      (3.0, 3.0, 1.0)).toDF("y", "x", "w"))
+    assertThrows[InvalidWeights] {
+      Ols.fit(df, "y", Seq(Prep.InterceptCol, "x"), Some("w"))
+    }
+  }
+
+  test("n <= k raises InsufficientData (ols.rs:146-210)") {
+    val df = Prep.withIntercept(Seq((1.0, 1.0), (2.0, 2.0)).toDF("y", "x"))
+    assertThrows[InsufficientData] {
+      Ols.fit(df, "y", Seq(Prep.InterceptCol, "x"))
+    }
+  }
+
+  test("perfectly collinear design raises SingularMatrix") {
+    val df = Prep.withIntercept(
+      (1 to 10).map(i => (i.toDouble, i.toDouble, 2.0 * i)).toDF("y", "x1", "x2"))
+    assertThrows[SingularMatrix] {
+      Ols.fit(df, "y", Seq(Prep.InterceptCol, "x1", "x2"))
+    }
+  }
+
+  test("single group level raises InvalidGroupVariable (builder.rs:61-103)") {
+    val df = Seq((1.0, "A", 1.0), (2.0, "A", 2.0)).toDF("y", "g", "x")
+    assertThrows[InvalidGroupVariable] {
+      Oaxaca.run(df, OaxacaConfig("y", "g", "A", predictors = Seq("x"),
+        bootstrapReps = 0))
+    }
+  }
+
+  test("unknown reference level raises InvalidGroupVariable") {
+    val df = Seq((1.0, "A", 1.0), (2.0, "B", 2.0)).toDF("y", "g", "x")
+    assertThrows[InvalidGroupVariable] {
+      Oaxaca.run(df, OaxacaConfig("y", "g", "Z", predictors = Seq("x"),
+        bootstrapReps = 0))
+    }
+  }
+
+  test("AKM non-convergence raises ConvergenceFailed (akm.rs)") {
+    val df = Seq(("w1", "f1", 1.0, 1.0), ("w2", "f1", 2.0, 5.0),
+      ("w1", "f2", 3.0, 2.0), ("w2", "f2", 4.0, 9.0)).toDF("worker", "firm", "x", "y")
+    assertThrows[ConvergenceFailed] {
+      graft.estimators.Akm.run(df, "y", "worker", "firm", Seq("x"),
+        tolerance = 1e-15, maxIters = 1)
+    }
+  }
+}
