@@ -93,6 +93,30 @@ object Prep {
   def designNames(cols: Seq[String]): Seq[String] =
     cols.map(c => if (c == InterceptCol) "intercept" else c)
 
+  /** Strict numeric cast (S2, `engine/src/analysis.rs:14-35`): cast each
+    * column to Double and REJECT any column whose cast produces new
+    * nulls (non-numeric data selected as continuous). One aggregate pass
+    * for all columns. */
+  def strictCast(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    cols.foreach(c => if (!have.contains(c))
+      throw ColumnNotFound(s"Column '$c' not found in dataset."))
+    // try_cast (not cast): ANSI mode would throw mid-scan on the first
+    // bad value instead of letting us report the offending column
+    val checks = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"pre_$c"),
+      sum(when(expr(s"try_cast(`$c` AS DOUBLE)").isNull, 1L).otherwise(0L))
+        .as(s"post_$c")))
+    val row = df.agg(checks.head, checks.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      if (row.getLong(2 * i + 1) > row.getLong(2 * i))
+        throw InvalidArgument(s"Column '$c' contains non-numeric data " +
+          "but was selected as a continuous variable.")
+    }
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))
+  }
+
   /** Stable row id attached at ingest (P7): content-derived, not
     * partition-derived, so it survives re-planning. */
   def withRowId(df: DataFrame, idCol: String = "__row_id__"): DataFrame =

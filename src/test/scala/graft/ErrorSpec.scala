@@ -49,6 +49,17 @@ class ErrorSpec extends SparkSpec {
     }
   }
 
+  test("strict cast rejects non-numeric continuous columns (engine/analysis.rs:14-35)") {
+    val df = Seq(("1.5", "abc"), ("2.0", "3.0")).toDF("ok", "bad")
+    // numeric-looking strings cast cleanly
+    val casted = Prep.strictCast(df, Seq("ok"))
+    assert(casted.schema("ok").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val e = intercept[InvalidArgument] { Prep.strictCast(df, Seq("ok", "bad")) }
+    assert(e.getMessage.contains(
+      "contains non-numeric data but was selected as a continuous variable"))
+  }
+
   test("AKM non-convergence raises ConvergenceFailed (akm.rs)") {
     val df = Seq(("w1", "f1", 1.0, 1.0), ("w2", "f1", 2.0, 5.0),
       ("w1", "f2", 3.0, 2.0), ("w2", "f2", 4.0, 9.0)).toDF("worker", "firm", "x", "y")
