@@ -107,7 +107,10 @@ object Equity {
   private[equity] def prepare(df: DataFrame, cfg: EquityConfig)
       : (DataFrame, Seq[String], Seq[String], Prep.GroupSplit) = {
     val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++ cfg.categorical
-    val cleaned = Prep.clean(df, modelCols.distinct)
+    // engine layer: strict Float64 casts with non-numeric rejection
+    // (`engine/src/analysis.rs:14-35`)
+    val casted = Prep.strictCast(df, (cfg.outcome +: cfg.predictors).distinct)
+    val cleaned = Prep.clean(casted, modelCols.distinct)
     val (dummied0, infos) = Prep.oneHot(cleaned, cfg.categorical)
     val dummied = Prep.withIntercept(dummied0)
     val xCols = Prep.designCols(cfg.predictors, infos)
