@@ -52,7 +52,7 @@ object Dedup {
     * (id_a < id_b, jaccard) for jaccard >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -85,7 +85,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
     val sigs = minhashSignatures(sh, idCol, numHashes)
     // band key = md5 of the concatenated band slice
     val banded = (0 until bands).map { b =>

@@ -123,6 +123,21 @@ class OaxacaSpec extends SparkSpec {
     assert(math.abs(fit.sigma2) < 1e-9)
   }
 
+  test("bootstrap stats p-value goldens (inference.rs:36-58)") {
+    // all positive -> p = 0
+    val (_, p1, _) = Bootstrap.stats(Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(p1 == 0.0)
+    // centered on 0 -> p ~ 1
+    val (_, p2, _) = Bootstrap.stats(Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+    assert(math.abs(p2 - 1.0) < 1e-9)
+    // 1 of 5 negative -> p = 0.4
+    val (_, p3, _) = Bootstrap.stats(Seq(-1.0, 1.0, 2.0, 3.0, 4.0))
+    assert(math.abs(p3 - 0.4) < 1e-9)
+    // empty -> NaNs
+    val (seE, pE, (loE, hiE)) = Bootstrap.stats(Nil)
+    assert(seE.isNaN && pE.isNaN && loE.isNaN && hiE.isNaN)
+  }
+
   test("VIF golden values (diagnostics.rs)") {
     val df = Seq((1.0, 2.0, 1.0), (2.0, 3.0, 5.0), (3.0, 1.0, 2.0),
       (4.0, 5.0, 4.0), (5.0, 4.0, 3.0)).toDF("x1", "x2", "x3")
