@@ -1,7 +1,6 @@
 package graft.estimators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Recentered Influence Function transform for a quantile
@@ -35,23 +34,20 @@ object Rif {
       .toMap
 
     // pass 2: IQR via the rif.rs ceil-index convention
-    // q75 = sorted[max(ceil(0.75 n), 1) - 1] (0-based), same for q25
+    // q75 = sorted[max(ceil(0.75 n), 1) - 1] (0-based), same for q25.
+    // Rank-pick by distributed sort + zipWithIndex per group — a
+    // partitionBy(group) window would sort each group in ONE task,
+    // which dies at scale; a range-partitioned sort stays parallel.
     def rifIdx(n: Long, p: Double): Long = {
       val i = math.ceil(p * n).toLong
-      math.min(if (i == 0) 0 else i - 1, n - 1) + 1 // 1-based row_number
+      math.min(if (i == 0) 0 else i - 1, n - 1) // 0-based
     }
-    val picked = df.select(g.as("g"), y.as("y"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("g")).orderBy(col("y"))))
-      .where(stats.map { case (lvl, (n, _, _)) =>
-        col("g") === lit(lvl) &&
-          col("rn").isin(rifIdx(n, 0.25), rifIdx(n, 0.75))
-      }.reduce(_ || _))
-      .collect()
-
     val bandwidths = stats.map { case (lvl, (n, std, _)) =>
-      val vals = picked.filter(_.getString(0) == lvl).map(r =>
-        r.getInt(2).toLong -> r.getDouble(1)).toMap
+      val sorted = df.filter(g === lit(lvl)).select(y.as("y"))
+        .sort(col("y")).rdd.zipWithIndex()
+      val wanted = Set(rifIdx(n, 0.25), rifIdx(n, 0.75))
+      val vals = sorted.filter(t => wanted.contains(t._2))
+        .map(t => t._2 -> t._1.getDouble(0)).collect().toMap
       val q25 = vals(rifIdx(n, 0.25))
       val q75 = vals(rifIdx(n, 0.75))
       val iqr = q75 - q25
