@@ -78,6 +78,11 @@ object QueriesExt {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", maxHamming = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- similarity search ----
     "q_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
@@ -219,6 +224,35 @@ object QueriesExt {
        |FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash near-dup pairs: the oracle verifies the banded Spark plan
+    * against a direct all-pairs Hamming filter over the same signatures
+    * (pigeonhole banding is lossless, so the two must agree exactly). */
+  private val simhashPairsSql = {
+    val bitSums = (0 until 16).map(b =>
+      s"sum(((__h >> $b) & 1) * 2 - 1) AS s_$b").mkString(",\n    ")
+    val sig = (0 until 16).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks0 AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |    FROM documents WHERE doc_id < 50
+       |  ) WHERE tok <> ''
+       |), h AS (
+       |  SELECT doc_id, ${h56("tok")} AS __h FROM toks0
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** MinHash+LSH SQL generated from the same constants (16 hashes, 8
     * bands of 2). */
   private val minhashSql = {
@@ -283,6 +317,8 @@ object QueriesExt {
     "q_minhash_lsh" -> minhashSql,
 
     "q_simhash" -> simhashSql,
+
+    "q_simhash_pairs" -> simhashPairsSql,
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

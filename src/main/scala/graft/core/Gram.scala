@@ -64,6 +64,12 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
   // per partition buffer
   private val scratch = new Array[Double](stride)
 
+  // per-row input scratch reused across rows by the seqOps — a 500-rep
+  // bootstrap otherwise allocates a 4 KB multiplier array PER ROW
+  // (gigabytes of garbage over a full scan)
+  val xRow = new Array[Double](k)
+  val repMult = new Array[Double](repsTotal)
+
   /** Add one observation to `lane` with per-rep weight multipliers. The
     * row's outer product is computed ONCE and scaled per replicate. */
   def add(lane: Int, y: Double, w: Double, x: Array[Double],
@@ -161,19 +167,29 @@ object Gram {
     * resampling (`oaxaca_blinder/src/builder.rs:816-839`); the rayon
     * rep-parallelism becomes extra accumulator lanes in the same scan.
     * Returns [lane][rep].
+    *
+    * `seedCols`: columns to key the per-row replicate draws on; default
+    * (empty) hashes the model columns (y/w/x) themselves, which keeps the
+    * scan prunable but gives CONTENT-DUPLICATE rows identical draws —
+    * their resampling is correlated, a documented approximation of
+    * i.i.d. per-row Poisson bootstrap that slightly biases SEs when
+    * exact duplicate rows are common. Pass a unique id column here to
+    * recover exact per-row independence.
     */
   def computeGrouped(df: DataFrame, yCol: String, xCols: Seq[String],
       wCol: Option[String], laneOf: Column, nLanes: Int, reps: Int,
-      seed: Long, repWeightCols: Seq[String] = Nil): Array[Array[GramResult]] = {
+      seed: Long, repWeightCols: Seq[String] = Nil,
+      seedCols: Seq[String] = Nil): Array[Array[GramResult]] = {
     val k = xCols.size
     val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     val externalReps = repWeightCols.nonEmpty
     val nReps = if (externalReps) repWeightCols.size else reps
-    // Poisson replicate seeding hashes ONLY the model columns (content
-    // hash over y/w/x), so column pruning still reaches the scan; with
-    // reps == 0 (or external replicate weights) no hash is computed.
+    // Poisson replicate seeding hashes the seed columns (default: the
+    // model columns y/w/x), so column pruning still reaches the scan;
+    // with reps == 0 (or external replicate weights) no hash is computed.
     val rowHash =
       if (nReps == 0 || externalReps) lit(0L)
+      else if (seedCols.nonEmpty) xxhash64(seedCols.map(col): _*)
       else xxhash64((col(yCol) +: wCol.map(col).toSeq ++: xCols.map(col)): _*)
     val proj = df.select(
       (col(yCol).cast("double") +: w +: laneOf.cast("int").as("__lane__") +:
@@ -189,13 +205,13 @@ object Gram {
           val y = row.getDouble(0)
           val wv = row.getDouble(1)
           val rh = row.getLong(3)
-          val x = new Array[Double](k)
+          val x = buf.xRow
           var i = 0
           while (i < k) { x(i) = row.getDouble(4 + i); i += 1 }
           val mult =
             if (nReps == 0) oneRep
             else {
-              val m = new Array[Double](repsTotal)
+              val m = buf.repMult
               m(0) = 1.0
               var r = 1
               while (r < repsTotal) {
@@ -249,7 +265,7 @@ object Gram {
       seqOp = (buf, row) => {
         val lane = row.getInt(0)
         if (lane >= 0 && lane < nLanes) {
-          val x = new Array[Double](k)
+          val x = buf.xRow
           var i = 0
           while (i < kBase) { x(i) = row.getDouble(1 + i); i += 1 }
           var s = 0
@@ -278,10 +294,12 @@ object Gram {
     z ^ (z >>> 31)
   }
 
+  private val ExpNeg1 = math.exp(-1.0)
+
   /** Poisson(1) via inverse CDF on a uniform derived from the hash. */
   def poisson1(h: Long): Double = {
     val u = ((h >>> 11).toDouble) * 1.1102230246251565e-16 // 2^-53
-    var p = math.exp(-1.0)
+    var p = ExpNeg1
     var cdf = p
     var x = 0
     while (u > cdf && x < 64) {

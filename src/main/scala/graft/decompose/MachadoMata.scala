@@ -18,8 +18,9 @@ import scala.util.Try
   * coefficients = q_AA - q_AB; bootstrap the whole pass.
   *
   * The per-tau LP fits are inherently in-memory (the reference runs them
-  * under rayon); this engine collects each group's design ONCE (capped by
-  * `maxRowsPerGroup` — at 100 TB pass a uniform sample) and runs the
+  * under rayon); this engine collects each group's design ONCE — above
+  * `maxRowsPerGroup` it first takes a seeded hash-ordered uniform
+  * subsample (deterministic, partition-layout independent) — and runs the
   * seeded per-tau IRLS fits on a parallel collection — the distributed
   * single-tau path is [[graft.estimators.QuantileReg.fit]].
   */
@@ -55,9 +56,20 @@ object MachadoMata {
     val split = Prep.splitGroups(dummied, cfg.group, cfg.reference)
 
     def collectGroup(g: DataFrame): (Array[Array[Double]], Array[Double]) = {
-      val rows = g.select((col(cfg.outcome).cast("double") +:
+      val base = g.select((col(cfg.outcome).cast("double") +:
         xCols.map(c => col(c).cast("double"))): _*)
-        .limit(cfg.maxRowsPerGroup).collect()
+      val n = base.count()
+      val capped =
+        if (n <= cfg.maxRowsPerGroup) base
+        else
+          // deterministic uniform subsample above the cap: take the
+          // maxRowsPerGroup smallest values of a seeded content hash — a
+          // distributed top-K (TakeOrdered), equivalent to a seeded
+          // simple random sample, rather than limit()'s "whatever rows
+          // arrive first", which silently biases toward early partitions
+          base.orderBy(xxhash64((base.columns.map(col) :+ lit(cfg.seed)): _*))
+            .limit(cfg.maxRowsPerGroup)
+      val rows = capped.collect()
       val x = rows.map(r => Array.tabulate(xCols.size)(i => r.getDouble(i + 1)))
       val y = rows.map(_.getDouble(0))
       (x, y)

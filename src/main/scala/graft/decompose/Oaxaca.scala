@@ -276,8 +276,12 @@ object Oaxaca {
       val betaStar: DenseVector[Double] = cfg.refCoefficients match {
         case RefCoefficients.GroupA => betaA
         case RefCoefficients.Cotton =>
-          val swA = fitA.nSelected.toDouble
-          val swB = fitB.nSelected.toDouble
+          // weight-share uses the selected-row WEIGHT SUMS (reference
+          // builder.rs w.sum()), which equal the row counts only when
+          // unweighted; with cfg.weights or bootstrap replicate weights
+          // the two differ
+          val swA = fitA.swSelected
+          val swB = fitB.swSelected
           val wa = swA / (swA + swB)
           betaA * wa + betaB * (1.0 - wa)
         case _ => betaB

@@ -29,9 +29,12 @@ final case class AkmResult(
 object Akm {
 
   /** Rows restricted to the largest connected worker-firm component
-    * (`akm.rs:151-234`); component size counted in NODES. */
+    * (`akm.rs:151-234`); component size counted in NODES. Min-label
+    * propagation converges in O(component diameter) rounds; like the
+    * reference's ConvergenceFailed paths, iteration exhaustion throws
+    * instead of silently proceeding with wrong component labels. */
   def largestConnectedSet(df: DataFrame, workerCol: String,
-      firmCol: String): DataFrame = {
+      firmCol: String, maxIters: Int = 200): DataFrame = {
     val w = col(workerCol).cast("string")
     val f = col(firmCol).cast("string")
     val edges = df.select(w.as("w"), f.as("f")).na.drop().distinct()
@@ -45,7 +48,7 @@ object Akm {
 
     var changed = 1L
     var iters = 0
-    while (changed > 0 && iters < 200) {
+    while (changed > 0 && iters < maxIters) {
       iters += 1
       val fCand = edges.join(wLab, "w").groupBy(col("f"))
         .agg(min(col("lab")).as("cand"))
@@ -59,10 +62,15 @@ object Akm {
         .select(col("w"), least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"),
           (col("cand").isNotNull && col("cand") < col("lab")).as("chg"))
         .localCheckpoint()
-      changed = fNew.filter(col("chg")).count() + wNew.filter(col("chg")).count()
+      // one action for both change counts (the inputs are checkpointed)
+      changed = fNew.select(col("chg")).unionByName(wNew.select(col("chg")))
+        .filter(col("chg")).count()
       wLab = wNew.drop("chg")
       fLab = fNew.drop("chg")
     }
+    if (changed > 0)
+      throw ConvergenceFailed("largest_connected_set label propagation " +
+        s"failed to converge within $maxIters iterations")
 
     // largest component by node count (workers + firms)
     val sizes = wLab.select(col("lab")).unionByName(fLab.select(col("lab")))
@@ -178,9 +186,10 @@ object Akm {
         .select(col("f"), col("__p2__").as("__p__"),
           pow(col("__p2__") - col("__p__"), 2).as("__d__"))
         .localCheckpoint()
-      val dA = aJ.agg(sum(col("__d__"))).head().getDouble(0)
-      val dP = pJ.agg(sum(col("__d__"))).head().getDouble(0)
-      feDiff = math.sqrt(dA + dP)
+      // one action for both step-size sums (the inputs are checkpointed)
+      val dSum = aJ.select(col("__d__")).unionByName(pJ.select(col("__d__")))
+        .agg(sum(col("__d__"))).head().getDouble(0)
+      feDiff = math.sqrt(dSum)
       alpha = aJ.select(col("w"), col("__a__"))
       psi = pJ.select(col("f"), col("__p__"))
     }

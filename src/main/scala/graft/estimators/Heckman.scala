@@ -25,7 +25,8 @@ final case class HeckmanFit(
     zMeans: DenseVector[Double],         // all-row selection X means
     nSelected: Long,
     n: Long,
-    probitConverged: Boolean)
+    probitConverged: Boolean,
+    swSelected: Double)                  // selected-row weight sum (= nSelected unweighted)
 
 object Heckman {
 
@@ -73,6 +74,6 @@ object Heckman {
 
     HeckmanFit(gamma, fit.beta, fit.beta(augCols.size - 1),
       xMeans(augCols.size - 1), imrDelta, xMeans, zMeans,
-      nSel, zRow.getLong(selXCols.size + 1), probit.converged)
+      nSel, zRow.getLong(selXCols.size + 1), probit.converged, swSel)
   }
 }

@@ -84,7 +84,13 @@ object QuantileReg {
       maxIter: Int = 50, tol: Double = 1e-8): DenseVector[Double] =
     fitMany(df, yCol, xCols, Seq(tau), maxIter, tol).head
 
-  /** Several taus over ONE cached projection of the data. */
+  /** Several taus over ONE cached projection of the data, batched through
+    * the multi-system Gram kernel: every IRLS iteration is ONE scan that
+    * advances ALL still-unconverged taus (each tau contributes its own
+    * reweighting column as a system), the same batching
+    * [[Probit.fitManyGrouped]] uses for bootstrap replicates. A tau that
+    * converges is frozen and stops paying for weight columns, so the scan
+    * count is max-iterations-over-taus instead of the sum. */
   def fitMany(df: DataFrame, yCol: String, xCols: Seq[String],
       taus: Seq[Double], maxIter: Int = 50,
       tol: Double = 1e-8): Seq[DenseVector[Double]] = {
@@ -98,23 +104,30 @@ object QuantileReg {
         val g = Gram.compute(proj, yCol, xCols)
         LinAlg.solveLeastSquares(g.xtx, g.xty)
       }
-      taus.map { tau =>
-        var beta = olsBeta
-        var iter = 0
-        var done = false
-        while (iter < maxIter && !done) {
-          iter += 1
-          val r = col(yCol) - Ols.predictionCol(xCols, beta)
-          val c = when(r > 0.0, tau).otherwise(1.0 - tau)
-          val w = c / greatest(abs(r), lit(Eps))
-          val g = Gram.compute(proj.withColumn("__w__", w), yCol, xCols, Some("__w__"))
+      val nT = taus.size
+      val betas = Array.fill(nT)(olsBeta)
+      val done = Array.fill(nT)(false)
+      var iter = 0
+      while (iter < maxIter && done.contains(false)) {
+        iter += 1
+        val active = (0 until nT).filter(i => !done(i))
+        var work = proj
+        val systems = active.map { i =>
+          val r = col(yCol) - Ols.predictionCol(xCols, betas(i))
+          val c = when(r > 0.0, taus(i)).otherwise(1.0 - taus(i))
+          work = work.withColumn(s"__qw_$i", c / greatest(abs(r), lit(Eps)))
+          Gram.MultiSystem(yCol, s"__qw_$i")
+        }
+        val grams = Gram.computeMulti(work, xCols, systems, lit(0), 1)(0)
+        active.zipWithIndex.foreach { case (i, si) =>
+          val g = grams(si)
           val nb = LinAlg.ridgeSolve(g.xtx, g.xty,
             1e-10 * (breeze.linalg.trace(g.xtx) / k + 1.0))
-          if (norm(nb - beta) < tol) done = true
-          beta = nb
+          if (norm(nb - betas(i)) < tol) done(i) = true
+          betas(i) = nb
         }
-        beta
       }
+      betas.toSeq
     } finally { proj.unpersist() }
   }
 }

@@ -25,12 +25,18 @@ object Rif {
     val y = col(outcome).cast("double")
     val g = col(groupCol).cast("string")
 
-    // pass 1: n, sample stddev, type-7 quantile per group
+    // pass 1: n, sample stddev, type-7 quantile per group. stddev_samp
+    // (and percentile on an all-null group) return null for n < 2 — read
+    // with null guards so single-row levels take the n<2 passthrough
+    // below instead of NPE-ing here (reference rif.rs returns the series
+    // unchanged for them)
     val stats = df.groupBy(g.as("g"))
       .agg(count(y).as("n"), stddev_samp(y).as("std"),
         expr(s"percentile($outcome, ${tau}D)").as("q"))
       .collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .map(r => (r.getString(0), (r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3))))
       .toMap
 
     // pass 2: IQR via the rif.rs ceil-index convention

@@ -15,33 +15,61 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Exact top-k by cosine. Physical plan: broadcast the corpus vectors,
-    * stream the queries once, keep a per-query top-k selection in a tight
-    * loop — no crossJoin materialization. Deterministic tie-break on
-    * corpus id. (At 100 TB the corpus side is blocked by IVF cells —
-    * [[ivfTopK]] — and this kernel runs per cell.) */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val cproj = corpus.select(col(idCol).cast("long"),
+  /** Deterministic id-hash blocking of an embedding table:
+    * (blockId, array of (id, vector, L2 norm) sorted by id). The building
+    * block of the exact distributed kernels ([[bruteForceTopK]],
+    * [[Dedup.embeddingNearDupPairs]]): block contents depend only on ids,
+    * never on partition layout, and each block is one task's working set
+    * (size ~n/nBlocks — pick nBlocks so a block fits in executor memory). */
+  private[ext] def vectorBlocks(df: DataFrame, idCol: String, vecCol: String,
+      nBlocks: Int): org.apache.spark.rdd.RDD[(Int, Array[(Long, Array[Double], Double)])] = {
+    require(nBlocks >= 1, "nBlocks must be >= 1")
+    val proj = df.select(col(idCol).cast("long"),
       transform(col(vecCol), x => x.cast("double")))
-    val corp = cproj.collect().map { r =>
+    proj.rdd.map { r =>
+      val id = r.getLong(0)
       val v = r.getSeq[Double](1).toArray
-      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
-    }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corp)
-    val qproj = queries.select(col(idCol).cast("long"),
-      transform(col(vecCol), x => x.cast("double")))
-    val rows = qproj.rdd.mapPartitions { it =>
-      val c = bc.value
-      it.flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Double](1).toArray
-        val qn = math.sqrt(qv.map(x => x * x).sum)
-        // (cosine desc, id asc) top-k
-        val best = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-          Ordering.by(t => (-t._1, t._2)))
-        c.foreach { case (cid, cv, cn) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (java.lang.Math.floorMod(id, nBlocks.toLong).toInt, (id, v, math.sqrt(s)))
+    }.groupByKey(nBlocks).mapValues(_.toArray.sortBy(_._1))
+  }
+
+  /** Exact top-k by cosine, fully distributed: the corpus is id-hash
+    * blocked ([[vectorBlocks]]), each (query partition, corpus block)
+    * task keeps a per-query top-k in a tight loop, and the bounded
+    * partial top-k lists (k rows per query per block) merge with
+    * reduceByKey. Nothing is collected to the driver and the result is
+    * exact with a deterministic (cosine desc, id asc) tie-break at any
+    * block count. O(|Q|*|C|) flops — the IVF path ([[ivfTopK]]) is the
+    * sub-linear candidate generator when that product is too big. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBlocks: Int = 16): DataFrame = {
+    val spark = queries.sparkSession
+    val cBlocks = vectorBlocks(corpus, idCol, vecCol, nBlocks)
+    val qChunks = queries.select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .rdd.mapPartitions { it =>
+        val a = it.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          (r.getLong(0), v, math.sqrt(s))
+        }.toArray
+        if (a.isEmpty) Iterator.empty else Iterator(a)
+      }
+    val topOrd: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    def mergeK(a: Array[(Double, Long)], b: Array[(Double, Long)]) =
+      (a ++ b).sorted(topOrd).take(k)
+    val partial = qChunks.cartesian(cBlocks).flatMap { case (qs, (_, block)) =>
+      qs.iterator.map { case (qid, qv, qn) =>
+        // (cosine desc, id asc) top-k within this block
+        val best = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(topOrd)
+        var ci = 0
+        while (ci < block.length) {
+          val (cid, cv, cn) = block(ci)
           if (cid != qid) {
             var dot = 0.0
             var i = 0
@@ -55,10 +83,14 @@ object Ann {
               }
             }
           }
+          ci += 1
         }
-        best.toSeq.sortBy(t => (-t._1, t._2)).zipWithIndex.map {
-          case ((cos, cid), i) => org.apache.spark.sql.Row(qid, i + 1, cid, cos)
-        }
+        (qid, best.toArray.sorted(topOrd))
+      }
+    }
+    val rows = partial.reduceByKey(mergeK).flatMap { case (qid, top) =>
+      top.iterator.zipWithIndex.map { case ((cos, cid), i) =>
+        org.apache.spark.sql.Row(qid, i + 1, cid, cos)
       }
     }
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(

@@ -49,16 +49,45 @@ object Dedup {
   }
 
   /** Exact pairwise Jaccard over shared-shingle candidates:
-    * (id_a < id_b, jaccard) for jaccard >= threshold. */
+    * (id_a < id_b, jaccard) for jaccard >= threshold.
+    *
+    * `maxShingleDf` is the standard inverted-index hot-key guard: shingles
+    * whose document frequency exceeds the cap are dropped from CANDIDATE
+    * GENERATION only (at 100 TB one stopword shingle would otherwise own
+    * the shuffle — its join key alone produces df^2 candidate rows). The
+    * reported Jaccard stays exact — intersections are recomputed on the
+    * candidate pairs over the FULL shingle sets — but pairs whose overlap
+    * consists solely of above-cap shingles are not discovered. Such pairs
+    * have jaccard <= cap-shingle overlap / union, so with a cap well above
+    * `threshold * min doc size` the miss set is empty; None disables the
+    * guard (exact candidates, test-scale default). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, "shingle")
+    val index = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shingle"))
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val a = index.select(col(idCol).as("id_a"), col("shingle"))
+    val b = index.select(col(idCol).as("id_b"), col("shingle"))
+    val candInter = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val inter = maxShingleDf match {
+      case None => candInter
+      case Some(_) =>
+        // capped index undercounts intersections; recompute them exactly
+        // over the full shingle sets, but only for the candidate pairs
+        candInter.select(col("id_a"), col("id_b"))
+          .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+          .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), "id_b")
+          .filter(col("shingle") === col("shingle_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.withColumnRenamed("sz", "sz_a"), col("id_a") === col(sizes.columns.head))
       .drop(sizes.columns.head)
@@ -130,13 +159,34 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming. */
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via
+    * pigeonhole banding: the 16-bit signature is split into
+    * `maxHamming + 1` contiguous chunks, so any pair within the Hamming
+    * budget agrees EXACTLY on at least one chunk (pigeonhole). Candidates
+    * come from an equi-join on (chunk index, chunk value) — a plain
+    * shuffled hash join that scales like LSH banding, not the O(n^2)
+    * broadcast-nested-loop of a `id_a < id_b` theta join — and are then
+    * verified with the exact bit_count. Lossless for maxHamming <= 15
+    * (maxHamming >= 16 on a 16-bit signature means "all pairs"). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "maxHamming must be in [0, 15] for a 16-bit signature")
     val s = simhash(df, idCol, textCol)
-    val a = s.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
-    val b = s.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    val nChunks = maxHamming + 1
+    val banded = (0 until nChunks).map { c =>
+      val lo = 16 * c / nChunks
+      val hi = 16 * (c + 1) / nChunks
+      val mask = (1L << (hi - lo)) - 1L
+      s.select(col(idCol), col("simhash"), lit(c).as("chunk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("ckey"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.simhash").as("h_a"), col("y.simhash").as("h_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -151,38 +201,47 @@ object Dedup {
     dot / (na * nb)
   }
 
-  /** Embedding near-duplicate pairs: pairwise cosine >= threshold.
-    * Physical plan: broadcast the (normalized) corpus vectors to every
-    * executor and stream the table once with a tight while-loop dot
-    * product per partition — O(n^2) flops but ONE scan, no 12M-row
-    * crossJoin materialization and no per-pair array allocation. The
-    * 100 TB path blocks candidates by LSH bucket first (Ann.ivfTopK /
-    * MinHash-style banding); this exact kernel then runs per block. */
+  /** Embedding near-duplicate pairs: EXACT pairwise cosine >= threshold,
+    * as a distributed block-pair kernel. The corpus is split into
+    * `nBlocks` blocks by id hash; every unordered block pair (i <= j)
+    * becomes one task that runs a tight while-loop dot product over the
+    * two in-memory blocks. Nothing is collected to the driver and no
+    * per-pair rows are materialized before the threshold filter: the
+    * O(n^2/2) flops are spread over nBlocks*(nBlocks+1)/2 tasks, each
+    * holding only 2n/nBlocks vectors — size nBlocks so a block fits in
+    * executor memory and the task count saturates the cluster. For
+    * sub-quadratic candidate generation at extreme scale, block first
+    * with [[Ann.ivfTopK]]'s quantizer cells or random-projection banding
+    * ([[simhashPairs]]-style) and accept the recall tradeoff; this
+    * operator is the exact path. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, nBlocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
-    val proj = df.select(col(idCol).cast("long"),
-      transform(col(vecCol), x => x.cast("double")))
-    val corpus = proj.collect().map { r =>
-      val v = r.getSeq[Double](1).toArray
-      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
-    }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    val pairs = proj.rdd.mapPartitions { it =>
-      val corp = bc.value
-      it.flatMap { r =>
-        val idA = r.getLong(0)
-        val va = r.getSeq[Double](1).toArray
-        val na = math.sqrt(va.map(x => x * x).sum)
-        corp.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
-          var dot = 0.0
-          var i = 0
-          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-          val cos = dot / (na * nb)
-          if (cos >= threshold) Some(Row(idA, idB, cos)) else None
+    val blocks = Ann.vectorBlocks(df, idCol, vecCol, nBlocks)
+    val pairs = blocks.cartesian(blocks)
+      .filter { case ((bi, _), (bj, _)) => bi <= bj }
+      .flatMap { case ((bi, left), (bj, right)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var ai = 0
+        while (ai < left.length) {
+          val (ida, va, na) = left(ai)
+          var ri = if (bi == bj) ai + 1 else 0
+          while (ri < right.length) {
+            val (idb, vb, nb) = right(ri)
+            if (ida != idb) {
+              var dot = 0.0
+              var i = 0
+              while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+              val cos = dot / (na * nb)
+              if (cos >= threshold)
+                out += (if (ida < idb) Row(ida, idb, cos) else Row(idb, ida, cos))
+            }
+            ri += 1
+          }
+          ai += 1
         }
+        out
       }
-    }
     spark.createDataFrame(pairs, StructType(Seq(
       StructField("id_a", LongType), StructField("id_b", LongType),
       StructField("cosine", DoubleType))))

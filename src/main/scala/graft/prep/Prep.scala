@@ -117,8 +117,18 @@ object Prep {
       d.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))
   }
 
-  /** Stable row id attached at ingest (P7): content-derived, not
-    * partition-derived, so it survives re-planning. */
-  def withRowId(df: DataFrame, idCol: String = "__row_id__"): DataFrame =
-    df.withColumn(idCol, monotonically_increasing_id())
+  /** Stable row id attached at ingest (P7): xxhash64 over ALL columns
+    * plus a per-duplicate ordinal ("hash-ordinal" string), so the id is
+    * content-derived and survives re-planning and repartitioning
+    * (`monotonically_increasing_id` is partition-derived and does NOT —
+    * a by-id mutation like P12 could mis-join after a re-plan). Rows with
+    * identical content are interchangeable, so their arbitrary ordinal
+    * order is harmless. The hash-partitioned window only sorts duplicate
+    * groups (tiny), never the whole table. Prefer a naturally unique key
+    * column when the data has one. */
+  def withRowId(df: DataFrame, idCol: String = "__row_id__"): DataFrame = {
+    val h = xxhash64(df.columns.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(h).orderBy(h)
+    df.withColumn(idCol, concat_ws("-", h, row_number().over(w)))
+  }
 }

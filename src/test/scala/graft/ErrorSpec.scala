@@ -68,4 +68,26 @@ class ErrorSpec extends SparkSpec {
         tolerance = 1e-15, maxIters = 1)
     }
   }
+
+  test("AKM connected-set iteration exhaustion raises ConvergenceFailed") {
+    // a 3-firm chain needs >1 label-propagation round to converge
+    val df = Seq(("w1", "f1"), ("w1", "f2"), ("w2", "f2"), ("w2", "f3"))
+      .toDF("worker", "firm")
+    assertThrows[ConvergenceFailed] {
+      graft.estimators.Akm.largestConnectedSet(df, "worker", "firm",
+        maxIters = 1)
+    }
+  }
+
+  test("withRowId is content-derived: stable across repartitioning") {
+    val df = Seq((1.0, "a"), (2.0, "b"), (2.0, "b"), (3.0, "c"))
+      .toDF("x", "s")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Prep.withRowId(d).select("__row_id__").collect()
+        .map(_.getString(0)).sorted.toSeq
+    val base = ids(df)
+    assert(base.distinct.size == 4) // duplicates get distinct ordinals
+    assert(ids(df.repartition(7)) == base)
+    assert(ids(df.coalesce(1)) == base)
+  }
 }

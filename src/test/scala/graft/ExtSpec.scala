@@ -47,10 +47,45 @@ class ExtSpec extends SparkSpec {
   }
 
   test("SimHash: identical docs at Hamming 0; related docs close") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    val pairsDf = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    val pairs = pairsDf
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((0L, 4L)) == 0)
     assert(pairs((0L, 1L)) <= 6) // one word changed out of nine
+    // pigeonhole banding is lossless: equals the all-pairs reference
+    val sig = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 8
+    } yield (a, b) -> h).toMap
+    assert(pairs == exact)
+    // and the candidates come from an equi-join, not an all-pairs loop
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("hot-shingle cap keeps Jaccard exact while pruning the hot key") {
+    // every doc shares the same 3-token opener (a "stopword shingle");
+    // docs 0/1 are near-dups through their OTHER shingles
+    val hot = Seq(
+      (0L, "breaking news today alpha beta gamma delta epsilon"),
+      (1L, "breaking news today alpha beta gamma delta zeta"),
+      (2L, "breaking news today completely different one two"),
+      (3L, "breaking news today unrelated words four five"),
+      (4L, "breaking news today more filler text six seven"),
+      (5L, "breaking news today yet another doc eight nine")
+    ).toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = toMapOf(Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.3))
+    val capped = toMapOf(Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.3,
+      maxShingleDf = Some(3L)))
+    assert(capped.contains((0L, 1L)))
+    // pairs linked ONLY through the hot opener sit far below threshold,
+    // so the capped result is identical — including the jaccard values,
+    // which are recomputed over the FULL shingle sets
+    assert(capped == uncapped)
   }
 
   test("embedding cosine near-dup and brute-force ANN agree") {
@@ -64,6 +99,26 @@ class ExtSpec extends SparkSpec {
     val topk = Ann.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(topk(0L) == 1L && topk(1L) == 0L && topk(2L) == 3L && topk(3L) == 2L)
+  }
+
+  test("block-pair kernels are exact and block-count invariant") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 120L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    def pairSet(nBlocks: Int) =
+      Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.5, nBlocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = pairSet(1)
+    assert(one.nonEmpty)
+    assert(pairSet(5) == one) // same pairs AND bit-identical cosines
+    def topSet(nBlocks: Int) =
+      Ann.bruteForceTopK(vecs.filter($"vec_id" < 8), vecs, "vec_id",
+          "embedding", 3, nBlocks)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val t1 = topSet(1)
+    assert(t1.size == 8 * 3)
+    assert(topSet(7) == t1)
   }
 
   test("IVF ANN achieves high recall@5 vs brute force") {

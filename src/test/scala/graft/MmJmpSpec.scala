@@ -63,6 +63,23 @@ class MmJmpSpec extends SparkSpec {
     assert(res.nA == 6 && res.nB == 6)
   }
 
+  test("Machado-Mata cap takes a deterministic partition-independent subsample") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      (5.0 + 0.5 * (i % 17) + rng.nextGaussian(), (i % 17).toDouble,
+        if (i % 2 == 0) "A" else "B")
+    }
+    val df = rows.toDF("wage", "education", "gender")
+    val cfg = MmConfig("wage", "gender", "B", predictors = Seq("education"),
+      quantiles = Seq(0.5), simulations = 30, bootstrapReps = 0, seed = 7L,
+      maxRowsPerGroup = 300)
+    val r1 = MachadoMata.run(df, cfg)
+    assert(r1.nA == 300 && r1.nB == 300) // the subsample path was exercised
+    // the hash-ordered top-K subsample does not depend on partition layout
+    val r2 = MachadoMata.run(df.repartition(13), cfg)
+    assert(r1.effects == r2.effects)
+  }
+
   test("JMP: raising group B wages by 5 in period 2 gives total change -5 (F10)") {
     val wage1 = Seq(10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0)
     val edu = Seq(12.0, 16.0, 14.0, 16.0, 18.0, 12.0, 16.0, 14.0, 16.0, 18.0)
