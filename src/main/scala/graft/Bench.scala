@@ -9,21 +9,32 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up JVM/session + parquet footers so the first timed query does
     // not absorb initialization cost
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
+    // a failed query is reported with a NEGATIVE elapsed time (and listed
+    // in "failed") — never silently folded into the timings
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: $e"); false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(t => math.abs(t._2)).sum
+    // the JSON goes out as the final stdout line, after all Spark logging
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

@@ -38,15 +38,22 @@ object Queries {
     predictors = Seq("l_quantity"))
 
   /** (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
-    * the equity queries assign a row id by row_number over ALL columns —
+    * the equity queries assign a row id by global rank over ALL columns —
     * ties are then full duplicates, interchangeable in both engines.
-    * (Harness-only device; the operators themselves take any unique id.) */
+    * Implemented as a range-partitioned sort + zipWithIndex (stays
+    * parallel) rather than an unpartitioned row_number window (which
+    * funnels the whole table through one task). Same total order as the
+    * oracle's row_number CTE. (Harness-only device; the operators
+    * themselves take any unique id.) */
   private def withRowId(df: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(
-      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-      col("l_quantity"), col("l_discount"), col("l_tax"),
-      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-    df.withColumn("row_id", row_number().over(w).cast("long"))
+    val sortCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate").map(col)
+    val sorted = df.sort(sortCols: _*)
+    val schema = sorted.schema.add("row_id", LongType, nullable = false)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rows, schema)
   }
 
   /** The row-id assignment is a global sort; cache it per (session, dir)
@@ -507,6 +514,58 @@ object Queries {
         Seq(res.totalGap,
           res.twoFold.find(_.name == "explained").get.estimate,
           res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
+    // G3 verify: apply the greedy budget-500k adjustments by row id, then
+    // re-run the pooled decomposition on the mutated frame
+    // (`engine/src/analysis.rs:40-96`, `verification_test.rs:8-115`).
+    "q_verify" -> ((s, d) => {
+      val li = liWithRowId(s, d)
+      val opt = Equity.optimize(li, equityCfg.copy(budget = 500000.0), "row_id")
+      val adj = opt.adjustments.filter(col("adjustment") > 1e-9)
+        .select(col("row_id"), col("adjustment"))
+      val res = Equity.verifyAdjustments(li, adj, "row_id", "adjustment",
+        equityCfg)
+      oneRow(s,
+        Seq("total_gap", "explained", "unexplained"),
+        Seq(res.totalGap,
+          res.twoFold.find(_.name == "explained").get.estimate,
+          res.twoFold.find(_.name == "unexplained").get.estimate))
+    }),
+
+    // G5 defensibility: judge each proposed adjustment against the fair
+    // model's prediction interval (`engine/src/defensibility.rs:9-388`).
+    "q_defensibility" -> ((s, d) => {
+      val li = liWithRowId(s, d)
+      val opt = Equity.optimize(li, equityCfg.copy(budget = 500000.0), "row_id")
+      val adj = opt.adjustments.filter(col("adjustment") > 1e-9)
+        .select(col("row_id"), col("adjustment"))
+      Equity.checkDefensibility(li, adj, None, "row_id", "adjustment", equityCfg)
+        .select(col("row_id"), r6(col("adjustment")).as("adjustment"),
+          r6(col("new_wage")).as("new_wage"),
+          r6(col("fair_wage")).as("fair_wage"),
+          r6(col("fair_wage_lower_bound")).as("fair_lower"),
+          col("is_defensible"))
+        .orderBy(col("row_id"))
+    }),
+
+    // D5/D6 Yun normalization over a pure-categorical design: per-group
+    // OLS on [1, RF_N, RF_R] has the closed cell-means form, so the
+    // normalized detailed decomposition (incl. the synthesized base-
+    // category row) is exactly SQL-expressible
+    // (`math/normalization.rs:53-112`, `builder.rs:634-674`).
+    "q_decomp_yun" -> ((s, d) => {
+      val res = Oaxaca.run(t(s, d, "lineitem"),
+        OaxacaConfig("l_extendedprice", "l_linestatus", "F",
+          predictors = Nil, categorical = Seq("l_returnflag"),
+          normalize = Seq("l_returnflag"), bootstrapReps = 0))
+      val unex = res.detailedUnexplained.map(c => c.name -> c.estimate).toMap
+      val rows = res.detailedExplained.map(c =>
+        Row(c.name, r6d(c.estimate), r6d(unex(c.name))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("variable", StringType),
+        StructField("explained", DoubleType),
+        StructField("unexplained", DoubleType)))).orderBy("variable")
     }),
 
     "q_g1_decompose" -> ((s, d) => {
@@ -997,6 +1056,107 @@ object Queries {
         |  round((a.xbar - b.xbar) * b.slope, 6) AS explained,
         |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * b.slope, 6) AS unexplained
         |FROM g a, g b WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin,
+
+    "q_verify" -> (fairCte +
+      """, pay AS (
+        |  SELECT row_id, least(diff,
+        |    greatest(0.0, 500000.0 - coalesce(prefix, 0.0))) AS pay
+        |  FROM (
+        |    SELECT row_id, diff,
+        |      sum(diff) OVER (ORDER BY diff DESC, row_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+        |    FROM pi WHERE diff > 1e-6
+        |  )
+        |), mut AS (
+        |  SELECT b.l_linestatus, b.l_quantity,
+        |    b.l_extendedprice + CASE WHEN coalesce(p.pay, 0.0) > 1e-9
+        |      THEN p.pay ELSE 0.0 END AS y
+        |  FROM base b LEFT JOIN pay p ON b.row_id = p.row_id
+        |), g AS (
+        |  SELECT l_linestatus AS lvl, avg(y) AS ybar, avg(l_quantity) AS xbar
+        |  FROM mut GROUP BY 1
+        |), p2 AS (
+        |  SELECT count(*) AS n, sum(l_quantity) AS sx,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sd,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_quantity * CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sxd,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS sdd,
+        |    sum(y) AS sy, sum(l_quantity * y) AS sxy,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN y ELSE 0.0 END) AS sdy
+        |  FROM mut
+        |), beta AS (
+        |  SELECT
+        |    ((sxy - sx * sy / n) * (sdd - sd * sd / n) - (sdy - sd * sy / n) * (sxd - sx * sd / n))
+        |    / ((sxx - sx * sx / n) * (sdd - sd * sd / n) - (sxd - sx * sd / n) * (sxd - sx * sd / n))
+        |      AS slope_star
+        |  FROM p2
+        |)
+        |SELECT round(a.ybar - b.ybar, 6) AS total_gap,
+        |  round((a.xbar - b.xbar) * beta.slope_star, 6) AS explained,
+        |  round((a.ybar - b.ybar) - (a.xbar - b.xbar) * beta.slope_star, 6) AS unexplained
+        |FROM g a, g b, beta WHERE a.lvl = 'O' AND b.lvl = 'F'""".stripMargin),
+
+    "q_defensibility" -> (fairCte +
+      """, pay AS (
+        |  SELECT row_id, least(diff,
+        |    greatest(0.0, 500000.0 - coalesce(prefix, 0.0))) AS pay
+        |  FROM (
+        |    SELECT row_id, diff,
+        |      sum(diff) OVER (ORDER BY diff DESC, row_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+        |    FROM pi WHERE diff > 1e-6
+        |  )
+        |)
+        |SELECT pi.row_id, round(p.pay, 6) AS adjustment,
+        |  round(pi.y + p.pay, 6) AS new_wage,
+        |  round(pi.fair, 6) AS fair_wage,
+        |  round(pi.fair - pi.margin, 6) AS fair_lower,
+        |  (pi.y + p.pay) >= (pi.fair - pi.margin) - 1.0 AS is_defensible
+        |FROM pi JOIN pay p ON pi.row_id = p.row_id
+        |WHERE p.pay > 1e-9 ORDER BY pi.row_id""".stripMargin),
+
+    "q_decomp_yun" ->
+      """WITH cells AS (
+        |  SELECT l_linestatus AS g, l_returnflag AS rf,
+        |         avg(l_extendedprice) AS m, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), gm AS (
+        |  SELECT g,
+        |    max(CASE WHEN rf = 'A' THEN m END) AS mA,
+        |    max(CASE WHEN rf = 'N' THEN m END) AS mN,
+        |    max(CASE WHEN rf = 'R' THEN m END) AS mR,
+        |    CAST(sum(CASE WHEN rf = 'N' THEN n ELSE 0 END) AS DOUBLE) / sum(n) AS shN,
+        |    CAST(sum(CASE WHEN rf = 'R' THEN n ELSE 0 END) AS DOUBLE) / sum(n) AS shR
+        |  FROM cells GROUP BY g
+        |), nb AS (
+        |  -- per-group OLS on [1, RF_N, RF_R] = cell means; Yun-normalize
+        |  -- over m = 3 levels (normalization.rs:5-51)
+        |  SELECT g,
+        |    mA + ((mN - mA) + (mR - mA)) / 3.0 AS icept,
+        |    (mN - mA) - ((mN - mA) + (mR - mA)) / 3.0 AS bN,
+        |    (mR - mA) - ((mN - mA) + (mR - mA)) / 3.0 AS bR,
+        |    -(((mN - mA) + (mR - mA)) / 3.0) AS bBase,
+        |    shN, shR, 1.0 - shN - shR AS shBase
+        |  FROM gm
+        |)
+        |SELECT variable, round(explained, 6) AS explained,
+        |  round(unexplained, 6) AS unexplained FROM (
+        |  SELECT 'intercept' AS variable, 0.0 AS explained,
+        |    a.icept - b.icept AS unexplained
+        |  FROM nb a, nb b WHERE a.g = 'O' AND b.g = 'F'
+        |  UNION ALL
+        |  SELECT 'l_returnflag_N', (a.shN - b.shN) * b.bN,
+        |    a.shN * (a.bN - b.bN)
+        |  FROM nb a, nb b WHERE a.g = 'O' AND b.g = 'F'
+        |  UNION ALL
+        |  SELECT 'l_returnflag_R', (a.shR - b.shR) * b.bR,
+        |    a.shR * (a.bR - b.bR)
+        |  FROM nb a, nb b WHERE a.g = 'O' AND b.g = 'F'
+        |  UNION ALL
+        |  SELECT 'l_returnflag_A', (a.shBase - b.shBase) * b.bBase,
+        |    a.shBase * (a.bBase - b.bBase)
+        |  FROM nb a, nb b WHERE a.g = 'O' AND b.g = 'F'
+        |) ORDER BY variable""".stripMargin,
 
     "q_g1_decompose" ->
       """WITH g AS (

@@ -32,7 +32,11 @@ object Dfl {
       df0.schema(p).dataType == org.apache.spark.sql.types.StringType)
     val numericPreds = predictors.filterNot(stringPreds.contains)
     val (dummied, infos) = Prep.oneHot(df0, stringPreds)
+    // the prepared frame feeds the logit IRLS iterations, group counts,
+    // min/max, two Silverman passes and three KDE passes — persist it once
     val df = Prep.withIntercept(dummied)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val xCols = Prep.InterceptCol +: (numericPreds ++ infos.flatMap(_.dummyCols))
 
     val levels = Prep.groupLevels(df, group)
@@ -76,5 +80,6 @@ object Dfl {
       densityB = Kde.onGrid(dfB, outcome, None, grid, bwB),
       densityBCounterfactual = Kde.onGrid(dfBw, outcome, Some("__dfl_w__"), grid, bwB),
       logitConverged = fit.converged)
+    } finally { df.unpersist(); () }
   }
 }

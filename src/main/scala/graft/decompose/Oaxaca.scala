@@ -276,12 +276,11 @@ object Oaxaca {
       val betaStar: DenseVector[Double] = cfg.refCoefficients match {
         case RefCoefficients.GroupA => betaA
         case RefCoefficients.Cotton =>
-          // weight-share uses the selected-row WEIGHT SUMS (reference
-          // builder.rs w.sum()), which equal the row counts only when
-          // unweighted; with cfg.weights or bootstrap replicate weights
-          // the two differ
-          val swA = fitA.swSelected
-          val swB = fitB.swSelected
+          // weight-share uses the FULL-group weight sums: the reference's
+          // w_a comes from prepare_data on the whole cleaned group frame
+          // (`builder.rs:592-599`), not the selection-filtered subset
+          val swA = fitA.swAll
+          val swB = fitB.swAll
           val wa = swA / (swA + swB)
           betaA * wa + betaB * (1.0 - wa)
         case _ => betaB
@@ -557,9 +556,13 @@ object Oaxaca {
         val betaStar: DenseVector[Double] = cfg.refCoefficients match {
           case RefCoefficients.GroupA => betaA
           case RefCoefficients.Cotton =>
-            val na = grams(0)(r).n.toDouble
-            val nb = grams(1)(r).n.toDouble
-            val wa = na / (na + nb)
+            // per-replicate FULL-group weight sums (zw_r aggregates all
+            // rows of the lane under the replicate's bootstrap weight) —
+            // matches the unbatched path's fit.swAll and the reference's
+            // full-group w.sum() (`builder.rs:592-599`)
+            val swA = zRows(0).getAs[Double](s"zw_$r")
+            val swB = zRows(1).getAs[Double](s"zw_$r")
+            val wa = swA / (swA + swB)
             betaA * wa + betaB * (1.0 - wa)
           case _ => betaB
         }

@@ -144,17 +144,25 @@ object Equity {
     * must uniquely identify rows (the engine's row index). */
   def optimize(df: DataFrame, cfg: EquityConfig, idCol: String): OptimizeResult = {
     val (dummied, xCols, names, split) = prepare(df, cfg)
-
     val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
       Prep.laneOf(split, cfg.group), 2, 0, 0L)
+    optimizePrepared(dummied, xCols, names, split, lanes, cfg, idCol)
+  }
+
+  /** [[optimize]] body on already-prepared inputs — lets [[Frontier]]
+    * share ONE prepare + Gram pass instead of re-running both. */
+  private[equity] def optimizePrepared(dummied: DataFrame, xCols: Seq[String],
+      names: Seq[String], split: Prep.GroupSplit,
+      lanes: Array[Array[GramResult]], cfg: EquityConfig,
+      idCol: String): OptimizeResult = {
     val gTarget = lanes(0)(0) // non-reference = target group
     val gRef = lanes(1)(0)
     val model = fitFairModel(gTarget, gRef, xCols, names, cfg)
 
-    // original gap via a pooled-reference decomposition (`analysis.rs:348-361`)
-    val originalGap = Oaxaca.run(df, OaxacaConfig(cfg.outcome, cfg.group,
-      cfg.reference, cfg.predictors, cfg.categorical,
-      refCoefficients = RefCoefficients.Pooled, bootstrapReps = 0)).totalGap
+    // original gap: the reference derives it from a full pooled
+    // decomposition (`analysis.rs:348-361`) whose total_gap is exactly
+    // the group mean difference — already in the Gram lanes, zero passes
+    val originalGap = gTarget.yMean - gRef.yMean
 
     val (lowerC, upperC) = model.intervalCols
     val fair = model.fairWageCol

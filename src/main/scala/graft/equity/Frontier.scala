@@ -32,18 +32,25 @@ object Frontier {
   def compute(df: org.apache.spark.sql.DataFrame, cfg: EquityConfig,
       idCol: String, maxBudget: Option[Double] = None,
       steps: Int = 50, paymentScale: Option[Int] = None): Seq[FrontierPoint] = {
+    // ONE prepare + Gram pass feeds the greedy allocation AND the pooled
+    // frontier design (previously optimize re-ran both internally); the
+    // prepared frame is persisted across its ~4 consumers
+    val (dummied0, xCols, names, split) = Equity.prepare(df, cfg)
+    val dummied = dummied0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
+      Prep.laneOf(split, cfg.group), 2, 0, 0L)
+
     // payments = greedy full-need allocation (budget = 0 -> auto)
-    val opt = Equity.optimize(df, cfg.copy(budget = 0.0,
-      strategy = AllocationStrategy.Greedy), idCol)
+    val opt = Equity.optimizePrepared(dummied, xCols, names, split, lanes,
+      cfg.copy(budget = 0.0, strategy = AllocationStrategy.Greedy), idCol)
     val totalNeed = opt.metrics.requiredBudget
     val maxB = maxBudget.getOrElse(totalNeed * 1.1)
     val safeMax = if (maxB < 1e-9) 1000.0 else maxB
     val stepSize = safeMax / steps.toDouble
 
     // pooled design [intercept, dummy(target=1), predictors...]
-    val (dummied, xCols, _, split) = Equity.prepare(df, cfg)
-    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
-      Prep.laneOf(split, cfg.group), 2, 0, 0L)
     val ga = lanes(0)(0) // target (dummy = 1)
     val gb = lanes(1)(0) // reference (dummy = 0)
     val k = ga.k + 1     // + dummy
@@ -139,5 +146,6 @@ object Frontier {
       val (ts, p, sig) = statAt(xty, yy)
       FrontierPoint(budget, ts, p, sig)
     }
+    } finally { dummied.unpersist(); () }
   }
 }

@@ -114,33 +114,43 @@ object Akm {
       if (n <= bcastLimit) broadcast(d) else d
 
     // --- zig-zag demeaning of all vectors at once (`akm.rs:452-527`) ---
+    // Convergence is tested every `checkEvery` iterations (linear-rate
+    // loop, so at most checkEvery-1 surplus iterations past the fixpoint)
+    // — non-check iterations carry no prev columns and run no diff scan,
+    // cutting the per-iteration action count by ~a third.
+    val checkEvery = 3
     var cur = obs
     var iter = 0
     var maxDiff = tol + 1.0
     while (maxDiff > tol && iter < maxIters) {
       iter += 1
-      val prevCols = vecCols.map(c => col(c).as(s"${c}p"))
-      val withPrev = cur.select((col("w") +: col("f") +: (vecCols.map(col) ++ prevCols)): _*)
+      val check = iter % checkEvery == 0 || iter == maxIters
+      val withPrev =
+        if (check) cur.select((col("w") +: col("f") +:
+          (vecCols.map(col) ++ vecCols.map(c => col(c).as(s"${c}p")))): _*)
+        else cur
+      val keepPrev: Seq[org.apache.spark.sql.Column] =
+        if (check) vecCols.map(c => col(s"${c}p")) else Nil
       val wMeans = withPrev.groupBy(col("w"))
         .agg(vecCols.map(c => avg(col(c)).as(s"${c}m")).head,
           vecCols.tail.map(c => avg(col(c)).as(s"${c}m")): _*)
       val deW = withPrev.join(maybeBroadcast(wMeans, nWorkers), "w")
         .select((col("w") +: col("f") +:
-          (vecCols.map(c => (col(c) - col(s"${c}m")).as(c)) ++
-            vecCols.map(c => col(s"${c}p")))): _*)
+          (vecCols.map(c => (col(c) - col(s"${c}m")).as(c)) ++ keepPrev)): _*)
       val fMeans = deW.groupBy(col("f"))
         .agg(vecCols.map(c => avg(col(c)).as(s"${c}m")).head,
           vecCols.tail.map(c => avg(col(c)).as(s"${c}m")): _*)
       val deF = deW.join(maybeBroadcast(fMeans, nFirms), "f")
         .select((col("w") +: col("f") +:
-          (vecCols.map(c => (col(c) - col(s"${c}m")).as(c)) ++
-            vecCols.map(c => col(s"${c}p")))): _*)
+          (vecCols.map(c => (col(c) - col(s"${c}m")).as(c)) ++ keepPrev)): _*)
         .localCheckpoint()
-      val diffs = deF.agg(
-        vecCols.map(c => sum(pow(col(c) - col(s"${c}p"), 2)).as(s"${c}d")).head,
-        vecCols.tail.map(c => sum(pow(col(c) - col(s"${c}p"), 2)).as(s"${c}d")): _*)
-        .head()
-      maxDiff = vecCols.indices.map(i => math.sqrt(diffs.getDouble(i))).max
+      if (check) {
+        val diffs = deF.agg(
+          vecCols.map(c => sum(pow(col(c) - col(s"${c}p"), 2)).as(s"${c}d")).head,
+          vecCols.tail.map(c => sum(pow(col(c) - col(s"${c}p"), 2)).as(s"${c}d")): _*)
+          .head()
+        maxDiff = vecCols.indices.map(i => math.sqrt(diffs.getDouble(i))).max
+      }
       cur = deF.select((col("w") +: col("f") +: vecCols.map(col)): _*)
     }
     if (iter >= maxIters)
@@ -172,26 +182,39 @@ object Akm {
       .withColumn("__p__", lit(0.0)).localCheckpoint()
     var feDiff = tol + 1.0
     var feIter = 0
+    // same every-checkEvery convergence cadence as the zig-zag loop:
+    // non-check iterations skip the old-value joins and the diff action
     while (feDiff > tol && feIter < maxIters) {
       feIter += 1
+      val check = feIter % checkEvery == 0 || feIter == maxIters
       val aNew = withR.join(maybeBroadcast(psi, nFirms), "f").groupBy(col("w"))
         .agg(avg(col("__r__") - col("__p__")).as("__a2__"))
-      val aJ = alpha.join(aNew, "w")
-        .select(col("w"), col("__a2__").as("__a__"),
-          pow(col("__a2__") - col("__a__"), 2).as("__d__"))
-        .localCheckpoint()
-      val pNew = withR.join(maybeBroadcast(aJ.select(col("w"), col("__a__")), nWorkers), "w")
-        .groupBy(col("f")).agg(avg(col("__r__") - col("__a__")).as("__p2__"))
-      val pJ = psi.join(pNew, "f")
-        .select(col("f"), col("__p2__").as("__p__"),
-          pow(col("__p2__") - col("__p__"), 2).as("__d__"))
-        .localCheckpoint()
-      // one action for both step-size sums (the inputs are checkpointed)
-      val dSum = aJ.select(col("__d__")).unionByName(pJ.select(col("__d__")))
-        .agg(sum(col("__d__"))).head().getDouble(0)
-      feDiff = math.sqrt(dSum)
-      alpha = aJ.select(col("w"), col("__a__"))
-      psi = pJ.select(col("f"), col("__p__"))
+      if (check) {
+        val aJ = alpha.join(aNew, "w")
+          .select(col("w"), col("__a2__").as("__a__"),
+            pow(col("__a2__") - col("__a__"), 2).as("__d__"))
+          .localCheckpoint()
+        val pNew = withR.join(maybeBroadcast(aJ.select(col("w"), col("__a__")), nWorkers), "w")
+          .groupBy(col("f")).agg(avg(col("__r__") - col("__a__")).as("__p2__"))
+        val pJ = psi.join(pNew, "f")
+          .select(col("f"), col("__p2__").as("__p__"),
+            pow(col("__p2__") - col("__p__"), 2).as("__d__"))
+          .localCheckpoint()
+        // one action for both step-size sums (the inputs are checkpointed)
+        val dSum = aJ.select(col("__d__")).unionByName(pJ.select(col("__d__")))
+          .agg(sum(col("__d__"))).head().getDouble(0)
+        feDiff = math.sqrt(dSum)
+        alpha = aJ.select(col("w"), col("__a__"))
+        psi = pJ.select(col("f"), col("__p__"))
+      } else {
+        val aC = aNew.select(col("w"), col("__a2__").as("__a__"))
+          .localCheckpoint()
+        val pC = withR.join(maybeBroadcast(aC, nWorkers), "w")
+          .groupBy(col("f")).agg(avg(col("__r__") - col("__a__")).as("__p__"))
+          .localCheckpoint()
+        alpha = aC
+        psi = pC
+      }
     }
     if (feIter >= maxIters)
       throw ConvergenceFailed(

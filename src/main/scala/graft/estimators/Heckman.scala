@@ -26,7 +26,8 @@ final case class HeckmanFit(
     nSelected: Long,
     n: Long,
     probitConverged: Boolean,
-    swSelected: Double)                  // selected-row weight sum (= nSelected unweighted)
+    swSelected: Double,                  // selected-row weight sum (= nSelected unweighted)
+    swAll: Double)                       // full-group weight sum (= n unweighted)
 
 object Heckman {
 
@@ -74,6 +75,6 @@ object Heckman {
 
     HeckmanFit(gamma, fit.beta, fit.beta(augCols.size - 1),
       xMeans(augCols.size - 1), imrDelta, xMeans, zMeans,
-      nSel, zRow.getLong(selXCols.size + 1), probit.converged, swSel)
+      nSel, zRow.getLong(selXCols.size + 1), probit.converged, swSel, swAll)
   }
 }

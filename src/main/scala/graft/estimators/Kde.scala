@@ -42,26 +42,35 @@ object Kde {
   }
 
   /** Silverman's rule with the kde.rs index convention:
-    * q1 = sorted[floor(0.25 n)], q3 = sorted[floor(0.75 n)] (0-based). */
+    * q1 = sorted[floor(0.25 n)], q3 = sorted[floor(0.75 n)] (0-based).
+    * Both ranks come from ONE distributed sort (the `wanted`-set pattern
+    * of `Rif.transformPerGroup`), not one sort per quartile. */
   def silverman(df: DataFrame, valueCol: String): Double = {
     val v = col(valueCol).cast("double")
     val row = df.agg(count(v).as("n"), avg(v).as("mean"),
       var_samp(v).as("var")).head()
     val n = row.getLong(0)
     val std = math.sqrt(row.getDouble(2))
-    val q1 = elementAtIndex(df, valueCol, (n * 0.25).toLong)
-    val q3 = elementAtIndex(df, valueCol, (n * 0.75).toLong)
-    val a = math.min(std, (q3 - q1) / 1.34)
+    val i1 = math.max((n * 0.25).toLong, 0L)
+    val i3 = math.max((n * 0.75).toLong, 0L)
+    val qs = elementsAtIndices(df, valueCol, Set(i1, i3))
+    val a = math.min(std, (qs(i3) - qs(i1)) / 1.34)
     0.9 * a * math.pow(n.toDouble, -0.2)
   }
 
-  /** 0-based element of the sorted column; distributed sort +
-    * zipWithIndex, no driver collect of the data. */
-  def elementAtIndex(df: DataFrame, valueCol: String, idx: Long): Double = {
-    val i = math.max(idx, 0L)
+  /** 0-based elements of the sorted column at the given ranks; one
+    * distributed sort + zipWithIndex, no driver collect of the data. */
+  def elementsAtIndices(df: DataFrame, valueCol: String,
+      idxs: Set[Long]): Map[Long, Double] = {
+    val wanted = idxs.map(math.max(_, 0L))
     df.select(col(valueCol).cast("double")).sort(col(valueCol))
-      .rdd.zipWithIndex().filter(_._2 == i).map(_._1.getDouble(0)).first()
+      .rdd.zipWithIndex().filter(t => wanted.contains(t._2))
+      .map(t => t._2 -> t._1.getDouble(0)).collect().toMap
   }
+
+  /** 0-based element of the sorted column. */
+  def elementAtIndex(df: DataFrame, valueCol: String, idx: Long): Double =
+    elementsAtIndices(df, valueCol, Set(math.max(idx, 0L)))(math.max(idx, 0L))
 
   def gaussianCol(u: Column): Column =
     lit(InvSqrt2Pi) * exp(u * u * lit(-0.5))

@@ -100,12 +100,27 @@ object QuantileReg {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val k = xCols.size
-      val olsBeta = {
-        val g = Gram.compute(proj, yCol, xCols)
-        LinAlg.solveLeastSquares(g.xtx, g.xty)
-      }
+      // Warm start: driver-side IRLS per tau on a deterministic
+      // hash-ordered subsample (partition-independent — the same device
+      // as MachadoMata's row cap). The distributed loop below then only
+      // needs a handful of refinement scans instead of ~25-30 from an
+      // OLS start; the converged fixed point is unchanged (the IRLS
+      // limit does not depend on the starting beta), so goldens and the
+      // dist==local spec are unaffected. Constant driver cost at any SF.
+      val warmN = 20000
+      val hash = xxhash64((yCol +: xCols).map(col): _*)
+      val sampleRows = proj.orderBy(hash).limit(warmN)
+        .select((col(yCol) +: xCols.map(col)): _*).collect()
       val nT = taus.size
-      val betas = Array.fill(nT)(olsBeta)
+      val betas: Array[DenseVector[Double]] =
+        if (sampleRows.length > k + 1) {
+          val ys = sampleRows.map(_.getDouble(0))
+          val xs = sampleRows.map(r => Array.tabulate(k)(i => r.getDouble(i + 1)))
+          taus.map(t => fitLocal(xs, ys, t)).toArray
+        } else {
+          val g = Gram.compute(proj, yCol, xCols)
+          Array.fill(nT)(LinAlg.solveLeastSquares(g.xtx, g.xty))
+        }
       val done = Array.fill(nT)(false)
       var iter = 0
       while (iter < maxIter && done.contains(false)) {

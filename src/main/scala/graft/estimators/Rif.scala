@@ -49,17 +49,24 @@ object Rif {
       math.min(if (i == 0) 0 else i - 1, n - 1) // 0-based
     }
     val bandwidths = stats.map { case (lvl, (n, std, _)) =>
-      val sorted = df.filter(g === lit(lvl)).select(y.as("y"))
-        .sort(col("y")).rdd.zipWithIndex()
-      val wanted = Set(rifIdx(n, 0.25), rifIdx(n, 0.75))
-      val vals = sorted.filter(t => wanted.contains(t._2))
-        .map(t => t._2 -> t._1.getDouble(0)).collect().toMap
-      val q25 = vals(rifIdx(n, 0.25))
-      val q75 = vals(rifIdx(n, 0.75))
-      val iqr = q75 - q25
-      val minSpread0 = if (iqr > 1e-8) math.min(std, iqr / 1.34) else std
-      val minSpread = if (minSpread0 < 1e-8) 1.0 else minSpread0
-      lvl -> 0.9 * minSpread * math.pow(n.toDouble, -0.2)
+      if (n < 2) {
+        // these groups take the passthrough in the final expression —
+        // skip the sort job (and the rifIdx(0,.) = -1 lookup an
+        // all-null-outcome group would hit); any positive placeholder works
+        lvl -> 1.0
+      } else {
+        val sorted = df.filter(g === lit(lvl)).select(y.as("y"))
+          .sort(col("y")).rdd.zipWithIndex()
+        val wanted = Set(rifIdx(n, 0.25), rifIdx(n, 0.75))
+        val vals = sorted.filter(t => wanted.contains(t._2))
+          .map(t => t._2 -> t._1.getDouble(0)).collect().toMap
+        val q25 = vals(rifIdx(n, 0.25))
+        val q75 = vals(rifIdx(n, 0.75))
+        val iqr = q75 - q25
+        val minSpread0 = if (iqr > 1e-8) math.min(std, iqr / 1.34) else std
+        val minSpread = if (minSpread0 < 1e-8) 1.0 else minSpread0
+        lvl -> 0.9 * minSpread * math.pow(n.toDouble, -0.2)
+      }
     }
 
     // pass 3: one-point density at q_tau per group

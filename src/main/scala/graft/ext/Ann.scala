@@ -43,7 +43,12 @@ object Ann {
     * reduceByKey. Nothing is collected to the driver and the result is
     * exact with a deterministic (cosine desc, id asc) tie-break at any
     * block count. O(|Q|*|C|) flops — the IVF path ([[ivfTopK]]) is the
-    * sub-linear candidate generator when that product is too big. */
+    * sub-linear candidate generator when that product is too big.
+    *
+    * `idCol` must be unique on BOTH sides: the reduceByKey merge keys on
+    * the query id, so duplicate query ids would be merged into one top-k
+    * list instead of getting independent ranked lists (and duplicate
+    * corpus ids would be indistinguishable in the output). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nBlocks: Int = 16): DataFrame = {
     val spark = queries.sparkSession

@@ -118,17 +118,22 @@ object Prep {
   }
 
   /** Stable row id attached at ingest (P7): xxhash64 over ALL columns
-    * plus a per-duplicate ordinal ("hash-ordinal" string), so the id is
+    * plus a per-group ordinal ("hash-ordinal" string), so the id is
     * content-derived and survives re-planning and repartitioning
     * (`monotonically_increasing_id` is partition-derived and does NOT —
-    * a by-id mutation like P12 could mis-join after a re-plan). Rows with
-    * identical content are interchangeable, so their arbitrary ordinal
-    * order is harmless. The hash-partitioned window only sorts duplicate
-    * groups (tiny), never the whole table. Prefer a naturally unique key
-    * column when the data has one. */
+    * a by-id mutation like P12 could mis-join after a re-plan). Ordinals
+    * within a hash group are ordered by the full column list, so two
+    * DISTINCT rows that collide on the 64-bit hash (expected in the
+    * thousands at ~1e12 rows) still get content-deterministic ids; rows
+    * with fully identical content are interchangeable, so their arbitrary
+    * relative order is harmless. Cost: one hash-partitioned shuffle of
+    * the table; each partition's sort only has to separate same-hash
+    * groups, which are O(1)-sized. Prefer a naturally unique key column
+    * when the data has one. */
   def withRowId(df: DataFrame, idCol: String = "__row_id__"): DataFrame = {
     val h = xxhash64(df.columns.map(col): _*)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(h).orderBy(h)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(h).orderBy(df.columns.map(col): _*)
     df.withColumn(idCol, concat_ws("-", h, row_number().over(w)))
   }
 }
