@@ -65,6 +65,13 @@ object Queries {
       withRowId(t(s, d, "lineitem"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Bench hook: drop the shared row-id materialization so every timed
+    * run pays its own full cost (no cross-query state). */
+  def clearSessionCaches(): Unit = {
+    rowIdCache.values.foreach(_.unpersist(false))
+    rowIdCache.clear()
+  }
+
   private val rowIdCte =
     """base AS (
       |  SELECT *, CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber,
