@@ -73,8 +73,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
+    // stop Spark FIRST: its shutdown logging otherwise lands after our
+    // line, and sbt's [info] logger mangles anything mid-run — the bare
+    // JSON must be the very last stdout line (and goes to stderr too) so
+    // the driver's parser gets a clean shot
+    spark.stop()
+    System.err.println(json)
+    System.err.flush()
     println(json)
     Console.out.flush()
-    spark.stop()
   }
 }

@@ -159,7 +159,17 @@ object Oaxaca {
 
     if (cfg.selectionOutcome.isDefined)
       return runHeckman(dummied, split, xCols, names, cfg)
+    runPrepared(dummied, split, xCols, names, dummyInfos, cfg)
+  }
 
+  /** [[run]] body on an already cleaned/dummied/intercepted frame — lets
+    * the equity layer (G3 verify) decompose a MUTATED copy of a frame it
+    * has already prepared without re-running clean/one-hot/split. The
+    * split's level labels must match `dummied`'s group column (mutating
+    * the outcome never changes them). */
+  private[graft] def runPrepared(dummied: DataFrame, split: Prep.GroupSplit,
+      xCols: Seq[String], names: Seq[String], dummyInfos: Seq[Prep.DummyInfo],
+      cfg: OaxacaConfig): OaxacaResults = {
     val (gramInput, repWeightCols) = cfg.bootstrapMode match {
       case BootstrapMode.Multinomial if cfg.bootstrapReps > 0 =>
         multinomialWeights(dummied, split, xCols, cfg)
@@ -251,7 +261,7 @@ object Oaxaca {
     // content hash over the model columns only (keeps column pruning)
     val hashCol = xxhash64((col(cfg.outcome) +: col(cfg.group) +:
       (xCols ++ selX).distinct.map(col)): _*)
-    val pois = udf((h: Long, s: Long) => Gram.poisson1(Gram.mix(h, s)))
+    val pois = graft.functions.PoissonDraw.apply _
 
     def pass(rep: Int): SinglePass = {
       val (dfA, dfB, wName) =
@@ -495,7 +505,7 @@ object Oaxaca {
     val baseW = cfg.weights.map(col(_).cast("double")).getOrElse(lit(1.0))
     val hashCol = xxhash64((col(cfg.outcome) +: col(cfg.group) +:
       (xCols ++ selX).distinct.map(col)): _*)
-    val pois = udf((h: Long, s: Long) => Gram.poisson1(Gram.mix(h, s)))
+    val pois = graft.functions.PoissonDraw.apply _
 
     var withW = dummied.withColumn("__bw_0", baseW)
     (1 to nReps).foreach { r =>

@@ -102,10 +102,15 @@ final case class OptimizeResult(
 
 object Equity {
 
+  /** Prepared equity inputs: cleaned/dummied/intercepted frame, design
+    * columns, group split, one-hot metadata. */
+  private[graft] final case class EquityPrep(
+      dummied: DataFrame, xCols: Seq[String], names: Seq[String],
+      split: Prep.GroupSplit, infos: Seq[Prep.DummyInfo])
+
   /** Shared prep: clean, dummy-encode, intercept-first design (the
     * engine's prepare_data layout), two-group split. */
-  private[equity] def prepare(df: DataFrame, cfg: EquityConfig)
-      : (DataFrame, Seq[String], Seq[String], Prep.GroupSplit) = {
+  private[graft] def prepare(df: DataFrame, cfg: EquityConfig): EquityPrep = {
     val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++ cfg.categorical
     // engine layer: strict Float64 casts with non-numeric rejection
     // (`engine/src/analysis.rs:14-35`)
@@ -114,10 +119,29 @@ object Equity {
     val (dummied0, infos) = Prep.oneHot(cleaned, cfg.categorical)
     val dummied = Prep.withIntercept(dummied0)
     val xCols = Prep.designCols(cfg.predictors, infos)
-    (dummied, xCols, Prep.designNames(xCols), Prep.splitGroups(dummied, cfg.group, cfg.reference))
+    EquityPrep(dummied, xCols, Prep.designNames(xCols),
+      Prep.splitGroups(dummied, cfg.group, cfg.reference), infos)
   }
 
-  private[equity] def fitFairModel(gTarget: GramResult, gRef: GramResult,
+  /** One prepare + one Gram pass — the shared front half of every
+    * G2/G3/G4/G5 composition. `persistDummied` caches the prepared frame
+    * for callers that consume it 3+ times (the G3/G5/G4 compositions);
+    * plain optimize reads it only twice and a cache write would cost
+    * more than the saved re-scan. Callers that persist unpersist. */
+  private[graft] def prepareAndGram(df: DataFrame, cfg: EquityConfig,
+      persistDummied: Boolean = false)
+      : (EquityPrep, Array[Array[GramResult]]) = {
+    val p0 = prepare(df, cfg)
+    val p =
+      if (persistDummied) p0.copy(dummied = p0.dummied.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else p0
+    val lanes = Gram.computeGrouped(p.dummied, cfg.outcome, p.xCols, None,
+      Prep.laneOf(p.split, cfg.group), 2, 0, 0L)
+    (p, lanes)
+  }
+
+  private[graft] def fitFairModel(gTarget: GramResult, gRef: GramResult,
       xCols: Seq[String], names: Seq[String], cfg: EquityConfig): FairModel = {
     val gFit = cfg.target match {
       case OptimizationTarget.Reference => gRef
@@ -143,15 +167,13 @@ object Equity {
   /** G2 `optimize_inner` (`engine/src/analysis.rs:309-869`). `idCol`
     * must uniquely identify rows (the engine's row index). */
   def optimize(df: DataFrame, cfg: EquityConfig, idCol: String): OptimizeResult = {
-    val (dummied, xCols, names, split) = prepare(df, cfg)
-    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
-      Prep.laneOf(split, cfg.group), 2, 0, 0L)
-    optimizePrepared(dummied, xCols, names, split, lanes, cfg, idCol)
+    val (p, lanes) = prepareAndGram(df, cfg)
+    optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes, cfg, idCol)
   }
 
   /** [[optimize]] body on already-prepared inputs — lets [[Frontier]]
     * share ONE prepare + Gram pass instead of re-running both. */
-  private[equity] def optimizePrepared(dummied: DataFrame, xCols: Seq[String],
+  private[graft] def optimizePrepared(dummied: DataFrame, xCols: Seq[String],
       names: Seq[String], split: Prep.GroupSplit,
       lanes: Array[Array[GramResult]], cfg: EquityConfig,
       idCol: String): OptimizeResult = {
@@ -180,18 +202,31 @@ object Equity {
     val eligibleC =
       when(isTarget, diffC > 1e-6 && gapPct >= cfg.minGapPct)
         .otherwise(lit(cfg.adjustBoth) && diffC > 1e-6 && gapPct >= cfg.minGapPct)
-    val keep =
-      if (cfg.forensic) lit(true)
-      else if (cfg.adjustBoth) diffC > 1e-6 && gapPct >= cfg.minGapPct
-      else isTarget && diffC > 1e-6 && gapPct >= cfg.minGapPct
 
-    val annotated = dummied
-      .withColumn("__diff__", diffC)
-      .withColumn("__fair__", fair)
-      .withColumn("__lower__", lowerC)
-      .withColumn("__upper__", upperC)
-      .withColumn("__eligible__", eligibleC)
-      .withColumn("__is_target__", isTarget)
+    // The annotated frame feeds ~4 executions (the sums aggregate, the
+    // prefix-sum's approxQuantile + bucket-totals passes, and the final
+    // allocation plan) — persist it for the life of the call so the
+    // underlying scan + PI arithmetic run once, not per consumer. It is
+    // deliberately NARROW (id, group, outcome + 6 derived doubles, NOT
+    // the full design frame): the cache write is what you pay per row,
+    // and everything downstream needs only these columns.
+    val annotated = dummied.select(
+        col(idCol), col(cfg.group), col(cfg.outcome),
+        diffC.as("__diff__"),
+        fair.as("__fair__"),
+        lowerC.as("__lower__"),
+        upperC.as("__upper__"),
+        eligibleC.as("__eligible__"),
+        isTarget.as("__is_target__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // predicates over the materialized columns (same arithmetic as
+    // eligibleC/keep above, but reading the cached values)
+    val gapPctM = when(abs(actual) > 1e-6, col("__diff__") / actual).otherwise(0.0)
+    val keepM =
+      if (cfg.forensic) lit(true)
+      else if (cfg.adjustBoth) col("__diff__") > 1e-6 && gapPctM >= cfg.minGapPct
+      else col("__is_target__") && col("__diff__") > 1e-6 && gapPctM >= cfg.minGapPct
+    try {
 
     val sums = annotated.agg(
       sum(when(col("__is_target__"), col("__diff__")).otherwise(0.0)).as("net_b"),
@@ -203,7 +238,7 @@ object Equity {
     val effectiveBudget =
       if (cfg.budget > 0.0) cfg.budget else totalNeed * 1.00001
 
-    val candidates = annotated.filter(keep)
+    val candidates = annotated.filter(keepM)
     val paid = cfg.strategy match {
       case AllocationStrategy.Greedy =>
         val eligible = candidates.filter(col("__eligible__"))
@@ -224,6 +259,9 @@ object Equity {
           when(col("__eligible__"), col("__diff__") * lit(ratio)).otherwise(0.0))
     }
 
+    // lazy: every caller consumes the allocation exactly once, so its
+    // sort+window executes once at the caller's action (the internal
+    // aggregates above all read the cached `annotated`)
     val adjustments = paid.select(
       col(idCol),
       g.as("group_level"),
@@ -237,7 +275,10 @@ object Equity {
       col("__eligible__").as("is_eligible"))
       .orderBy(col(idCol))
 
-    val totalCost = adjustments.agg(sum(col("adjustment"))).head().getDouble(0)
+    // both strategies pay out exactly min(budget, total need) by
+    // construction — no second pass over the allocation needed
+    val totalCost =
+      if (totalNeed > 0.0) math.min(effectiveBudget, totalNeed) else 0.0
     val newGap = if (nTarget > 0.0) originalGap + totalCost / nTarget else originalGap
     val origUnexp = if (nTarget > 0.0) -netResidualSumB / nTarget else 0.0
     val newUnexp = if (nTarget > 0.0)
@@ -247,6 +288,7 @@ object Equity {
       OptimizeMetrics(totalCost, originalGap, newGap, origUnexp, newUnexp,
         totalNeed, names.zipWithIndex.map { case (n, i) => n -> model.beta(i) }),
       model)
+    } finally { annotated.unpersist(blocking = false); () }
   }
 
   /** Per-feature contribution columns x_j * beta_j (`analysis.rs:723-742`). */
@@ -265,6 +307,44 @@ object Equity {
     Oaxaca.run(mutated, OaxacaConfig(cfg.outcome, cfg.group, cfg.reference,
       cfg.predictors, cfg.categorical,
       refCoefficients = RefCoefficients.Pooled, bootstrapReps = bootstrapReps))
+  }
+
+  /** [[verifyAdjustments]] on an already-prepared frame: mutates the
+    * prepared outcome in place and decomposes via [[Oaxaca.runPrepared]]
+    * — no second clean/one-hot/split pass. Mutating the outcome never
+    * changes group labels or design columns, so the prepared metadata
+    * stays valid; only the split's frames are re-derived (lazily, no
+    * action) from the mutated frame for the Multinomial-bootstrap path. */
+  private[graft] def verifyPrepared(p: EquityPrep, adjustments: DataFrame,
+      idCol: String, deltaCol: String, cfg: EquityConfig,
+      bootstrapReps: Int = 0): OaxacaResults = {
+    val mutated = applyDeltas(p.dummied, adjustments, idCol, deltaCol, cfg.outcome)
+    val g = col(cfg.group).cast("string")
+    val mutSplit = Prep.GroupSplit(p.split.levelA, p.split.levelB,
+      mutated.filter(g === lit(p.split.levelA)),
+      mutated.filter(g === lit(p.split.levelB)),
+      g === lit(p.split.levelA))
+    Oaxaca.runPrepared(mutated, mutSplit, p.xCols, p.names, p.infos,
+      OaxacaConfig(cfg.outcome, cfg.group, cfg.reference, cfg.predictors,
+        cfg.categorical, refCoefficients = RefCoefficients.Pooled,
+        bootstrapReps = bootstrapReps))
+  }
+
+  /** G2+G3 composed: ONE prepare + Gram + allocation is shared between
+    * the optimizer and the verification decomposition — the previous
+    * composition ran prepare and the Gram pass twice
+    * (`engine/src/analysis.rs:40-96` + `:309-869`). */
+  def optimizeAndVerify(df: DataFrame, cfg: EquityConfig, idCol: String,
+      minPay: Double = 1e-9,
+      bootstrapReps: Int = 0): (OptimizeResult, OaxacaResults) = {
+    val (p, lanes) = prepareAndGram(df, cfg)
+    try {
+      val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
+        cfg, idCol)
+      val adj = opt.adjustments.filter(col("adjustment") > minPay)
+        .select(col(idCol), col("adjustment"))
+      (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
+    } finally { p.dummied.unpersist(blocking = false); () }
   }
 
   /** P12: outcome := outcome + delta for matching row ids (broadcast
@@ -299,17 +379,25 @@ object Equity {
             .drop(s"__ov_$p")
         }
     }
-    val (dummied, xCols, names, split) = prepare(overridden, cfg)
-    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
-      Prep.laneOf(split, cfg.group), 2, 0, 0L)
-    val model = fitFairModel(lanes(0)(0), lanes(1)(0), xCols, names,
+    val p = prepare(overridden, cfg)
+    val lanes = Gram.computeGrouped(p.dummied, cfg.outcome, p.xCols, None,
+      Prep.laneOf(p.split, cfg.group), 2, 0, 0L)
+    val model = fitFairModel(lanes(0)(0), lanes(1)(0), p.xCols, p.names,
       cfg.copy(target = OptimizationTarget.Reference))
+    checkDefensibilityPrepared(p, model, adjustments, idCol, deltaCol, cfg)
+  }
 
+  /** Judging half of [[checkDefensibility]] on an already-prepared frame
+    * and already-fitted fair model — the shared-prep path for G5
+    * compositions (`engine/src/defensibility.rs:200-388`). */
+  private[graft] def checkDefensibilityPrepared(p: EquityPrep,
+      model: FairModel, adjustments: DataFrame, idCol: String,
+      deltaCol: String, cfg: EquityConfig): DataFrame = {
     val (lowerC, upperC) = model.intervalCols
     val adj = adjustments.select(col(idCol),
       col(deltaCol).cast("double").as("adjustment"))
     val actual = col(cfg.outcome).cast("double")
-    dummied.join(broadcast(adj), Seq(idCol), "inner")
+    p.dummied.join(broadcast(adj), Seq(idCol), "inner")
       .withColumn("current_wage", actual)
       .withColumn("new_wage", actual + col("adjustment"))
       .withColumn("fair_wage", model.fairWageCol)
@@ -330,6 +418,33 @@ object Equity {
         col("fair_wage_upper_bound"), col("is_defensible"),
         col("defensibility_message"))
       .orderBy(col(idCol))
+  }
+
+  /** G2+G5 composed: one prepare + Gram feeds both the optimizer and the
+    * defensibility judgment. Without overrides the defensibility refit
+    * would run on IDENTICAL data, so it is skipped: the fair model comes
+    * straight from the optimizer's Gram lanes (re-solved k-dimensionally
+    * when the optimizer fitted on the Pooled target — defensibility
+    * always judges against the Reference-fitted model). The judged frame
+    * is materialized before the prepared frame is released. */
+  def optimizeAndCheckDefensibility(df: DataFrame, cfg: EquityConfig,
+      idCol: String, minPay: Double = 1e-9): (OptimizeResult, DataFrame) = {
+    val (p, lanes) = prepareAndGram(df, cfg)
+    try {
+      val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
+        cfg, idCol)
+      val adj = opt.adjustments.filter(col("adjustment") > minPay)
+        .select(col(idCol), col("adjustment"))
+      val model =
+        if (cfg.target == OptimizationTarget.Reference) opt.model
+        else fitFairModel(lanes(0)(0), lanes(1)(0), p.xCols, p.names,
+          cfg.copy(target = OptimizationTarget.Reference))
+      val judged = checkDefensibilityPrepared(p, model, adj, idCol,
+          "adjustment", cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      judged.count()
+      (opt, judged)
+    } finally { p.dummied.unpersist(blocking = false); () }
   }
 
   /** G1 `decompose_inner` result (`engine/src/analysis.rs:98-307`):

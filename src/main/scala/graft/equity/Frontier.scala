@@ -35,15 +35,13 @@ object Frontier {
     // ONE prepare + Gram pass feeds the greedy allocation AND the pooled
     // frontier design (previously optimize re-ran both internally); the
     // prepared frame is persisted across its ~4 consumers
-    val (dummied0, xCols, names, split) = Equity.prepare(df, cfg)
-    val dummied = dummied0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (p, lanes) = Equity.prepareAndGram(df, cfg)
+    val dummied = p.dummied
+    val xCols = p.xCols
     try {
-    val lanes = Gram.computeGrouped(dummied, cfg.outcome, xCols, None,
-      Prep.laneOf(split, cfg.group), 2, 0, 0L)
 
     // payments = greedy full-need allocation (budget = 0 -> auto)
-    val opt = Equity.optimizePrepared(dummied, xCols, names, split, lanes,
+    val opt = Equity.optimizePrepared(dummied, xCols, p.names, p.split, lanes,
       cfg.copy(budget = 0.0, strategy = AllocationStrategy.Greedy), idCol)
     val totalNeed = opt.metrics.requiredBudget
     val maxB = maxBudget.getOrElse(totalNeed * 1.1)

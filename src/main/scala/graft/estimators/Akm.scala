@@ -5,6 +5,8 @@ import graft.core._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** AKM (Abowd–Kramarz–Margolis) two-way fixed effects
   * (`oaxaca_blinder/src/akm.rs`):
   * largest connected set over the worker–firm bipartite graph, FWL
@@ -12,11 +14,15 @@ import org.apache.spark.sql.functions._
   * alternating-projection recovery of worker/firm effects with the
   * first-firm normalization, and R^2 against total y variance.
   *
-  * Distributed re-expression: union-find becomes min-label propagation
-  * over the distinct edge table; each zig-zag iteration is two
-  * groupBy-avg + join rounds over the observation table, with
-  * `localCheckpoint` per iteration to cut lineage — no per-node state on
-  * the driver.
+  * Distributed re-expression: ALL iterative work (component labels,
+  * zig-zag, FE recovery) needs only the worker-firm EDGE table — per-pair
+  * counts and vector sums from one obs-table aggregation. Up to
+  * [[Akm.DriverEdgeCap]] edges that table iterates on the driver (zero
+  * Spark jobs per iteration; the obs table is touched by exactly three
+  * passes: edge aggregation, demeaned Gram, R^2). Beyond the cap the
+  * loops run distributed: min-label propagation over the edge table and
+  * per-iteration groupBy-avg + join rounds with `localCheckpoint` to cut
+  * lineage — no per-node state on the driver.
   */
 final case class AkmResult(
     beta: DenseVector[Double],
@@ -28,17 +34,85 @@ final case class AkmResult(
 
 object Akm {
 
+  /** Edge tables (distinct worker-firm pairs) up to this many entries run
+    * every ITERATIVE step — component labels, zig-zag demeaning, FE
+    * recovery — on the driver over the collected edge table: zero Spark
+    * jobs per iteration instead of 2 joins + a checkpoint each. The
+    * observation table is only ever touched by three non-iterative
+    * passes (edge aggregation, demeaned Gram, R^2). Larger graphs fall
+    * back to the fully distributed loops. The cap bounds driver memory
+    * the same way `MachadoMata`'s design collect does (~100 MB at the
+    * default with a handful of controls). */
+  val DriverEdgeCap: Long = 2000000L
+
+  /** Round-based min-label propagation over an in-memory edge list —
+    * EXACTLY the distributed semantics below (batch min per round,
+    * worker-labels-to-firms then firms-to-workers, change detection per
+    * round, ConvergenceFailed on round exhaustion, largest component by
+    * node count with min-label tie-break). Returns the worker keys of
+    * the winning component. */
+  private def driverComponentWorkers(edges: Array[(String, String)],
+      maxIters: Int): Set[String] = {
+    if (edges.isEmpty) throw InsufficientData("Empty graph")
+    val wLab = mutable.HashMap.empty[String, String]
+    val fLab = mutable.HashMap.empty[String, String]
+    edges.foreach { case (w, f) =>
+      wLab.getOrElseUpdate(w, "w:" + w)
+      fLab.getOrElseUpdate(f, "f:" + f)
+    }
+    var changed = true
+    var iters = 0
+    while (changed && iters < maxIters) {
+      iters += 1
+      changed = false
+      // batch min of worker labels into firms (one round, not in-place)
+      val fCand = mutable.HashMap.empty[String, String]
+      edges.foreach { case (w, f) =>
+        val c = wLab(w)
+        if (!fCand.get(f).exists(_ <= c)) fCand(f) = c
+      }
+      fCand.foreach { case (f, c) =>
+        if (c < fLab(f)) { fLab(f) = c; changed = true }
+      }
+      val wCand = mutable.HashMap.empty[String, String]
+      edges.foreach { case (w, f) =>
+        val c = fLab(f)
+        if (!wCand.get(w).exists(_ <= c)) wCand(w) = c
+      }
+      wCand.foreach { case (w, c) =>
+        if (c < wLab(w)) { wLab(w) = c; changed = true }
+      }
+    }
+    if (changed)
+      throw ConvergenceFailed("largest_connected_set label propagation " +
+        s"failed to converge within $maxIters iterations")
+    // largest component by node count (workers + firms), min label wins ties
+    val sizes = mutable.HashMap.empty[String, Long]
+    (wLab.valuesIterator ++ fLab.valuesIterator).foreach(l =>
+      sizes(l) = sizes.getOrElse(l, 0L) + 1L)
+    val topLab = sizes.toSeq.minBy { case (l, sz) => (-sz, l) }._1
+    wLab.iterator.collect { case (w, l) if l == topLab => w }.toSet
+  }
+
   /** Rows restricted to the largest connected worker-firm component
     * (`akm.rs:151-234`); component size counted in NODES. Min-label
     * propagation converges in O(component diameter) rounds; like the
     * reference's ConvergenceFailed paths, iteration exhaustion throws
-    * instead of silently proceeding with wrong component labels. */
+    * instead of silently proceeding with wrong component labels. Small
+    * graphs (<= [[DriverEdgeCap]] edges) propagate on the driver. */
   def largestConnectedSet(df: DataFrame, workerCol: String,
       firmCol: String, maxIters: Int = 200): DataFrame = {
     val w = col(workerCol).cast("string")
     val f = col(firmCol).cast("string")
     val edges = df.select(w.as("w"), f.as("f")).na.drop().distinct()
       .localCheckpoint()
+    if (edges.count() <= DriverEdgeCap) {
+      val e = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      val keep = driverComponentWorkers(e, maxIters)
+      val spark = df.sparkSession
+      import spark.implicits._
+      return df.join(broadcast(keep.toSeq.toDF("w")), w === col("w"), "left_semi")
+    }
 
     // node labels: start as the node's own key; propagate min through edges
     var wLab = edges.select(col("w")).distinct()
@@ -86,9 +160,275 @@ object Akm {
   def run(df: DataFrame, outcome: String, workerCol: String, firmCol: String,
       controls: Seq[String] = Nil, tolerance: Double = 1e-8,
       maxIters: Int = 1000): AkmResult = {
+    val nEdges = df.select(col(workerCol).cast("string"),
+      col(firmCol).cast("string")).na.drop().distinct().count()
+    if (nEdges == 0) throw InsufficientData("Empty graph")
+    if (nEdges <= DriverEdgeCap)
+      return runDriver(df, outcome, workerCol, firmCol, controls, tolerance,
+        maxIters)
     val connected = largestConnectedSet(df, workerCol, firmCol)
     if (connected.isEmpty) throw InsufficientData("No connected set found")
     solve(connected, outcome, workerCol, firmCol, controls, tolerance, maxIters)
+  }
+
+  /** Edge-table AKM (the <= [[DriverEdgeCap]] path).
+    *
+    * KEY IDENTITY: the zig-zag demeaning iterates are exactly
+    * `v - a_t(w) - p_t(f)` where (a, p) follow the Gauss-Seidel
+    * recursion a_t = mean_w(v - p_{t-1}), p_t = mean_f(v - a_t) from
+    * p_0 = 0 (induction: subtracting a worker mean shifts `a`, then a
+    * firm mean shifts `p`). Every quantity in that recursion — worker
+    * and firm sums of each vector and of the cross-products — lives on
+    * the (worker, firm) EDGE table: a_w = (S_w[v] - sum_e n_e p_f) / n_w.
+    * The same holds for the FE alternating projections on the OLS
+    * residual r = v0 - X beta, whose edge sums derive algebraically from
+    * the already-collected vector sums (no second aggregation). So ONE
+    * obs-table aggregation feeds every iteration, and the obs table is
+    * touched again only by the demeaned Gram pass and the R^2 pass.
+    * Convergence metrics are the distributed loops' own:
+    * sum_i (delta v_i)^2 == sum_e n_e (delta a + delta p)^2 for the
+    * zig-zag, unweighted sum (delta a)^2 + (delta p)^2 for FE recovery —
+    * checked every iteration (the distributed loops check every 3rd). */
+  private def runDriver(df: DataFrame, outcome: String, workerCol: String,
+      firmCol: String, controls: Seq[String], tol: Double,
+      maxIters: Int): AkmResult = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nv = controls.size + 1
+    val obs = df.select(
+      (col(workerCol).cast("string").as("w") +:
+        col(firmCol).cast("string").as("f") +:
+        col(outcome).cast("double").as("__v0__") +:
+        controls.zipWithIndex.map { case (c, i) =>
+          coalesce(col(c).cast("double"), lit(0.0)).as(s"__v${i + 1}__")
+        }): _*).na.drop(Seq("w", "f")).localCheckpoint()
+
+    // one aggregation pass: the full edge table with per-vector sums
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until nv).map(i => sum(col(s"__v${i}__")).as(s"s$i"))
+    val rawEdges = obs.groupBy(col("w"), col("f"))
+      .agg(aggCols.head, aggCols.tail: _*).collect()
+
+    // ---- largest connected component (driver label propagation) ----
+    val keepW = driverComponentWorkers(
+      rawEdges.map(r => (r.getString(0), r.getString(1))), 200)
+
+    val kept = rawEdges.filter(r => keepW.contains(r.getString(0)))
+    if (kept.isEmpty) throw InsufficientData("No connected set found")
+    val wKeys = kept.map(_.getString(0)).distinct.sorted
+    val fKeys = kept.map(_.getString(1)).distinct.sorted
+    val wIdx = wKeys.zipWithIndex.toMap
+    val fIdx = fKeys.zipWithIndex.toMap
+    val nW = wKeys.length
+    val nF = fKeys.length
+    val nE = kept.length
+    val ew = new Array[Int](nE)
+    val ef = new Array[Int](nE)
+    val en = new Array[Double](nE)
+    val esum = Array.ofDim[Double](nE, nv)
+    var nObs = 0L
+    var e = 0
+    while (e < nE) {
+      val r = kept(e)
+      ew(e) = wIdx(r.getString(0))
+      ef(e) = fIdx(r.getString(1))
+      val n = r.getLong(2)
+      en(e) = n.toDouble
+      nObs += n
+      var v = 0
+      while (v < nv) { esum(e)(v) = r.getDouble(3 + v); v += 1 }
+      e += 1
+    }
+    val wN = new Array[Double](nW)
+    val fN = new Array[Double](nF)
+    val wS = Array.ofDim[Double](nW, nv)
+    val fS = Array.ofDim[Double](nF, nv)
+    e = 0
+    while (e < nE) {
+      wN(ew(e)) += en(e); fN(ef(e)) += en(e)
+      var v = 0
+      while (v < nv) {
+        wS(ew(e))(v) += esum(e)(v); fS(ef(e))(v) += esum(e)(v); v += 1
+      }
+      e += 1
+    }
+
+    // ---- zig-zag demeaning of all vectors (Gauss-Seidel on edges) ----
+    val a = Array.ofDim[Double](nW, nv)
+    val p = Array.ofDim[Double](nF, nv)
+    val aPrev = Array.ofDim[Double](nW, nv)
+    val pPrev = Array.ofDim[Double](nF, nv)
+    val acc = Array.ofDim[Double](math.max(nW, nF), nv)
+    def clear(m: Array[Array[Double]], n: Int): Unit = {
+      var i = 0
+      while (i < n) { java.util.Arrays.fill(m(i), 0.0); i += 1 }
+    }
+    def copyInto(src: Array[Array[Double]], dst: Array[Array[Double]],
+        n: Int): Unit = {
+      var i = 0
+      while (i < n) { System.arraycopy(src(i), 0, dst(i), 0, nv); i += 1 }
+    }
+    def gsIteration(): Unit = {
+      // a_w = (S_w - sum_e n_e p_f) / n_w, then p_f with the NEW a
+      clear(acc, nW)
+      var i = 0
+      while (i < nE) {
+        val sums = acc(ew(i)); val pf = p(ef(i)); val n = en(i)
+        var v = 0
+        while (v < nv) { sums(v) += n * pf(v); v += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < nW) {
+        var v = 0
+        while (v < nv) { a(i)(v) = (wS(i)(v) - acc(i)(v)) / wN(i); v += 1 }
+        i += 1
+      }
+      clear(acc, nF)
+      i = 0
+      while (i < nE) {
+        val sums = acc(ef(i)); val aw = a(ew(i)); val n = en(i)
+        var v = 0
+        while (v < nv) { sums(v) += n * aw(v); v += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < nF) {
+        var v = 0
+        while (v < nv) { p(i)(v) = (fS(i)(v) - acc(i)(v)) / fN(i); v += 1 }
+        i += 1
+      }
+    }
+    var iter = 0
+    var maxDiff = tol + 1.0
+    val diffs = new Array[Double](nv)
+    while (maxDiff > tol && iter < maxIters) {
+      iter += 1
+      copyInto(a, aPrev, nW); copyInto(p, pPrev, nF)
+      gsIteration()
+      java.util.Arrays.fill(diffs, 0.0)
+      var i = 0
+      while (i < nE) {
+        val aw = a(ew(i)); val aw0 = aPrev(ew(i))
+        val pf = p(ef(i)); val pf0 = pPrev(ef(i))
+        val n = en(i)
+        var v = 0
+        while (v < nv) {
+          val d = (aw(v) + pf(v)) - (aw0(v) + pf0(v))
+          diffs(v) += n * d * d
+          v += 1
+        }
+        i += 1
+      }
+      maxDiff = diffs.map(math.sqrt).max
+    }
+    if (iter >= maxIters)
+      throw ConvergenceFailed(
+        s"demean_vector failed to converge within $maxIters iterations")
+
+    // ---- OLS on demeaned (no intercept, `akm.rs:347-367`) ----
+    val obsKept = obs.join(broadcast(wKeys.toSeq.toDF("w")), Seq("w"), "left_semi")
+    val beta =
+      if (controls.isEmpty) DenseVector.zeros[Double](0)
+      else {
+        val aDf = wKeys.indices.map(i =>
+          (wKeys(i), a(i).toSeq)).toDF("w", "__a__")
+        val pDf = fKeys.indices.map(i =>
+          (fKeys(i), p(i).toSeq)).toDF("f", "__p__")
+        val demeaned = obsKept
+          .join(broadcast(aDf), Seq("w")).join(broadcast(pDf), Seq("f"))
+          .select((0 until nv).map(v =>
+            (col(s"__v${v}__") - col("__a__").getItem(v) -
+              col("__p__").getItem(v)).as(s"__d${v}__")): _*)
+        val g = Gram.compute(demeaned, "__d0__",
+          (1 until nv).map(v => s"__d${v}__"))
+        try LinAlg.cholSolve(g.xtx, g.xty)
+        catch {
+          case _: SingularMatrix =>
+            throw ConvergenceFailed("OLS design matrix is singular")
+        }
+      }
+
+    // ---- FE recovery on r = v0 - X beta (`akm.rs:530-621`) ----
+    // edge sums of r derive from the vector sums already collected
+    val rW = new Array[Double](nW)
+    val rF = new Array[Double](nF)
+    e = 0
+    while (e < nE) {
+      var s = esum(e)(0)
+      var j = 0
+      while (j < controls.size) { s -= beta(j) * esum(e)(j + 1); j += 1 }
+      rW(ew(e)) += s; rF(ef(e)) += s
+      e += 1
+    }
+    val alpha = new Array[Double](nW)
+    val psi = new Array[Double](nF)
+    val accW = new Array[Double](nW)
+    val accF = new Array[Double](nF)
+    var feIter = 0
+    var feDiff = tol + 1.0
+    while (feDiff > tol && feIter < maxIters) {
+      feIter += 1
+      java.util.Arrays.fill(accW, 0.0)
+      var i = 0
+      while (i < nE) { accW(ew(i)) += en(i) * psi(ef(i)); i += 1 }
+      var dSum = 0.0
+      i = 0
+      while (i < nW) {
+        val aNew = (rW(i) - accW(i)) / wN(i)
+        val d = aNew - alpha(i)
+        dSum += d * d
+        alpha(i) = aNew
+        i += 1
+      }
+      java.util.Arrays.fill(accF, 0.0)
+      i = 0
+      while (i < nE) { accF(ef(i)) += en(i) * alpha(ew(i)); i += 1 }
+      i = 0
+      while (i < nF) {
+        val pNew = (rF(i) - accF(i)) / fN(i)
+        val d = pNew - psi(i)
+        dSum += d * d
+        psi(i) = pNew
+        i += 1
+      }
+      feDiff = math.sqrt(dSum)
+    }
+    if (feIter >= maxIters)
+      throw ConvergenceFailed(
+        s"recover_fe failed to converge within $maxIters iterations")
+
+    // first-firm normalization (sorted firm ids, `akm.rs:612-620`);
+    // fKeys is already sorted, so firm 0 is the reference
+    val refVal = psi(0)
+    var i = 0
+    while (i < nF) { psi(i) -= refVal; i += 1 }
+    i = 0
+    while (i < nW) { alpha(i) += refVal; i += 1 }
+
+    // ---- R^2 (one obs pass with broadcast effect tables) ----
+    val alphaDf = wKeys.indices.map(i => (wKeys(i), alpha(i))).toDF("w", "__a__")
+    val psiDf = fKeys.indices.map(i => (fKeys(i), psi(i))).toDF("f", "__p__")
+    val predCol = (if (controls.isEmpty) lit(0.0)
+      else (1 until nv).map(v => col(s"__v${v}__") * lit(beta(v - 1)))
+        .reduce(_ + _)) + col("__a__") + col("__p__")
+    val stats = obsKept
+      .join(broadcast(alphaDf), Seq("w")).join(broadcast(psiDf), Seq("f"))
+      .agg(
+        sum(pow(col("__v0__") - predCol, 2)).as("rss"),
+        sum(pow(col("__v0__"), 2)).as("syy"),
+        sum(col("__v0__")).as("sy"), count(lit(1)).as("n")).head()
+    val rss = stats.getDouble(0)
+    val tss = stats.getDouble(1) -
+      stats.getDouble(2) * stats.getDouble(2) / stats.getLong(3)
+    val r2 = 1.0 - rss / tss
+
+    AkmResult(beta, controls,
+      wKeys.indices.map(i => (wKeys(i), alpha(i)))
+        .toDF(workerCol, "effect"),
+      fKeys.indices.map(i => (fKeys(i), psi(i)))
+        .toDF(firmCol, "effect"),
+      r2, nObs)
   }
 
   private def solve(df: DataFrame, outcome: String, workerCol: String,

@@ -59,11 +59,14 @@ object Kde {
   }
 
   /** 0-based elements of the sorted column at the given ranks; one
-    * distributed sort + zipWithIndex, no driver collect of the data. */
+    * distributed sort + zipWithIndex, no driver collect of the data.
+    * Nulls are dropped BEFORE sorting so ranks align with count(v)
+    * (nulls would otherwise sort first and shift every quartile index). */
   def elementsAtIndices(df: DataFrame, valueCol: String,
       idxs: Set[Long]): Map[Long, Double] = {
     val wanted = idxs.map(math.max(_, 0L))
-    df.select(col(valueCol).cast("double")).sort(col(valueCol))
+    df.select(col(valueCol).cast("double").as(valueCol))
+      .na.drop(Seq(valueCol)).sort(col(valueCol))
       .rdd.zipWithIndex().filter(t => wanted.contains(t._2))
       .map(t => t._2 -> t._1.getDouble(0)).collect().toMap
   }

@@ -105,12 +105,17 @@ object Ann {
       org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
   }
 
-  /** IVF top-k: assign corpus vectors to KMeans cells once, then search
-    * only the nprobe closest cells per query. Returns the same schema as
-    * [[bruteForceTopK]]; recall < 1 by construction. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int, nProbe: Int,
-      seed: Long = 42L): DataFrame = {
+  /** A fitted IVF index: corpus vectors assigned to KMeans cells (cached
+    * DataFrame) plus the (tiny) cell-center table. Build ONCE per corpus,
+    * search many times — the quantizer fit is the expensive step and is
+    * independent of the queries. */
+  final case class IvfIndex(assigned: DataFrame, centers: DataFrame) {
+    def unpersist(): Unit = { assigned.unpersist(false); () }
+  }
+
+  /** Fit the coarse quantizer and assign every corpus vector to a cell. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L): IvfIndex = {
     val toVec = udf((xs: Seq[Float]) => Vectors.dense(xs.map(_.toDouble).toArray))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"),
@@ -120,24 +125,30 @@ object Ann {
     val model = km.fit(cv)
     val assigned = model.transform(cv).select(
       col("neighbor_id"), col("cv"), col("__cell__")).cache()
-
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
-    val centersDf = queries.sparkSession.createDataFrame(centers)
+    val centersDf = corpus.sparkSession.createDataFrame(centers)
       .toDF("__cell__", "center")
+    IvfIndex(assigned, centersDf)
+  }
 
+  /** Search a fitted IVF index: only the nProbe closest cells per query
+    * are scanned. Same schema as [[bruteForceTopK]]; recall < 1 by
+    * construction. */
+  def searchIvf(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     // nprobe closest cells per query (centers table is tiny)
-    val qCells = q.crossJoin(broadcast(centersDf))
+    val qCells = q.crossJoin(broadcast(index.centers))
       .withColumn("cdist", Dedup.cosineCol(col("qv"), col("center")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("__cell__"))))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("__cell__"))
 
-    qCells.join(assigned, "__cell__")
+    qCells.join(index.assigned, "__cell__")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Dedup.cosineCol(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
@@ -146,4 +157,14 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** IVF top-k, building a throwaway index: assign corpus vectors to
+    * KMeans cells, then search only the nprobe closest cells per query.
+    * Prefer [[buildIvfIndex]] + [[searchIvf]] when issuing more than one
+    * query batch against the same corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int,
+      seed: Long = 42L): DataFrame =
+    searchIvf(buildIvfIndex(corpus, idCol, vecCol, nCells, seed),
+      queries, idCol, vecCol, k, nProbe)
 }

@@ -60,9 +60,12 @@ object Dedup {
     * consists solely of above-cap shingles are not discovered. Such pairs
     * have jaccard <= cap-shingle overlap / union, so with a cap well above
     * `threshold * min doc size` the miss set is empty; None disables the
-    * guard (exact candidates, test-scale default). */
+    * guard (exact candidates). The guard defaults ON — at 100 TB a single
+    * stopword shingle with df = 10^6 would otherwise put 10^12 candidate
+    * rows on one shuffle key. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
+      n: Int, threshold: Double,
+      maxShingleDf: Option[Long] = Some(10000L)): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val index = maxShingleDf match {

@@ -132,8 +132,15 @@ object Prep {
     * when the data has one. */
   def withRowId(df: DataFrame, idCol: String = "__row_id__"): DataFrame = {
     val h = xxhash64(df.columns.map(col): _*)
+    // tie-break only on orderable column types: a map column (unorderable
+    // in Spark) would fail analysis, and dropping it from the ORDER only
+    // affects the ordinal assignment among same-hash rows
+    val orderable = df.schema.fields.filter(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType)).map(f => col(f.name)).toSeq
+    val orderCols = if (orderable.nonEmpty) orderable else Seq(h)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(h).orderBy(df.columns.map(col): _*)
+      .partitionBy(h).orderBy(orderCols: _*)
     df.withColumn(idCol, concat_ws("-", h, row_number().over(w)))
   }
 }

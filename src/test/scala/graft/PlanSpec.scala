@@ -67,4 +67,27 @@ class PlanSpec extends SparkSpec {
       when(col("l_linestatus") === "O", 0).otherwise(1), 2, 0, 0L)
     assert(g(0)(0).n > 0 && g(1)(0).n > 0) // executes fine
   }
+
+  test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
+    // the Heckman bootstrap weight column (and anything else) must not
+    // introduce a ScalaUDF codegen fence into the scan pipeline
+    val hashCol = xxhash64(col("l_extendedprice"), col("l_quantity"))
+    val withW = li.withColumn("__bw_1",
+      graft.functions.PoissonDraw(hashCol, lit(43L)))
+    val plan = withW.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF in plan:\n$plan")
+    assert(plan.toLowerCase.contains("poisson_draw"),
+      s"poisson_draw expression missing:\n$plan")
+    // draws agree bit-for-bit with the Gram kernel's in-JVM chain
+    val rows = withW.select(col("l_extendedprice").cast("double"),
+      col("l_quantity").cast("double"), col("__bw_1")).limit(200).collect()
+    rows.foreach { r =>
+      // xxhash64(a, b) folds left: hash(b, seed = hash(a, seed = 42))
+      val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        r.getDouble(0), org.apache.spark.sql.types.DoubleType, 42L)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        r.getDouble(1), org.apache.spark.sql.types.DoubleType, h1)
+      assert(r.getDouble(2) == Gram.poisson1(Gram.mix(h, 43L)))
+    }
+  }
 }
