@@ -99,6 +99,48 @@ object Export {
        |</body></html>""".stripMargin
   }
 
+  /** Plain-English interpretation, mirroring the Python binding's
+    * `interpret()` (`oaxaca_blinder/src/python.rs:159-185`) — same
+    * sentences and rounding. */
+  def interpret(r: OaxacaResults): String = {
+    val explained = r.twoFold.find(_.name == "explained").map(_.estimate).getOrElse(0.0)
+    val unexplained = r.twoFold.find(_.name == "unexplained").map(_.estimate).getOrElse(0.0)
+    val total = r.totalGap
+    val expPct = explained / total * 100.0
+    val unexpPct = unexplained / total * 100.0
+    f"The total gap is $total%.4f. \n" +
+      f"$expPct%.1f%% of this gap is explained by differences in endowments (observables), " +
+      f"while $unexpPct%.1f%% is unexplained (coefficients/discrimination)."
+  }
+
+  /** Self-contained SVG bar chart of the two-fold decomposition — the
+    * dependency-free counterpart of the Python binding's matplotlib
+    * `plot(kind="bar")` (`python.rs:126-157`). Embeds directly in the
+    * S7 HTML report or any browser. */
+  def toSvgBar(r: OaxacaResults): String = {
+    val explained = r.twoFold.find(_.name == "explained").map(_.estimate).getOrElse(0.0)
+    val unexplained = r.twoFold.find(_.name == "unexplained").map(_.estimate).getOrElse(0.0)
+    val values = Seq("Explained" -> explained, "Unexplained" -> unexplained)
+    val maxAbs = math.max(values.map(v => math.abs(v._2)).max, 1e-12)
+    val (w, h, pad) = (360, 240, 36)
+    val zeroY = h / 2
+    val scale = (h / 2 - pad).toDouble / maxAbs
+    val barW = 90
+    val bars = values.zipWithIndex.map { case ((label, v), i) =>
+      val x = pad + i * (barW + 60)
+      val bh = math.abs(v) * scale
+      val y = if (v >= 0) zeroY - bh else zeroY.toDouble
+      f"""<rect x="$x" y="$y%.1f" width="$barW" height="$bh%.1f" fill="${if (i == 0) "#4472c4" else "#ed7d31"}"/>
+         |<text x="${x + barW / 2}" y="${h - 8}" text-anchor="middle" font-size="12">$label</text>
+         |<text x="${x + barW / 2}" y="${if (v >= 0) y - 4 else y + bh + 14}%.1f" text-anchor="middle" font-size="11">$v%.4f</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h">
+       |<text x="${w / 2}" y="16" text-anchor="middle" font-size="14">Oaxaca-Blinder Decomposition</text>
+       |<line x1="0" y1="$zeroY" x2="$w" y2="$zeroY" stroke="#888"/>
+       |$bars
+       |</svg>""".stripMargin
+  }
+
   /** Console summary (`display.rs:7-79`). */
   def summary(r: OaxacaResults): String = {
     val sb = new StringBuilder

@@ -68,7 +68,14 @@ object Dedup {
       maxShingleDf: Option[Long] = Some(10000L)): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val index = maxShingleDf match {
+    // the guard only changes the plan when hot shingles actually exist:
+    // one cheap probe over the checkpointed shingle table decides, so a
+    // clean corpus never pays the exact-recompute join
+    val capHit = maxShingleDf.filter { cap =>
+      !sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).isEmpty
+    }
+    val index = capHit match {
       case Some(cap) =>
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("shingle"))
@@ -80,7 +87,7 @@ object Dedup {
     val candInter = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val inter = maxShingleDf match {
+    val inter = capHit match {
       case None => candInter
       case Some(_) =>
         // capped index undercounts intersections; recompute them exactly

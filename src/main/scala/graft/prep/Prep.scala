@@ -101,17 +101,28 @@ object Prep {
     val have = df.columns.toSet
     cols.foreach(c => if (!have.contains(c))
       throw ColumnNotFound(s"Column '$c' not found in dataset."))
-    // try_cast (not cast): ANSI mode would throw mid-scan on the first
-    // bad value instead of letting us report the offending column
-    val checks = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"pre_$c"),
-      sum(when(expr(s"try_cast(`$c` AS DOUBLE)").isNull, 1L).otherwise(0L))
-        .as(s"post_$c")))
-    val row = df.agg(checks.head, checks.tail: _*).head()
-    cols.zipWithIndex.foreach { case (c, i) =>
-      if (row.getLong(2 * i + 1) > row.getLong(2 * i))
-        throw InvalidArgument(s"Column '$c' contains non-numeric data " +
-          "but was selected as a continuous variable.")
+    // a numeric/boolean column can never produce NEW nulls under
+    // try_cast, so the validation scan only covers the columns whose
+    // declared type could (strings, dates, ...) — for an all-numeric
+    // model the whole pass is skipped
+    val needCheck = cols.filter(c => df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => false
+      case org.apache.spark.sql.types.BooleanType => false
+      case _ => true
+    })
+    if (needCheck.nonEmpty) {
+      // try_cast (not cast): ANSI mode would throw mid-scan on the first
+      // bad value instead of letting us report the offending column
+      val checks = needCheck.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"pre_$c"),
+        sum(when(expr(s"try_cast(`$c` AS DOUBLE)").isNull, 1L).otherwise(0L))
+          .as(s"post_$c")))
+      val row = df.agg(checks.head, checks.tail: _*).head()
+      needCheck.zipWithIndex.foreach { case (c, i) =>
+        if (row.getLong(2 * i + 1) > row.getLong(2 * i))
+          throw InvalidArgument(s"Column '$c' contains non-numeric data " +
+            "but was selected as a continuous variable.")
+      }
     }
     cols.foldLeft(df)((d, c) =>
       d.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))

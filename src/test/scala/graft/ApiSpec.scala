@@ -57,6 +57,16 @@ class ApiSpec extends SparkSpec {
     val html = Export.toHtml(res)
     assert(html.contains("<!DOCTYPE html>") && html.contains("Two-Fold"))
     assert(html.contains("explained"))
+
+    // interpret()/plot() parity (python.rs:126-185)
+    val text = Export.interpret(res)
+    assert(text.contains("The total gap is") &&
+      text.contains("explained by differences in endowments"))
+    val expl = res.twoFold.find(_.name == "explained").get.estimate
+    assert(text.contains(f"${expl / res.totalGap * 100.0}%.1f%%"))
+    val svg = Export.toSvgBar(res)
+    assert(svg.startsWith("<svg") && svg.contains("Explained") &&
+      svg.contains("Unexplained") && svg.contains("<rect"))
   }
 
   test("CSV round-trip ingest (S1/S3) preserves the analysis") {
