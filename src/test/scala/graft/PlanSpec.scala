@@ -68,6 +68,31 @@ class PlanSpec extends SparkSpec {
     assert(g(0)(0).n > 0 && g(1)(0).n > 0) // executes fine
   }
 
+  test("equity allocation windows are bucket-partitioned, never global") {
+    // an unpartitioned Window collapses to ONE task — the canonical
+    // 100 TB scale-killer; the greedy allocation must route every window
+    // through the value-bucketed prefix sum
+    val df = SparkEntry.queries("q_equity_optimize")(spark, sf("sf0.001"))
+    df.collect() // finalize the adaptive plan
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      // AQE and query stages hide their inner plans from collect
+      val nested = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windows(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          windows(q.plan)
+      }.flatten
+      here ++ nested
+    }
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected a window in the allocation plan")
+    ws.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"global (unpartitioned) window:\n$w"))
+  }
+
   test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
     // the Heckman bootstrap weight column (and anything else) must not
     // introduce a ScalaUDF codegen fence into the scan pipeline
