@@ -110,6 +110,13 @@ object QueriesExt {
         .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // sub-quadratic near-dup (IVF cells + exact verify): rows-only (the
+    // KMeans quantizer has no SQL oracle); recall/exactness spec-covered
+    "q_embed_neardup_ivf" -> ((s, d) =>
+      Dedup.embeddingNearDupPairsFromIndex(ivfIndex(s, d), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",

@@ -28,15 +28,41 @@ object McpServer {
 
   val RowId = "__row_id__"
 
+  /** RFC-4180-style line split: quoted fields may contain commas,
+    * doubled quotes escape a quote. */
+  private[graft] def splitCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            sb.append('"'); i += 1
+          } else inQ = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString.trim; sb.clear()
+        case _ => sb.append(c); ()
+      }
+      i += 1
+    }
+    out += sb.toString.trim
+    out.toSeq
+  }
+
   /** Parse csv_content into a DataFrame of string columns plus the
     * 0-based row index (all numeric typing happens downstream in
     * `Equity.prepare`'s strict casts, like the engine's prepare_data). */
   def csvToDf(spark: SparkSession, csv: String): DataFrame = {
     val lines = csv.split("\r?\n").filter(_.nonEmpty)
     require(lines.length >= 2, "csv_content needs a header and data rows")
-    val header = lines.head.split(",", -1).map(_.trim)
+    val header = splitCsvLine(lines.head)
     val rows = lines.tail.zipWithIndex.map { case (l, i) =>
-      Row.fromSeq(i.toLong +: l.split(",", -1).map(_.trim).padTo(header.length, "").toSeq)
+      Row.fromSeq(i.toLong +: splitCsvLine(l).padTo(header.length, "").toSeq)
     }
     val schema = StructType(StructField(RowId, LongType, nullable = false) +:
       header.map(StructField(_, StringType, nullable = true)))

@@ -256,4 +256,34 @@ object Dedup {
       StructField("id_a", LongType), StructField("id_b", LongType),
       StructField("cosine", DoubleType))))
   }
+
+  /** SUB-QUADRATIC embedding near-dup: IVF-cell candidate generation +
+    * exact cosine verification — the extreme-scale sibling of
+    * [[embeddingNearDupPairs]]. Vectors are assigned to KMeans cells
+    * ([[Ann.buildIvfIndex]]); candidate pairs share a cell, so the join
+    * is an equi-join on the cell id and the pair count drops from
+    * O(n^2/2) to sum over cells of O(n_c^2/2). Reported cosines are
+    * exact; recall < 1 by construction — a true near-dup pair lands in
+    * different cells with probability that shrinks as the two vectors
+    * approach each other, and more cells trade recall for speed.
+    * At 100 TB this is the default; the exact kernel is the oracle. */
+  def embeddingNearDupPairsIvf(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 64, seed: Long = 42L): DataFrame =
+    embeddingNearDupPairsFromIndex(
+      Ann.buildIvfIndex(df, idCol, vecCol, nCells, seed), threshold)
+
+  /** [[embeddingNearDupPairsIvf]] over a prebuilt (possibly shared)
+    * index — build once, re-screen at many thresholds. */
+  def embeddingNearDupPairsFromIndex(index: Ann.IvfIndex,
+      threshold: Double): DataFrame = {
+    val x = index.assigned.select(col("__cell__"),
+      col("neighbor_id").as("id_a"), col("cv").as("va"))
+    val y = index.assigned.select(col("__cell__"),
+      col("neighbor_id").as("id_b"), col("cv").as("vb"))
+    x.join(y, Seq("__cell__"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineCol(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

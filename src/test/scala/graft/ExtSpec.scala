@@ -135,6 +135,30 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF near-dup pairs: exact cosines, high recall vs the exact kernel") {
+    val rng = new scala.util.Random(7)
+    // clustered data: near-dups are perturbed copies, so cells capture them
+    val base = (0 until 30).map(_ => Seq.fill(16)(rng.nextGaussian()))
+    val vecs = (0L until 300L).map { i =>
+      val b = base((i % 30).toInt)
+      (i, b.map(x => (x + rng.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairSet(Dedup.embeddingNearDupPairs(vecs, "vec_id",
+      "embedding", threshold = 0.98))
+    val ivf = pairSet(Dedup.embeddingNearDupPairsIvf(vecs, "vec_id",
+      "embedding", threshold = 0.98, nCells = 8))
+    assert(exact.nonEmpty)
+    // every IVF pair is a true pair with the exact cosine value
+    ivf.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive $k")
+      assert(math.abs(exact(k) - c) < 1e-9)
+    }
+    val recall = ivf.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("language ID matches the stopword-dominant language") {
     val preds = docs.select($"doc_id", $"lang", TextAnalysis.langId($"text"))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap

@@ -35,6 +35,14 @@ class McpSpec extends SparkSpec {
     JsonMethods.parse(text)
   }
 
+  test("csv line split handles quoted commas and escaped quotes") {
+    assert(McpServer.splitCsvLine("""a,b,c""") == Seq("a", "b", "c"))
+    assert(McpServer.splitCsvLine("""x,"a, b",z""") == Seq("x", "a, b", "z"))
+    assert(McpServer.splitCsvLine("x,\"say \"\"hi\"\"\",z") ==
+      Seq("x", "say \"hi\"", "z"))
+    assert(McpServer.splitCsvLine("a,,c") == Seq("a", "", "c"))
+  }
+
   test("initialize / tools/list / ping / unknown method") {
     val init = JsonMethods.parse(
       McpServer.handle(spark, rpc("initialize", "{}")).get)
