@@ -58,4 +58,22 @@ object Streams {
       .select(col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("user_id"), col("n_events"))
   }
+
+  /** Streaming exact dedup for continuous ingestion: keep the first
+    * record per key, with state bounded by the event-time watermark —
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time, so the state store cannot grow
+    * without bound (the unbounded-state `dropDuplicates` is the batch
+    * path). `keyCols` is typically a content hash (e.g. md5(text), the
+    * exact-dedup key of [[graft.ext.Dedup.exactDuplicates]]); `tsCol`
+    * must be the event-time column. Duplicates arriving later than the
+    * watermark delay are NOT caught — that is the documented tradeoff
+    * that bounds state at 100 TB/day ingest. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours",
+      streaming: Boolean = true): DataFrame =
+    if (streaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 }

@@ -258,4 +258,34 @@ class ExtSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach { case (k, v) => assert(expected(k) == v, s"window $k") }
   }
+
+  test("streaming dedup drops in-watermark duplicates, keeps distinct keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // 60 events, 20 distinct texts, duplicates arrive within minutes
+    val events = (0 until 60).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 60000L),
+        s"text-${i % 20}")
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "text")
+      .withColumn("text_md5", md5($"text"))
+    val q = Streams.streamingDedup(sdf, Seq("text_md5"))
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    stream.addData(events)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT text FROM dedupstream").collect()
+      .map(_.getString(0))
+    q.stop()
+    // exactly one row per distinct text, and it is the FIRST arrival
+    assert(got.sorted.toSeq == (0 until 20).map(i => s"text-$i").sorted)
+    // batch path agrees on the distinct-key count
+    val batch = Streams.streamingDedup(
+      events.toDF("event_id", "ts", "text")
+        .withColumn("text_md5", md5($"text")),
+      Seq("text_md5"), streaming = false)
+    assert(batch.count() == 20)
+  }
 }
