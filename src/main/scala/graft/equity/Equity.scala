@@ -240,6 +240,14 @@ object Equity {
 
     val candidates = annotated.filter(keepM)
     val paid = cfg.strategy match {
+      case AllocationStrategy.Greedy if effectiveBudget >= totalNeed =>
+        // fully funded (budget = 0 auto mode, or budget >= total need):
+        // every eligible row pays exactly its gap — greatest(0,
+        // least(diff, budget - prefix)) == diff for every row, so the
+        // approxQuantile + bucket-window prefix machinery is a no-op
+        // and is skipped entirely
+        candidates.withColumn("__pay__",
+          when(col("__eligible__"), col("__diff__")).otherwise(0.0))
       case AllocationStrategy.Greedy =>
         val eligible = candidates.filter(col("__eligible__"))
         val withPrefix = Windows.exclusivePrefixSum(eligible,
