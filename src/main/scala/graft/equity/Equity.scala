@@ -124,10 +124,12 @@ object Equity {
   }
 
   /** One prepare + one Gram pass — the shared front half of every
-    * G2/G3/G4/G5 composition. `persistDummied` caches the prepared frame
-    * for callers that consume it 3+ times (the G3/G5/G4 compositions);
-    * plain optimize reads it only twice and a cache write would cost
-    * more than the saved re-scan. Callers that persist unpersist. */
+    * G2/G3/G4/G5 composition. `persistDummied` (default off) is the
+    * scale knob: when the source is NOT already cached upstream, caching
+    * the prepared frame saves its 2-4 consumers a full source scan each;
+    * when it is (the harness's row-id frame, or any user-persisted
+    * input), the cheap codegen re-derivation beats paying a second
+    * full-width cache write. Callers that persist also unpersist. */
   private[graft] def prepareAndGram(df: DataFrame, cfg: EquityConfig,
       persistDummied: Boolean = false)
       : (EquityPrep, Array[Array[GramResult]]) = {

@@ -33,8 +33,7 @@ object Frontier {
       idCol: String, maxBudget: Option[Double] = None,
       steps: Int = 50, paymentScale: Option[Int] = None): Seq[FrontierPoint] = {
     // ONE prepare + Gram pass feeds the greedy allocation AND the pooled
-    // frontier design (previously optimize re-ran both internally); the
-    // prepared frame is persisted across its ~4 consumers
+    // frontier design (previously optimize re-ran both internally)
     val (p, lanes) = Equity.prepareAndGram(df, cfg)
     val dummied = p.dummied
     val xCols = p.xCols
