@@ -198,7 +198,9 @@ object Gram {
           repWeightCols.map(c => col(c).cast("double")))): _*)
     val repsTotal = nReps + 1
     val zero = new GramBuffer(k, nLanes, repsTotal)
-    val res = proj.rdd.treeAggregate(zero)(
+    // toRdd: the codegen'd UnsafeRow stream, no per-row boxing into Row
+    // (safe here: seqOp reads each field once and retains nothing)
+    val res = proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
         val lane = row.getInt(2)
         if (lane >= 0 && lane < nLanes) {
@@ -261,7 +263,7 @@ object Gram {
         (xCols.map(c => col(c).cast("double")) ++ sysCols)): _*)
     val kBase = xCols.size
     val zero = new GramBuffer(k, nLanes, nSys)
-    val res = proj.rdd.treeAggregate(zero)(
+    val res = proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
         val lane = row.getInt(0)
         if (lane >= 0 && lane < nLanes) {
