@@ -40,7 +40,13 @@ final case class GramResult(
 
 /** Flat mutable accumulation buffer holding `lanes * repsTotal` Gram
   * systems (lane = group index; rep 0 = real weights, reps 1..B =
-  * bootstrap replicate weights). */
+  * bootstrap replicate weights).
+  *
+  * Layout is REPLICATE-CONTIGUOUS: `acc[(lane * stride + s) * repsTotal
+  * + r]`. A row's accumulation is then `stride` SAXPY loops over the
+  * replicate lane (`acc[base + r] += c * wr[r]`, contiguous, JIT
+  * auto-vectorized) instead of `repsTotal` strided 28-element walks —
+  * the difference is the whole cost of a 500-replicate bootstrap scan. */
 final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
     extends Serializable {
   val tri = k * (k + 1) / 2
@@ -60,9 +66,10 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
   }
 
   // scratch for the per-row sufficient-statistic vector (outer product,
-  // x*y, 1, y, y^2); safe because treeAggregate applies seqOp serially
-  // per partition buffer
+  // x*y, 1, y, y^2) and the per-rep effective weights; safe because
+  // treeAggregate applies seqOp serially per partition buffer
   private val scratch = new Array[Double](stride)
+  private val wrScratch = new Array[Double](repsTotal)
 
   // per-row input scratch reused across rows by the seqOps — a 500-rep
   // bootstrap otherwise allocates a 4 KB multiplier array PER ROW
@@ -88,14 +95,17 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
     scratch(tri + k + 1) = y
     scratch(tri + k + 2) = y * y
     var r = 0
-    while (r < repsTotal) {
-      val wr = w * repMult(r)
-      if (wr != 0.0) {
-        val base = (lane * repsTotal + r) * stride
-        var s = 0
-        while (s < stride) { acc(base + s) += wr * scratch(s); s += 1 }
+    while (r < repsTotal) { wrScratch(r) = w * repMult(r); r += 1 }
+    val laneBase = lane * stride
+    var s = 0
+    while (s < stride) {
+      val c = scratch(s)
+      if (c != 0.0) {
+        val base = (laneBase + s) * repsTotal
+        r = 0
+        while (r < repsTotal) { acc(base + r) += c * wrScratch(r); r += 1 }
       }
-      r += 1
+      s += 1
     }
     nPerLane(lane) += 1L
     if (w < minW) minW = w
@@ -106,39 +116,44 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
     * response/weight (and possibly its own trailing design value in x). */
   def addOne(lane: Int, sys: Int, y: Double, w: Double,
       x: Array[Double]): Unit = {
-    val base = (lane * repsTotal + sys) * stride
-    var idx = base
+    val laneBase = lane * stride
+    def at(s: Int): Int = (laneBase + s) * repsTotal + sys
+    var idx = 0
     var i = 0
     while (i < k) {
       val wxi = w * x(i)
       var j = i
-      while (j < k) { acc(idx) += wxi * x(j); idx += 1; j += 1 }
-      acc(base + tri + i) += wxi * y
+      while (j < k) { acc(at(idx)) += wxi * x(j); idx += 1; j += 1 }
+      acc(at(tri + i)) += wxi * y
       i += 1
     }
-    acc(base + tri + k) += w
-    acc(base + tri + k + 1) += w * y
-    acc(base + tri + k + 2) += w * y * y
+    acc(at(tri + k)) += w
+    acc(at(tri + k + 1)) += w * y
+    acc(at(tri + k + 2)) += w * y * y
     if (w < minW) minW = w
   }
 
   def bumpLane(lane: Int): Unit = nPerLane(lane) += 1L
 
   def result(lane: Int, rep: Int): GramResult = {
-    val base = (lane * repsTotal + rep) * stride
+    val laneBase = lane * stride
+    def at(s: Int): Int = (laneBase + s) * repsTotal + rep
     val m = DenseMatrix.zeros[Double](k, k)
-    var idx = base
+    var idx = 0
     var i = 0
     while (i < k) {
       var j = i
-      while (j < k) { m(i, j) = acc(idx); m(j, i) = acc(idx); idx += 1; j += 1 }
+      while (j < k) {
+        val v = acc(at(idx))
+        m(i, j) = v; m(j, i) = v; idx += 1; j += 1
+      }
       i += 1
     }
     val v = DenseVector.zeros[Double](k)
     i = 0
-    while (i < k) { v(i) = acc(base + tri + i); i += 1 }
-    GramResult(k, m, v, acc(base + tri + k), acc(base + tri + k + 1),
-      acc(base + tri + k + 2), nPerLane(lane),
+    while (i < k) { v(i) = acc(at(tri + i)); i += 1 }
+    GramResult(k, m, v, acc(at(tri + k)), acc(at(tri + k + 1)),
+      acc(at(tri + k + 2)), nPerLane(lane),
       if (minW.isPosInfinity) 0.0 else minW)
   }
 }
@@ -191,11 +206,21 @@ object Gram {
       if (nReps == 0 || externalReps) lit(0L)
       else if (seedCols.nonEmpty) xxhash64(seedCols.map(col): _*)
       else xxhash64((col(yCol) +: wCol.map(col).toSeq ++: xCols.map(col)): _*)
-    val proj = df.select(
+    val proj0 = df.select(
       (col(yCol).cast("double") +: w +: laneOf.cast("int").as("__lane__") +:
         rowHash +:
         (xCols.map(c => col(c).cast("double")) ++
           repWeightCols.map(c => col(c).cast("double")))): _*)
+    // A replicate-heavy pass does ~nReps * stride flops per row; a small
+    // input (one parquet file -> one scan partition) would run all of it
+    // on ONE task no matter how many cores exist. Repartition to a FIXED
+    // count — fixed, so partition contents (and therefore every FP sum)
+    // are bit-identical at any thread count. Large inputs already carry
+    // enough scan partitions and skip the shuffle.
+    val proj =
+      if (nReps >= 16 && proj0.queryExecution.toRdd.getNumPartitions < 16)
+        proj0.repartition(64)
+      else proj0
     val repsTotal = nReps + 1
     val zero = new GramBuffer(k, nLanes, repsTotal)
     // toRdd: the codegen'd UnsafeRow stream, no per-row boxing into Row
@@ -258,9 +283,15 @@ object Gram {
       Seq(col(s.yCol).cast("double"), col(s.wCol).cast("double")) ++
         s.extraXCol.map(col(_).cast("double")))
     val perSys = if (hasExtra) 3 else 2
-    val proj = df.select(
+    val proj0 = df.select(
       (laneOf.cast("int").as("__lane__") +:
         (xCols.map(c => col(c).cast("double")) ++ sysCols)): _*)
+    // same fixed-count fan-out as computeGrouped: many systems per row on
+    // a single-file scan must not serialize onto one task
+    val proj =
+      if (nSys >= 16 && proj0.queryExecution.toRdd.getNumPartitions < 16)
+        proj0.repartition(64)
+      else proj0
     val kBase = xCols.size
     val zero = new GramBuffer(k, nLanes, nSys)
     val res = proj.queryExecution.toRdd.treeAggregate(zero)(
