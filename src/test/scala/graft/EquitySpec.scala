@@ -104,6 +104,25 @@ class EquitySpec extends SparkSpec {
     assert(ratios.forall(r => math.abs(r - ratios.head) < 1e-9))
   }
 
+  test("greedy full-fund fast path equals the windowed path at the boundary") {
+    // budget exactly == required need routes through the fast path (no
+    // prefix window); budget a hair below routes through the window —
+    // the payments must agree except on the single marginal row
+    val need = Equity.optimize(f11, f11cfg, "id").metrics.requiredBudget
+    def pays(budget: Double): Map[Long, Double] =
+      Equity.optimize(f11, f11cfg.copy(budget = budget), "id")
+        .adjustments.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Double]("adjustment")).toMap
+    val full = pays(need)            // fast path (budget >= need)
+    val nearly = pays(need - 1e-6)   // windowed path
+    assert(math.abs(full.values.sum - need) < 1e-9)
+    assert(math.abs(nearly.values.sum - (need - 1e-6)) < 1e-9)
+    // identical allocations except the one clipped marginal payment
+    val diffs = full.keySet.filter(k => math.abs(full(k) - nearly(k)) > 1e-12)
+    assert(diffs.size == 1, s"diffs on rows $diffs")
+    assert(full(diffs.head) - nearly(diffs.head) - 1e-6 < 1e-9)
+  }
+
   test("verify: applying the greedy adjustments closes the unexplained gap") {
     val res = Equity.optimize(f11, f11cfg, "id")
     val after = Equity.verifyAdjustments(f11,
