@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW (no [info] log prefix):
+// the bench driver parses the final JSON line from stdout, and sbt's
+// logged output strategy would mangle it.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

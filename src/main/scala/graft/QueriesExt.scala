@@ -83,7 +83,7 @@ object QueriesExt {
 
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.8)
+          n = 3, threshold = 0.8, maxShingleDf = Some(10000L))
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 

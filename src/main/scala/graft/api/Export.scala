@@ -108,9 +108,13 @@ object Export {
     val total = r.totalGap
     val expPct = explained / total * 100.0
     val unexpPct = unexplained / total * 100.0
-    f"The total gap is $total%.4f. \n" +
-      f"$expPct%.1f%% of this gap is explained by differences in endowments (observables), " +
-      f"while $unexpPct%.1f%% is unexplained (coefficients/discrimination)."
+    if (!java.lang.Double.isFinite(expPct) || !java.lang.Double.isFinite(unexpPct))
+      f"The total gap is $total%.4f; the percentage breakdown is " +
+        "undefined for a zero gap."
+    else
+      f"The total gap is $total%.4f. \n" +
+        f"$expPct%.1f%% of this gap is explained by differences in endowments (observables), " +
+        f"while $unexpPct%.1f%% is unexplained (coefficients/discrimination)."
   }
 
   /** Self-contained SVG bar chart of the two-fold decomposition — the

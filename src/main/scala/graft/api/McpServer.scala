@@ -182,6 +182,14 @@ object McpServer {
         StructField("value", org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Percentage share, JSON-safe: a zero-gap denominator yields NaN/Inf,
+    * which json4s renders as a bare `NaN` token (invalid JSON on the
+    * wire) — emit JNull for non-finite shares instead. */
+  private[graft] def finitePct(part: Double, total: Double): JValue = {
+    val v = part / total * 100.0
+    if (java.lang.Double.isFinite(v)) JDouble(v) else JNull
+  }
+
   private def verifyAdjustments(spark: SparkSession, a: JValue): JValue = {
     val df = csvToDf(spark, (a \ "csv_content").extract[String])
     val res = Equity.verifyAdjustments(df, adjustmentsDf(spark, a), RowId,
@@ -193,9 +201,9 @@ object McpServer {
         res.twoFold.find(_.name == "explained").get.estimate),
       "unexplained_gap" -> JDouble(unex.estimate),
       "interaction_gap" -> JNull,
-      "explained_percentage" -> JDouble(
-        res.twoFold.find(_.name == "explained").get.estimate / res.totalGap * 100.0),
-      "unexplained_percentage" -> JDouble(unex.estimate / res.totalGap * 100.0),
+      "explained_percentage" -> finitePct(
+        res.twoFold.find(_.name == "explained").get.estimate, res.totalGap),
+      "unexplained_percentage" -> finitePct(unex.estimate, res.totalGap),
       "unexplained_standard_error" -> JDouble(unex.stdErr))
   }
 

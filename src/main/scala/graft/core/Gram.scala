@@ -227,8 +227,14 @@ object Gram {
     // (safe here: seqOp reads each field once and retains nothing)
     val res = proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
-        val lane = row.getInt(2)
+        val lane = if (row.isNullAt(2)) -1 else row.getInt(2)
         if (lane >= 0 && lane < nLanes) {
+          // The UnsafeRow stream reads a null double as 0.0; fail loudly
+          // instead of silently corrupting the sums (anyNull is a bitset
+          // word scan, ~free next to the per-row arithmetic below).
+          if (row.anyNull)
+            throw InvalidArgument(
+              "Gram pass read a null model value; drop null rows first")
           val y = row.getDouble(0)
           val wv = row.getDouble(1)
           val rh = row.getLong(3)
@@ -296,8 +302,12 @@ object Gram {
     val zero = new GramBuffer(k, nLanes, nSys)
     val res = proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
-        val lane = row.getInt(0)
+        val lane = if (row.isNullAt(0)) -1 else row.getInt(0)
         if (lane >= 0 && lane < nLanes) {
+          // same null discipline as computeGrouped: loud, not 0.0
+          if (row.anyNull)
+            throw InvalidArgument(
+              "Gram pass read a null model value; drop null rows first")
           val x = buf.xRow
           var i = 0
           while (i < kBase) { x(i) = row.getDouble(1 + i); i += 1 }

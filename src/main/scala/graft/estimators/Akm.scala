@@ -42,8 +42,26 @@ object Akm {
     * passes (edge aggregation, demeaned Gram, R^2). Larger graphs fall
     * back to the fully distributed loops. The cap bounds driver memory
     * the same way `MachadoMata`'s design collect does (~100 MB at the
-    * default with a handful of controls). */
+    * default with a handful of controls). `run` takes the cap as a
+    * parameter so tests can force the distributed path on small graphs. */
   val DriverEdgeCap: Long = 2000000L
+
+  /** Shared observation projection for BOTH solve paths: string keys,
+    * double-cast outcome and controls. Null worker/firm/outcome rows are
+    * dropped (matching `Prep.clean` semantics — the reference's
+    * `clean()` drops incomplete rows before AKM, `akm.rs:118-127`);
+    * missing controls are treated as 0. Dropping nulls HERE is
+    * load-bearing: the Gram kernel reads the codegen UnsafeRow stream,
+    * where a null double reads as 0.0, so nulls must never reach it. */
+  private def projectObs(df: DataFrame, outcome: String, workerCol: String,
+      firmCol: String, controls: Seq[String]): DataFrame =
+    df.select(
+      (col(workerCol).cast("string").as("w") +:
+        col(firmCol).cast("string").as("f") +:
+        col(outcome).cast("double").as("__v0__") +:
+        controls.zipWithIndex.map { case (c, i) =>
+          coalesce(col(c).cast("double"), lit(0.0)).as(s"__v${i + 1}__")
+        }): _*).na.drop(Seq("w", "f", "__v0__"))
 
   /** Round-based min-label propagation over an in-memory edge list —
     * EXACTLY the distributed semantics below (batch min per round,
@@ -113,7 +131,26 @@ object Akm {
       import spark.implicits._
       return df.join(broadcast(keep.toSeq.toDF("w")), w === col("w"), "left_semi")
     }
+    semiJoinWorkers(df, df(workerCol).cast("string"),
+      distributedComponentWorkers(edges, maxIters))
+  }
 
+  /** Semi-join `df` to a one-column worker frame, broadcasting it only
+    * when it is small enough to ship (the largest component of a 100 TB
+    * graph easily exceeds the broadcast limit). */
+  private def semiJoinWorkers(df: DataFrame,
+      w: org.apache.spark.sql.Column, keepW: DataFrame): DataFrame = {
+    val kw = keepW.localCheckpoint()
+    val side = if (kw.count() <= DriverEdgeCap) broadcast(kw) else kw
+    df.join(side, w === kw(kw.columns.head), "left_semi")
+  }
+
+  /** Distributed min-label propagation over a checkpointed distinct edge
+    * table; returns the one-column frame of workers in the largest
+    * component (by node count, min label breaking ties) — same semantics
+    * as [[driverComponentWorkers]]. */
+  private def distributedComponentWorkers(edges: DataFrame,
+      maxIters: Int): DataFrame = {
     // node labels: start as the node's own key; propagate min through edges
     var wLab = edges.select(col("w")).distinct()
       .withColumn("lab", concat(lit("w:"), col("w"))).localCheckpoint()
@@ -153,22 +190,28 @@ object Akm {
     val top = sizes.collect()
     if (top.isEmpty) throw InsufficientData("Empty graph")
     val topLab = top(0).getString(0)
-    val keepW = wLab.filter(col("lab") === lit(topLab)).select(col("w"))
-    df.join(broadcast(keepW), w === col("w"), "left_semi")
+    wLab.filter(col("lab") === lit(topLab)).select(col("w"))
   }
 
+  /** `driverEdgeCap` routes between the driver edge-table path and the
+    * fully distributed loops (default [[DriverEdgeCap]]; injectable so
+    * the distributed path is testable on small graphs). The distinct
+    * edge table is derived ONCE and shared between the routing decision
+    * and the connected-component pass. */
   def run(df: DataFrame, outcome: String, workerCol: String, firmCol: String,
       controls: Seq[String] = Nil, tolerance: Double = 1e-8,
-      maxIters: Int = 1000): AkmResult = {
-    val nEdges = df.select(col(workerCol).cast("string"),
-      col(firmCol).cast("string")).na.drop().distinct().count()
+      maxIters: Int = 1000, driverEdgeCap: Long = DriverEdgeCap): AkmResult = {
+    val obs = projectObs(df, outcome, workerCol, firmCol, controls)
+      .localCheckpoint()
+    val edges = obs.select(col("w"), col("f")).distinct().localCheckpoint()
+    val nEdges = edges.count()
     if (nEdges == 0) throw InsufficientData("Empty graph")
-    if (nEdges <= DriverEdgeCap)
-      return runDriver(df, outcome, workerCol, firmCol, controls, tolerance,
-        maxIters)
-    val connected = largestConnectedSet(df, workerCol, firmCol)
+    if (nEdges <= driverEdgeCap)
+      return runDriver(obs, controls, tolerance, maxIters, workerCol, firmCol)
+    val keepW = distributedComponentWorkers(edges, 200)
+    val connected = semiJoinWorkers(obs, obs("w"), keepW)
     if (connected.isEmpty) throw InsufficientData("No connected set found")
-    solve(connected, outcome, workerCol, firmCol, controls, tolerance, maxIters)
+    solve(connected, controls, tolerance, maxIters, workerCol, firmCol)
   }
 
   /** Edge-table AKM (the <= [[DriverEdgeCap]] path).
@@ -189,19 +232,11 @@ object Akm {
     * sum_i (delta v_i)^2 == sum_e n_e (delta a + delta p)^2 for the
     * zig-zag, unweighted sum (delta a)^2 + (delta p)^2 for FE recovery —
     * checked every iteration (the distributed loops check every 3rd). */
-  private def runDriver(df: DataFrame, outcome: String, workerCol: String,
-      firmCol: String, controls: Seq[String], tol: Double,
-      maxIters: Int): AkmResult = {
-    val spark = df.sparkSession
+  private def runDriver(obs: DataFrame, controls: Seq[String], tol: Double,
+      maxIters: Int, workerCol: String, firmCol: String): AkmResult = {
+    val spark = obs.sparkSession
     import spark.implicits._
     val nv = controls.size + 1
-    val obs = df.select(
-      (col(workerCol).cast("string").as("w") +:
-        col(firmCol).cast("string").as("f") +:
-        col(outcome).cast("double").as("__v0__") +:
-        controls.zipWithIndex.map { case (c, i) =>
-          coalesce(col(c).cast("double"), lit(0.0)).as(s"__v${i + 1}__")
-        }): _*).na.drop(Seq("w", "f")).localCheckpoint()
 
     // one aggregation pass: the full edge table with per-vector sums
     val aggCols = count(lit(1)).as("n") +:
@@ -431,17 +466,11 @@ object Akm {
       r2, nObs)
   }
 
-  private def solve(df: DataFrame, outcome: String, workerCol: String,
-      firmCol: String, controls: Seq[String], tol: Double,
-      maxIters: Int): AkmResult = {
+  private def solve(connectedObs: DataFrame, controls: Seq[String],
+      tol: Double, maxIters: Int, workerCol: String,
+      firmCol: String): AkmResult = {
     val vecCols = "__v0__" +: controls.indices.map(i => s"__v${i + 1}__")
-    val obs = df.select(
-      (col(workerCol).cast("string").as("w") +:
-        col(firmCol).cast("string").as("f") +:
-        col(outcome).cast("double").as("__v0__") +:
-        controls.zipWithIndex.map { case (c, i) =>
-          coalesce(col(c).cast("double"), lit(0.0)).as(s"__v${i + 1}__")
-        }): _*).localCheckpoint()
+    val obs = connectedObs.localCheckpoint()
     val nObs = obs.count()
 
     // When the effect tables (one row per worker/firm) are small, force

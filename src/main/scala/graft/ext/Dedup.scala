@@ -59,21 +59,29 @@ object Dedup {
     * candidate pairs over the FULL shingle sets — but pairs whose overlap
     * consists solely of above-cap shingles are not discovered. Such pairs
     * have jaccard <= cap-shingle overlap / union, so with a cap well above
-    * `threshold * min doc size` the miss set is empty; None disables the
-    * guard (exact candidates). The guard defaults ON — at 100 TB a single
-    * stopword shingle with df = 10^6 would otherwise put 10^12 candidate
-    * rows on one shuffle key. */
+    * `threshold * min doc size` the miss set is empty; the `None` default
+    * keeps candidate generation exact (and skips the guard's df probe) —
+    * at 100 TB call sites SHOULD pass a cap (one stopword shingle with
+    * df = 10^6 otherwise puts 10^12 candidate rows on one shuffle key).
+    * When the guard fires, the number of suppressed hot shingles is
+    * logged so the recall change is observable. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxShingleDf: Option[Long] = Some(10000L)): DataFrame = {
+      maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // the guard only changes the plan when hot shingles actually exist:
     // one cheap probe over the checkpointed shingle table decides, so a
     // clean corpus never pays the exact-recompute join
     val capHit = maxShingleDf.filter { cap =>
-      !sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).isEmpty
+      val nHot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).count()
+      if (nHot > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ngramJaccardPairs: dropping $nHot hot shingles (df > $cap) " +
+            "from candidate generation; pairs overlapping ONLY on those " +
+            "shingles will not be discovered")
+      nHot > 0
     }
     val index = capHit match {
       case Some(cap) =>

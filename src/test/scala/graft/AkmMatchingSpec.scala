@@ -41,6 +41,55 @@ class AkmMatchingSpec extends SparkSpec {
     assert(errs.max < 0.05, s"max psi err ${errs.max}")
   }
 
+  test("AKM distributed path matches the driver edge-table path") {
+    val rng = new scala.util.Random(7)
+    val nW = 40
+    val nF = 8
+    val rows = (0 until 400).map { _ =>
+      val w = rng.nextInt(nW)
+      val f = rng.nextInt(nF)
+      val x = rng.nextDouble() * 4
+      val y = 1.7 * x + (w % 5) * 0.3 - (f % 3) * 0.2 + rng.nextGaussian() * 0.05
+      (f"w$w", f"f$f", x, y)
+    }
+    val df = rows.toDF("worker", "firm", "x", "y")
+    val driver = Akm.run(df, "y", "worker", "firm", Seq("x"))
+    // driverEdgeCap = 0 forces the fully distributed loops on this graph
+    val dist = Akm.run(df, "y", "worker", "firm", Seq("x"), driverEdgeCap = 0L)
+    assert(math.abs(driver.beta(0) - dist.beta(0)) < 1e-6,
+      s"beta ${driver.beta(0)} vs ${dist.beta(0)}")
+    assert(math.abs(driver.r2 - dist.r2) < 1e-6, s"r2 ${driver.r2} vs ${dist.r2}")
+    assert(driver.nObs == dist.nObs)
+    def effMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (aD, aS) = (effMap(driver.workerEffects), effMap(dist.workerEffects))
+    val (pD, pS) = (effMap(driver.firmEffects), effMap(dist.firmEffects))
+    assert(aD.keySet == aS.keySet && pD.keySet == pS.keySet)
+    assert(aD.keys.map(k => math.abs(aD(k) - aS(k))).max < 1e-5)
+    assert(pD.keys.map(k => math.abs(pD(k) - pS(k))).max < 1e-5)
+  }
+
+  test("AKM drops null-outcome rows identically on both paths") {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 200).map { i =>
+      val w = rng.nextInt(20)
+      val f = rng.nextInt(6)
+      (f"w$w", f"f$f", rng.nextDouble() * 3,
+        if (i % 17 == 0) None else Some(1.2 * w % 3 + f * 0.1 + rng.nextGaussian() * 0.1))
+    }
+    val df = base.toDF("worker", "firm", "x", "y")
+    val clean = base.collect { case (w, f, x, Some(y)) => (w, f, x, y) }
+      .toDF("worker", "firm", "x", "y")
+    val a = Akm.run(df, "y", "worker", "firm", Seq("x"))
+    val b = Akm.run(clean, "y", "worker", "firm", Seq("x"))
+    assert(a.nObs == b.nObs, s"null rows leaked: ${a.nObs} vs ${b.nObs}")
+    assert(math.abs(a.beta(0) - b.beta(0)) < 1e-12)
+    assert(math.abs(a.r2 - b.r2) < 1e-12)
+    val c = Akm.run(df, "y", "worker", "firm", Seq("x"), driverEdgeCap = 0L)
+    assert(c.nObs == b.nObs)
+    assert(math.abs(c.beta(0) - b.beta(0)) < 1e-6)
+  }
+
   test("AKM largest connected set drops the disconnected worker (test_akm.rs:74-108)") {
     val df = Seq(
       ("w1", "f1", 1.0, 1.0), ("w2", "f1", 2.0, 2.0), ("w3", "f2", 3.0, 3.0)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{Export, Formula, OaxacaBuilder}
+import graft.api.{Export, Formula, McpServer, OaxacaBuilder}
 import graft.core.InvalidGroupVariable
 
 /** Formula grammar (`formula.rs` tests), builder API and export shapes
@@ -67,6 +67,18 @@ class ApiSpec extends SparkSpec {
     val svg = Export.toSvgBar(res)
     assert(svg.startsWith("<svg") && svg.contains("Explained") &&
       svg.contains("Unexplained") && svg.contains("<rect"))
+
+    // zero-gap guard: interpret() must not print NaN percentages
+    val zeroGap = Export.interpret(res.copy(totalGap = 0.0))
+    assert(!zeroGap.contains("NaN") && zeroGap.contains("undefined"))
+    // JSON-RPC percentage fields must stay valid JSON at zero gap
+    import org.json4s.JsonAST.{JDouble, JNull}
+    assert(McpServer.finitePct(1.0, 0.0) == JNull)
+    assert(McpServer.finitePct(0.0, 0.0) == JNull)
+    McpServer.finitePct(1.0, 2.0) match {
+      case JDouble(v) => assert(math.abs(v - 50.0) < 1e-12)
+      case other => fail(s"expected JDouble, got $other")
+    }
   }
 
   test("CSV round-trip ingest (S1/S3) preserves the analysis") {

@@ -60,6 +60,20 @@ class ErrorSpec extends SparkSpec {
       "contains non-numeric data but was selected as a continuous variable"))
   }
 
+  test("null model values in a Gram pass fail loudly, not as silent 0.0") {
+    val df = Prep.withIntercept(Seq(
+      (Option(1.0), 1.0), (Option.empty[Double], 2.0), (Option(3.0), 3.0),
+      (Option(4.0), 4.0)).toDF("y", "x"))
+    val ex = intercept[Throwable] {
+      Gram.compute(df, "y", Seq(Prep.InterceptCol, "x"))
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      t.getMessage != null && t.getMessage.contains("null model value")),
+      s"unexpected failure: $ex")
+  }
+
   test("AKM non-convergence raises ConvergenceFailed (akm.rs)") {
     val df = Seq(("w1", "f1", 1.0, 1.0), ("w2", "f1", 2.0, 5.0),
       ("w1", "f2", 3.0, 2.0), ("w2", "f2", 4.0, 9.0)).toDF("worker", "firm", "x", "y")
