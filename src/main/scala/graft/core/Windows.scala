@@ -66,4 +66,25 @@ object Windows {
     withLocal.withColumn(outCol, col("__local_prefix__") + offCol)
       .drop("__pfx_key__", "__bucket__", "__val__", "__local_prefix__")
   }
+
+  /** Values of `value` (nulls dropped) at the given 0-based global sort
+    * ranks — WITHOUT a global sort. Ranks come from the value-bucketed
+    * exclusive prefix COUNT above, so the plan is three parallel passes
+    * (quantile probe, bucket totals, filtered per-bucket window) and only
+    * the requested rows reach the driver. A `sort + zipWithIndex`
+    * rank-pick executes its global sort twice (zipWithIndex's count job,
+    * then the extract job); this runs nothing twice. Rows tied on the
+    * value get arbitrary consecutive ranks, which is immaterial here:
+    * tied rows share the value, so value-at-rank is well-defined. */
+  def valuesAtRanks(df: DataFrame, value: Column,
+      ranks: Set[Long]): Map[Long, Double] = {
+    val wanted = ranks.map(math.max(_, 0L))
+    if (wanted.isEmpty) return Map.empty
+    val vals = df.select(value.cast("double").as("__v__")).na.drop()
+    val ranked = exclusivePrefixSum(vals, col("__v__"), ascending = true,
+      Nil, lit(1.0), "__rk__")
+    ranked.filter(col("__rk__").isin(wanted.toSeq.map(_.toDouble): _*))
+      .select(col("__rk__"), col("__v__"))
+      .collect().map(r => r.getDouble(0).toLong -> r.getDouble(1)).toMap
+  }
 }

@@ -32,12 +32,15 @@ object Dfl {
       df0.schema(p).dataType == org.apache.spark.sql.types.StringType)
     val numericPreds = predictors.filterNot(stringPreds.contains)
     val (dummied, infos) = Prep.oneHot(df0, stringPreds)
-    // the prepared frame feeds the logit IRLS iterations, group counts,
-    // min/max, two Silverman passes and three KDE passes — persist it once
+    val xCols = Prep.InterceptCol +: (numericPreds ++ infos.flatMap(_.dummyCols))
+    // the prepared frame feeds the logit IRLS iterations, group stats,
+    // the Silverman passes and the KDE pass — persist ONE narrow
+    // projection (outcome, group, design), not the full source width:
+    // the cache write is what you pay per row
     val df = Prep.withIntercept(dummied)
+      .select((outcome +: group +: xCols).distinct.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val xCols = Prep.InterceptCol +: (numericPreds ++ infos.flatMap(_.dummyCols))
 
     val levels = Prep.groupLevels(df, group)
     if (!levels.contains(reference))
@@ -52,33 +55,43 @@ object Dfl {
     val fit = Logit.fit(withTarget, "__dfl_target__", xCols,
       maxIter = 100, tol = 1e-6)
 
-    val counts = df.groupBy(g.as("g")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nA = counts.getOrElse(levelA, 0L).toDouble
-    val nB = counts.getOrElse(reference, 0L).toDouble
-    val ratioMarginal = nB / nA
-
+    // one pass: group counts + outcome range (previously two)
     val y = col(outcome).cast("double")
-    val mm = df.agg(min(y).as("mn"), max(y).as("mx")).head()
-    val minVal = mm.getDouble(0)
-    val maxVal = mm.getDouble(1)
+    val sums = df.agg(
+      sum(when(g === lit(levelA), 1L).otherwise(0L)).as("na"),
+      sum(when(g === lit(reference), 1L).otherwise(0L)).as("nb"),
+      min(y).as("mn"), max(y).as("mx")).head()
+    val nA = sums.getLong(0).toDouble
+    val nB = sums.getLong(1).toDouble
+    val ratioMarginal = nB / nA
+    val minVal = sums.getDouble(2)
+    val maxVal = sums.getDouble(3)
     val step = (maxVal - minVal) / GridSize.toDouble
     val grid = Array.tabulate(GridSize)(i => minVal + i * step)
 
     val dfA = df.filter(g === lit(levelA))
     val dfB = df.filter(g === lit(reference))
     val p = least(greatest(fit.probCol(xCols), lit(1e-4)), lit(0.9999))
-    val dfBw = dfB.withColumn("__dfl_w__",
-      (p / (lit(1.0) - p)) * lit(ratioMarginal))
 
     val bwA = Kde.silverman(dfA, outcome)
     val bwB = Kde.silverman(dfB, outcome)
 
+    // all three densities in ONE scan: per-density weight columns that
+    // are 0 outside the density's subset
+    val isA = g === lit(levelA)
+    val isB = g === lit(reference)
+    val psi = (p / (lit(1.0) - p)) * lit(ratioMarginal)
+    val dens = Kde.onGridMulti(df, outcome,
+      Seq(when(isA, 1.0).otherwise(0.0),
+        when(isB, 1.0).otherwise(0.0),
+        when(isB, psi).otherwise(0.0)),
+      grid, Seq(bwA, bwB, bwB))
+
     DflResult(
       grid = grid,
-      densityA = Kde.onGrid(dfA, outcome, None, grid, bwA),
-      densityB = Kde.onGrid(dfB, outcome, None, grid, bwB),
-      densityBCounterfactual = Kde.onGrid(dfBw, outcome, Some("__dfl_w__"), grid, bwB),
+      densityA = dens(0),
+      densityB = dens(1),
+      densityBCounterfactual = dens(2),
       logitConverged = fit.converged)
     } finally { df.unpersist(); () }
   }

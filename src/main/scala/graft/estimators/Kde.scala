@@ -19,26 +19,51 @@ object Kde {
   def onGrid(df: DataFrame, valueCol: String, wCol: Option[String],
       grid: Array[Double], bandwidth: Double): Array[Double] = {
     val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
-    val proj = df.select(col(valueCol).cast("double"), w)
+    onGridMulti(df, valueCol, Seq(w), grid, Seq(bandwidth)).head
+  }
+
+  /** Multi-density variant: several weight columns (0 = row not in that
+    * density) each with their own bandwidth, accumulated in ONE scan —
+    * e.g. DFL's three densities (group A, group B, reweighted B) share
+    * one pass over the prepared frame instead of three. */
+  def onGridMulti(df: DataFrame, valueCol: String, wCols: Seq[Column],
+      grid: Array[Double], bandwidths: Seq[Double]): Array[Array[Double]] = {
+    require(wCols.size == bandwidths.size, "one bandwidth per weight column")
+    val nL = wCols.size
+    val proj = df.select(
+      (col(valueCol).cast("double") +: wCols.map(_.cast("double"))): _*)
     val m = grid.length
-    val zero = new Array[Double](m + 1) // grid sums ++ sum(w)
+    val stride = m + 1 // grid sums ++ sum(w), per density
+    val zero = new Array[Double](stride * nL)
+    val bw = bandwidths.toArray
     val acc = proj.rdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
         val x = row.getDouble(0)
-        val wv = row.getDouble(1)
-        var i = 0
-        while (i < m) {
-          val u = (grid(i) - x) / bandwidth
-          buf(i) += wv * InvSqrt2Pi * math.exp(-0.5 * u * u)
-          i += 1
+        var l = 0
+        while (l < nL) {
+          val wv = row.getDouble(1 + l)
+          if (wv != 0.0) {
+            val h = bw(l)
+            val base = l * stride
+            var i = 0
+            while (i < m) {
+              val u = (grid(i) - x) / h
+              buf(base + i) += wv * InvSqrt2Pi * math.exp(-0.5 * u * u)
+              i += 1
+            }
+            buf(base + m) += wv
+          }
+          l += 1
         }
-        buf(m) += wv
         buf
       },
       combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
       depth = 2)
-    val sw = acc(m)
-    grid.indices.map(i => acc(i) / sw / bandwidth).toArray
+    Array.tabulate(nL) { l =>
+      val base = l * stride
+      val sw = acc(base + m)
+      grid.indices.map(i => acc(base + i) / sw / bw(l)).toArray
+    }
   }
 
   /** Silverman's rule with the kde.rs index convention:
@@ -58,18 +83,12 @@ object Kde {
     0.9 * a * math.pow(n.toDouble, -0.2)
   }
 
-  /** 0-based elements of the sorted column at the given ranks; one
-    * distributed sort + zipWithIndex, no driver collect of the data.
-    * Nulls are dropped BEFORE sorting so ranks align with count(v)
-    * (nulls would otherwise sort first and shift every quartile index). */
+  /** 0-based elements of the sorted column at the given ranks, via the
+    * value-bucketed prefix-count rank pick (no global sort; nulls are
+    * dropped first so ranks align with count(v)). */
   def elementsAtIndices(df: DataFrame, valueCol: String,
-      idxs: Set[Long]): Map[Long, Double] = {
-    val wanted = idxs.map(math.max(_, 0L))
-    df.select(col(valueCol).cast("double").as(valueCol))
-      .na.drop(Seq(valueCol)).sort(col(valueCol))
-      .rdd.zipWithIndex().filter(t => wanted.contains(t._2))
-      .map(t => t._2 -> t._1.getDouble(0)).collect().toMap
-  }
+      idxs: Set[Long]): Map[Long, Double] =
+    graft.core.Windows.valuesAtRanks(df, col(valueCol), idxs)
 
   /** 0-based element of the sorted column. */
   def elementAtIndex(df: DataFrame, valueCol: String, idx: Long): Double =

@@ -41,9 +41,10 @@ object Rif {
 
     // pass 2: IQR via the rif.rs ceil-index convention
     // q75 = sorted[max(ceil(0.75 n), 1) - 1] (0-based), same for q25.
-    // Rank-pick by distributed sort + zipWithIndex per group — a
-    // partitionBy(group) window would sort each group in ONE task,
-    // which dies at scale; a range-partitioned sort stays parallel.
+    // Rank-pick by the value-bucketed prefix-count (`Windows
+    // .valuesAtRanks`) per group — a partitionBy(group) window would
+    // sort each group in ONE task, which dies at scale; the bucketed
+    // rank pick stays parallel and never re-executes a sort.
     def rifIdx(n: Long, p: Double): Long = {
       val i = math.ceil(p * n).toLong
       math.min(if (i == 0) 0 else i - 1, n - 1) // 0-based
@@ -51,15 +52,13 @@ object Rif {
     val bandwidths = stats.map { case (lvl, (n, std, _)) =>
       if (n < 2) {
         // these groups take the passthrough in the final expression —
-        // skip the sort job (and the rifIdx(0,.) = -1 lookup an
+        // skip the rank jobs (and the rifIdx(0,.) = -1 lookup an
         // all-null-outcome group would hit); any positive placeholder works
         lvl -> 1.0
       } else {
-        val sorted = df.filter(g === lit(lvl)).select(y.as("y"))
-          .sort(col("y")).rdd.zipWithIndex()
         val wanted = Set(rifIdx(n, 0.25), rifIdx(n, 0.75))
-        val vals = sorted.filter(t => wanted.contains(t._2))
-          .map(t => t._2 -> t._1.getDouble(0)).collect().toMap
+        val vals = graft.core.Windows.valuesAtRanks(
+          df.filter(g === lit(lvl)), y, wanted)
         val q25 = vals(rifIdx(n, 0.25))
         val q75 = vals(rifIdx(n, 0.75))
         val iqr = q75 - q25

@@ -24,15 +24,24 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 object Dedup {
 
   /** Distinct word shingles (n-grams joined by single spaces) per doc.
-    * Documents with fewer than n tokens produce no shingles. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), "\\s+").as("__toks__"))
+    * Documents with fewer than n tokens produce no shingles.
+    *
+    * The tokenize+explode multiplies each doc into hundreds of rows, so
+    * a small-file corpus scan (few partitions) would serialize all that
+    * work on one core; fan the INPUT out by id hash first when the scan
+    * has too little parallelism (deterministic row placement, same
+    * fixed-count discipline as the Gram kernel's repartition). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val in =
+      if (df.rdd.getNumPartitions < 16) df.repartition(32, col(idCol)) else df
+    in.select(col(idCol), split(col(textCol), "\\s+").as("__toks__"))
       .filter(size(col("__toks__")) >= n)
       .select(col(idCol), explode(array_distinct(expr(
         s"""transform(sequence(0, size(__toks__) - $n),
            |  i -> concat_ws(' ', slice(__toks__, i + 1, $n)))""".stripMargin)))
         .as("shingle"))
       .filter(col("shingle") =!= "")
+  }
 
   /** Exact duplicate groups: (md5, n_copies, min id) for texts occurring
     * more than once. */
@@ -133,7 +142,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
-    val sigs = minhashSignatures(sh, idCol, numHashes)
+    // one row per doc — checkpoint so the 8-band union and the bucket
+    // self-join read the tiny signature table instead of re-running the
+    // numHashes-way aggregation over the full shingle set per branch
+    val sigs = minhashSignatures(sh, idCol, numHashes).localCheckpoint()
     // band key = md5 of the concatenated band slice
     val banded = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
