@@ -74,6 +74,33 @@ object QueriesExt {
           t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // top-20 (doc, term) pairs by smoothed TF-IDF; ordering on the
+    // ROUNDED score (+ id/term tiebreak) so both engines pick the same
+    // rows at the cutoff
+    "q_tfidf_top" -> ((s, d) =>
+      Relevance.tfIdf(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r6(col("tfidf")).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(20)),
+
+    "q_bm25" -> ((s, d) =>
+      Relevance.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "join", "filter"))
+        .select(col("doc_id"), r6(col("bm25")).as("bm25"),
+          col("n_query_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)),
+
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(
+          t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text",
+          n = 3)
+        .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
+          r6(col("rep_ratio")).as("rep_ratio"),
+          r6(col("top_share")).as("top_share"))
+        .orderBy(col("doc_id"))),
+
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("source"))
@@ -331,6 +358,73 @@ object QueriesExt {
          |  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
          |  FROM documents WHERE doc_id < 50
          |) WHERE tok <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // smoothed TF-IDF (sklearn-style): tf/dl * (ln((N+1)/(df+1)) + 1);
+    // arithmetic written in the same order as Relevance.tfIdf so the
+    // doubles match bit-for-bit before rounding
+    "q_tfidf_top" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  round((CAST(tf.tf AS DOUBLE) / dl.dl) *
+        |    (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf
+        |JOIN dl ON dl.doc_id = tf.doc_id
+        |JOIN dfreq ON dfreq.term = tf.term, n
+        |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
+
+    // Okapi BM25 for query terms (spark, join, filter), k1=1.2, b=0.75;
+    // avgdl = exact integer token total / doc count, as in Relevance.bm25
+    "q_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) /
+        |  (SELECT n FROM n) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t2
+        |  WHERE term IN ('spark', 'join', 'filter') GROUP BY 1, 2
+        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+        |      AS term_score
+        |  FROM tf
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  JOIN dfreq ON dfreq.term = tf.term, n, avgdl
+        |)
+        |SELECT doc_id, round(sum(term_score), 6) AS bm25,
+        |  count(*) AS n_query_terms
+        |FROM scored GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    // 3-gram repetition profile (degenerate-text screen)
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents WHERE doc_id < 50
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS gram
+        |  FROM toks WHERE len(tk) >= 3
+        |), g2 AS (SELECT doc_id, gram FROM g WHERE gram <> ''),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  count(*) AS distinct_ngrams,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS rep_ratio,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n, count(DISTINCT md5(text)) AS n_distinct

@@ -73,4 +73,35 @@ object TextAnalysis {
       .agg(expr("bit_xor(" +
         "cast(conv(substring(md5(__tok__), 1, 14), 16, 10) as bigint))")
         .as("fingerprint"))
+
+  /** Per-doc n-gram repetition profile — the standard degenerate-text
+    * screen for LLM corpora (a doc stuck in a loop has few distinct
+    * n-grams and one dominant n-gram):
+    * (total n-grams, distinct n-grams, rep_ratio = 1 - distinct/total,
+    * top_share = most frequent n-gram's share). Docs with fewer than n
+    * tokens produce no row. One explode + two hash aggregations, keyed
+    * on (doc, gram) then doc — scales like any inverted index. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val in =
+      if (df.rdd.getNumPartitions < 16) df.repartition(32, col(idCol)) else df
+    val grams = in
+      .select(col(idCol), split(col(textCol), "\\s+").as("__toks__"))
+      .filter(size(col("__toks__")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__toks__) - $n),
+           |  i -> concat_ws(' ', slice(__toks__, i + 1, $n)))""".stripMargin))
+        .as("gram"))
+      .filter(col("gram") =!= "")
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max(col("c")).as("__max_c__"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"))
+      .withColumn("top_share",
+        col("__max_c__").cast("double") / col("total_ngrams"))
+      .drop("__max_c__")
+  }
 }

@@ -159,6 +159,52 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("TF-IDF: hand-computed values on a two-doc corpus") {
+    val corpus = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Relevance.tfIdf(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // N=2; dl(1)=3, dl(2)=2; df(a)=2, df(b)=df(c)=1
+    val (tfA1, dfA, vA1) = out((1L, "a"))
+    assert(tfA1 == 2 && dfA == 2)
+    assert(math.abs(vA1 - 2.0 / 3.0 * (math.log(3.0 / 3.0) + 1.0)) < 1e-12)
+    val (_, _, vB1) = out((1L, "b"))
+    assert(math.abs(vB1 - 1.0 / 3.0 * (math.log(3.0 / 2.0) + 1.0)) < 1e-12)
+    val (_, _, vC2) = out((2L, "c"))
+    assert(math.abs(vC2 - 1.0 / 2.0 * (math.log(3.0 / 2.0) + 1.0)) < 1e-12)
+  }
+
+  test("BM25: hand-computed score, higher tf wins at equal length") {
+    val corpus = Seq((1L, "a b a"), (2L, "a c"), (3L, "b c d")).toDF("doc_id", "text")
+    val out = Relevance.bm25(corpus, "doc_id", "text", Seq("a")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L)) // doc 3 has no query term
+    // N=3, avgdl=8/3, df(a)=2, idf=ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    def score(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+    assert(math.abs(out(1L)._1 - score(2.0, 3.0)) < 1e-12)
+    assert(math.abs(out(2L)._1 - score(1.0, 2.0)) < 1e-12)
+    assert(out(1L)._1 > out(2L)._1)
+    assert(out(1L)._2 == 1L)
+  }
+
+  test("repetition stats flag a degenerate looping doc") {
+    val corpus = Seq(
+      (1L, "x y z x y z x y z"),       // 7 trigrams, 3 distinct
+      (2L, "all words here are unique today")) // 4 trigrams, all distinct
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 == 7 && out(1L)._2 == 3)
+    assert(math.abs(out(1L)._3 - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(math.abs(out(1L)._4 - 3.0 / 7.0) < 1e-12)
+    assert(out(2L)._1 == 4 && out(2L)._2 == 4)
+    assert(out(2L)._3 == 0.0)
+    assert(out(1L)._3 > out(2L)._3)
+  }
+
   test("language ID matches the stopword-dominant language") {
     val preds = docs.select($"doc_id", $"lang", TextAnalysis.langId($"text"))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
