@@ -47,6 +47,13 @@ object Bench {
     // "failed"); failures are EXCLUDED from the headline total so a
     // fast-failing query cannot make a run look faster than a clean one
     val results = selected.map { case (name, fn) =>
+      // untimed warmup: the FIRST execution of a never-before-seen plan
+      // shape pays one-off JIT + whole-stage-codegen compilation; without
+      // this it lands in rep 1 and survives a median of 3 (three of round
+      // 6's four apparent regressions were exactly that instrument noise)
+      sweep(spark)
+      try { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => () /* the timed reps report it */ }
       val times = (1 to reps).map { _ =>
         sweep(spark)
         val t0 = System.nanoTime()

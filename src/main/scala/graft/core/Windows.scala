@@ -68,23 +68,105 @@ object Windows {
   }
 
   /** Values of `value` (nulls dropped) at the given 0-based global sort
-    * ranks — WITHOUT a global sort. Ranks come from the value-bucketed
-    * exclusive prefix COUNT above, so the plan is three parallel passes
-    * (quantile probe, bucket totals, filtered per-bucket window) and only
-    * the requested rows reach the driver. A `sort + zipWithIndex`
-    * rank-pick executes its global sort twice (zipWithIndex's count job,
-    * then the extract job); this runs nothing twice. Rows tied on the
-    * value get arbitrary consecutive ranks, which is immaterial here:
-    * tied rows share the value, so value-at-rank is well-defined. */
+    * ranks — WITHOUT a global sort: the single-group case of
+    * [[valuesAtRanksGrouped]]. Rows tied on the value get arbitrary
+    * consecutive ranks, which is immaterial here: tied rows share the
+    * value, so value-at-rank is well-defined. */
   def valuesAtRanks(df: DataFrame, value: Column,
       ranks: Set[Long]): Map[Long, Double] = {
-    val wanted = ranks.map(math.max(_, 0L))
-    if (wanted.isEmpty) return Map.empty
-    val vals = df.select(value.cast("double").as("__v__")).na.drop()
-    val ranked = exclusivePrefixSum(vals, col("__v__"), ascending = true,
-      Nil, lit(1.0), "__rk__")
-    ranked.filter(col("__rk__").isin(wanted.toSeq.map(_.toDouble): _*))
-      .select(col("__rk__"), col("__v__"))
-      .collect().map(r => r.getDouble(0).toLong -> r.getDouble(1)).toMap
+    if (ranks.isEmpty) return Map.empty
+    valuesAtRanksGrouped(df.select(lit("_").as("__g__"), value.as("__v__")),
+      col("__g__"), col("__v__"), Map("_" -> ranks))
+      .getOrElse("_", Map.empty)
+  }
+
+  /** Per-GROUP values at 0-based within-group sort ranks, for every
+    * group in ONE set of passes (quantile probe, per-(group, bucket)
+    * counts, pruned per-(group, bucket) window) instead of the three
+    * passes a per-group loop would cost per group. Bucket boundaries
+    * come from one LOW-PRECISION quantile probe over ALL groups — the
+    * boundaries only balance bucket sizes, never touch the result, so
+    * neither per-group boundaries nor tight probe accuracy is needed.
+    * Only the (group, bucket) pairs whose rank range actually contains
+    * a requested rank reach the sort: for k requested ranks the window
+    * sorts at most k buckets' worth of rows (~k/buckets of the data),
+    * not the whole frame. The window partitions by (group, bucket), so
+    * no group's rows ever collapse into one task. */
+  def valuesAtRanksGrouped(df: DataFrame, group: Column, value: Column,
+      ranksByGroup: Map[String, Set[Long]],
+      precomputedBoundaries: Option[Array[Double]] = None)
+      : Map[String, Map[Long, Double]] = {
+    val want = ranksByGroup.collect {
+      case (g, rs) if g != null && rs.nonEmpty => g -> rs.map(math.max(_, 0L))
+    }
+    if (want.isEmpty) return Map.empty
+    val vals = df
+      .select(group.cast("string").as("__g__"), value.cast("double").as("__v__"))
+      .filter(col("__g__").isin(want.keys.toSeq: _*))
+      .na.drop()
+    val buckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    // callers that already ran an aggregation over the frame can fold the
+    // boundary probe into it (percentile_approx lane) and skip this job
+    val boundaries = precomputedBoundaries match {
+      case Some(b) => b.distinct.sorted
+      case None =>
+        if (probes.isEmpty) Array.empty[Double]
+        else vals.stat.approxQuantile("__v__", probes, 0.01).distinct.sorted
+    }
+    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__v__") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = vals.withColumn("__bucket__", bucket)
+    // per-(group, bucket) counts: <= groups * buckets rows, deterministic
+    // (value-derived buckets), so re-executions stay self-consistent
+    val totals = bucketed.groupBy(col("__g__"), col("__bucket__"))
+      .agg(count(lit(1)).as("__n__"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val offsets: Map[(String, Int), Long] =
+      totals.keys.groupBy(_._1).flatMap { case (g, ks) =>
+        var acc = 0L
+        ks.map(_._2).toSeq.sorted.map { b =>
+          val entry = (g, b) -> acc
+          acc += totals((g, b))
+          entry
+        }
+      }
+    // prune to the buckets whose [offset, offset + n) range holds a
+    // requested rank for SOME group — everything else never needs
+    // sorting. The prune predicate references __bucket__ exactly once
+    // (a plain isin): a per-(group, bucket) OR-chain here re-inlines the
+    // bucket when-fold once per term below the exchange and measured
+    // ~10x slower than the whole window it guards.
+    val keptBuckets = offsets.collect {
+      case ((g, b), off)
+        if want(g).exists(r => r >= off && r < off + totals((g, b))) => b
+    }.toSet
+    val keepBucket =
+      col("__bucket__").isin(keptBuckets.toSeq.map(_.asInstanceOf[Any]): _*)
+    // rank offsets for EVERY (group, bucket) pair that survives the
+    // bucket prune — a surviving row's rank must be exact even when its
+    // own (group, bucket) wasn't the hit target, or the final rank
+    // filter could select an impostor row
+    val offCol = offsets.filter { case ((_, b), _) => keptBuckets(b) }
+      .foldLeft(lit(0.0)) { case (c, ((g, b), off)) =>
+        when(col("__g__") === lit(g) && col("__bucket__") === lit(b),
+          lit(off.toDouble)).otherwise(c)
+      }
+    val local = Window.partitionBy(col("__g__"), col("__bucket__"))
+      .orderBy(col("__v__").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bucketed.filter(keepBucket).withColumn("__rk__",
+      coalesce(sum(lit(1.0)).over(local), lit(0.0)) + offCol)
+    val keep = want.foldLeft(lit(false)) { case (c, (g, rs)) =>
+      c || (col("__g__") === lit(g) &&
+        col("__rk__").isin(rs.toSeq.map(_.toDouble): _*))
+    }
+    ranked.filter(keep).select(col("__g__"), col("__rk__"), col("__v__"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getDouble(1).toLong -> r.getDouble(2)).toMap
+      }
   }
 }

@@ -47,12 +47,13 @@ object Akm {
   val DriverEdgeCap: Long = 2000000L
 
   /** Shared observation projection for BOTH solve paths: string keys,
-    * double-cast outcome and controls. Null worker/firm/outcome rows are
-    * dropped (matching `Prep.clean` semantics — the reference's
-    * `clean()` drops incomplete rows before AKM, `akm.rs:118-127`);
-    * missing controls are treated as 0. Dropping nulls HERE is
-    * load-bearing: the Gram kernel reads the codegen UnsafeRow stream,
-    * where a null double reads as 0.0, so nulls must never reach it. */
+    * double-cast outcome and controls. Rows with a null in ANY model
+    * column — worker, firm, outcome, or a control — are dropped,
+    * matching the reference's clean-before-AKM (`builder.rs:760-784`,
+    * applied per `akm.rs:118-127`), which removes incomplete rows rather
+    * than imputing. Dropping nulls HERE is load-bearing: the Gram kernel
+    * reads the codegen UnsafeRow stream, where a null double reads as
+    * 0.0, so nulls must never reach it. */
   private def projectObs(df: DataFrame, outcome: String, workerCol: String,
       firmCol: String, controls: Seq[String]): DataFrame =
     df.select(
@@ -60,8 +61,8 @@ object Akm {
         col(firmCol).cast("string").as("f") +:
         col(outcome).cast("double").as("__v0__") +:
         controls.zipWithIndex.map { case (c, i) =>
-          coalesce(col(c).cast("double"), lit(0.0)).as(s"__v${i + 1}__")
-        }): _*).na.drop(Seq("w", "f", "__v0__"))
+          col(c).cast("double").as(s"__v${i + 1}__")
+        }): _*).na.drop()
 
   /** Round-based min-label propagation over an in-memory edge list —
     * EXACTLY the distributed semantics below (batch min per round,

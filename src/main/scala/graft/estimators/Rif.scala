@@ -18,69 +18,126 @@ object Rif {
 
   /** Compute RIF of `outcome` separately within each level of
     * `groupCol`, appending it as `outCol`. Three aggregate passes total
-    * (moments+quantile, IQR rank-pick, one-point density), each fully
-    * distributed; only per-group scalars reach the driver. */
+    * (moments+quantile, one grouped IQR rank-pick for ALL levels,
+    * one-point density), each fully distributed, all over ONE persisted
+    * narrow (group, y) projection — the upstream plan (often a full
+    * clean + cast pipeline when called from `RifDecomposer`) executes
+    * once, not once per pass per group. Only per-group scalars reach
+    * the driver. */
   def transformPerGroup(df: DataFrame, outcome: String, groupCol: String,
       tau: Double, outCol: String = "__rif__"): (DataFrame, Seq[GroupRif]) = {
     val y = col(outcome).cast("double")
     val g = col(groupCol).cast("string")
 
-    // pass 1: n, sample stddev, type-7 quantile per group. stddev_samp
-    // (and percentile on an all-null group) return null for n < 2 — read
-    // with null guards so single-row levels take the n<2 passthrough
-    // below instead of NPE-ing here (reference rif.rs returns the series
-    // unchanged for them)
-    val stats = df.groupBy(g.as("g"))
-      .agg(count(y).as("n"), stddev_samp(y).as("std"),
-        expr(s"percentile($outcome, ${tau}D)").as("q"))
-      .collect()
-      .map(r => (r.getString(0), (r.getLong(1),
-        if (r.isNullAt(2)) 0.0 else r.getDouble(2),
-        if (r.isNullAt(3)) 0.0 else r.getDouble(3))))
-      .toMap
+    // every pass below needs only (group, y): persist that projection for
+    // the life of the transform (all passes are actions, so the final
+    // unpersist is safe)
+    val narrow = df.select(g.as("__g__"), y.as("__y__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (stats, bandwidths, densities) = try {
+      // pass 1: n and sample stddev per group — pure codegen aggregates.
+      // The type-7 quantile is NOT computed here: the exact `percentile`
+      // aggregate buffers every distinct value and dominated this pass;
+      // the quantile instead comes from the same rank-pick pass as the
+      // IQR below (two extra order statistics, free at that point). The
+      // rollup's grand-total row carries the rank-pick's bucket
+      // boundaries (a coarse percentile_approx lane — boundaries only
+      // balance buckets, accuracy is irrelevant), so the rank pass
+      // skips its own quantile-probe job. Job count is the whole game
+      // here: every pass is a fixed scheduling cost at test scale and a
+      // full scan at 100 TB.
+      val nBuckets =
+        narrow.sparkSession.sessionState.conf.numShufflePartitions
+      val probeArr = array((1 until nBuckets)
+        .map(i => lit(i.toDouble / nBuckets)): _*)
+      val momentRows = narrow.rollup(col("__g__"))
+        .agg(count(col("__y__")).as("n"), stddev_samp(col("__y__")).as("std"),
+          percentile_approx(col("__y__"), probeArr, lit(1000)).as("bnds"),
+          grouping(col("__g__")).as("is_total"))
+        .collect()
+      def isTotal(r: org.apache.spark.sql.Row): Boolean =
+        r.getAs[Number](4).intValue == 1
+      val moments = momentRows.filterNot(isTotal)
+        .map(r => (r.getString(0), (r.getLong(1),
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2))))
+        .toMap
+      val boundaries: Array[Double] = momentRows.find(isTotal)
+        .filter(!_.isNullAt(3))
+        .map(_.getSeq[Double](3).toArray).getOrElse(Array.empty)
 
-    // pass 2: IQR via the rif.rs ceil-index convention
-    // q75 = sorted[max(ceil(0.75 n), 1) - 1] (0-based), same for q25.
-    // Rank-pick by the value-bucketed prefix-count (`Windows
-    // .valuesAtRanks`) per group — a partitionBy(group) window would
-    // sort each group in ONE task, which dies at scale; the bucketed
-    // rank pick stays parallel and never re-executes a sort.
-    def rifIdx(n: Long, p: Double): Long = {
-      val i = math.ceil(p * n).toLong
-      math.min(if (i == 0) 0 else i - 1, n - 1) // 0-based
-    }
-    val bandwidths = stats.map { case (lvl, (n, std, _)) =>
-      if (n < 2) {
-        // these groups take the passthrough in the final expression —
-        // skip the rank jobs (and the rifIdx(0,.) = -1 lookup an
-        // all-null-outcome group would hit); any positive placeholder works
-        lvl -> 1.0
-      } else {
-        val wanted = Set(rifIdx(n, 0.25), rifIdx(n, 0.75))
-        val vals = graft.core.Windows.valuesAtRanks(
-          df.filter(g === lit(lvl)), y, wanted)
-        val q25 = vals(rifIdx(n, 0.25))
-        val q75 = vals(rifIdx(n, 0.75))
-        val iqr = q75 - q25
-        val minSpread0 = if (iqr > 1e-8) math.min(std, iqr / 1.34) else std
-        val minSpread = if (minSpread0 < 1e-8) 1.0 else minSpread0
-        lvl -> 0.9 * minSpread * math.pow(n.toDouble, -0.2)
+      // pass 2: ONE grouped value-bucketed rank-pick covers every level
+      // and every needed order statistic (`Windows.valuesAtRanksGrouped`)
+      // — a partitionBy(group) window would sort each group in ONE task,
+      // which dies at scale, and a per-group `valuesAtRanks` loop
+      // multiplies the passes by the number of levels (the round-6
+      // q_rif_decomp regression).
+      // IQR uses the rif.rs ceil-index convention:
+      // q75 = sorted[max(ceil(0.75 n), 1) - 1] (0-based), same for q25.
+      // q_tau is the type-7 interpolation between the two bracketing
+      // order statistics at pos = tau*(n-1) — same arithmetic as Spark's
+      // `percentile` ((hi-pos)*v_lo + (pos-lo)*v_hi).
+      def rifIdx(n: Long, p: Double): Long = {
+        val i = math.ceil(p * n).toLong
+        math.min(if (i == 0) 0 else i - 1, n - 1) // 0-based
       }
-    }
+      def tauPos(n: Long): Double = (n - 1).toDouble * tau
+      // n == 1 groups take the passthrough in the final expression but
+      // still report q_tau (= the single value); n == 0 (all-null
+      // outcome) groups have no rows to rank and fall back to q = 0.0
+      val wanted = moments.collect {
+        case (lvl, (n, _)) if n >= 2 =>
+          val pos = tauPos(n)
+          lvl -> Set(rifIdx(n, 0.25), rifIdx(n, 0.75),
+            math.floor(pos).toLong, math.ceil(pos).toLong)
+        case (lvl, (1L, _)) => lvl -> Set(0L)
+      }
+      val ranked = graft.core.Windows.valuesAtRanksGrouped(
+        narrow, col("__g__"), col("__y__"), wanted, Some(boundaries))
+      val stats = moments.map { case (lvl, (n, std)) =>
+        val q =
+          if (n < 1) 0.0
+          else if (n == 1) ranked(lvl)(0L)
+          else {
+            val pos = tauPos(n)
+            val lo = math.floor(pos).toLong
+            val hi = math.ceil(pos).toLong
+            val vLo = ranked(lvl)(lo)
+            if (lo == hi) vLo
+            else (hi - pos) * vLo + (pos - lo) * ranked(lvl)(hi)
+          }
+        (lvl, (n, std, q))
+      }
+      val bandwidths = moments.map { case (lvl, (n, std)) =>
+        if (n < 2) lvl -> 1.0
+        else {
+          val vals = ranked(lvl)
+          val q25 = vals(rifIdx(n, 0.25))
+          val q75 = vals(rifIdx(n, 0.75))
+          val iqr = q75 - q25
+          val minSpread0 = if (iqr > 1e-8) math.min(std, iqr / 1.34) else std
+          val minSpread = if (minSpread0 < 1e-8) 1.0 else minSpread0
+          lvl -> 0.9 * minSpread * math.pow(n.toDouble, -0.2)
+        }
+      }
 
-    // pass 3: one-point density at q_tau per group
+      // pass 3: one-point density at q_tau per group
+      val qOfN = caseOver(col("__g__"), stats.map { case (l, (_, _, q)) => l -> q })
+      val hOfN = caseOver(col("__g__"), bandwidths.toSeq)
+      val densities = narrow
+        .select(col("__g__").as("g"),
+          Kde.gaussianCol((qOfN - col("__y__")) / hOfN).as("k"))
+        .groupBy(col("g")).agg(sum(col("k")).as("sk"))
+        .collect()
+        .map { r =>
+          val lvl = r.getString(0)
+          val (n, _, _) = stats(lvl)
+          val d = r.getDouble(1) / (n.toDouble * bandwidths(lvl))
+          lvl -> math.max(d, 1e-8)
+        }.toMap
+      (stats, bandwidths, densities)
+    } finally narrow.unpersist(blocking = false)
+
     val qOf = caseOver(g, stats.map { case (l, (_, _, q)) => l -> q })
-    val hOf = caseOver(g, bandwidths.toSeq)
-    val densities = df
-      .select(g.as("g"), (Kde.gaussianCol((qOf - y) / hOf)).as("k"))
-      .groupBy(col("g")).agg(sum(col("k")).as("sk"))
-      .collect()
-      .map { r =>
-        val lvl = r.getString(0)
-        val (n, _, _) = stats(lvl)
-        val d = r.getDouble(1) / (n.toDouble * bandwidths(lvl))
-        lvl -> math.max(d, 1e-8)
-      }.toMap
 
     val fOf = caseOver(g, densities.toSeq)
     val rif = when(qOf.isNull, y).otherwise(

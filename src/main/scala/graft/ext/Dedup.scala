@@ -33,7 +33,9 @@ object Dedup {
     * fixed-count discipline as the Gram kernel's repartition). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val in =
-      if (df.rdd.getNumPartitions < 16) df.repartition(32, col(idCol)) else df
+      if (df.queryExecution.toRdd.getNumPartitions < 16)
+        df.repartition(32, col(idCol))
+      else df
     in.select(col(idCol), split(col(textCol), "\\s+").as("__toks__"))
       .filter(size(col("__toks__")) >= n)
       .select(col(idCol), explode(array_distinct(expr(

@@ -17,23 +17,37 @@ object Relevance {
     * small-file discipline as [[Dedup.shingles]]). */
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val in =
-      if (df.rdd.getNumPartitions < 16) df.repartition(32, col(idCol)) else df
+      if (df.queryExecution.toRdd.getNumPartitions < 16)
+        df.repartition(32, col(idCol))
+      else df
     in.select(col(idCol),
         explode(split(col(textCol), "\\s+")).as("term"))
       .filter(col("term") =!= "")
   }
 
+  /** The (doc, term) occurrence counts — the shared inverted-index
+    * reduction both scorers start from — materialized via
+    * `localCheckpoint` because every consumer reads it at least twice
+    * (doc lengths, document frequency, the final score join): without
+    * the checkpoint each consumer re-runs the full corpus explode. The
+    * frame is narrow (id, term, tf — one row per distinct pair), so the
+    * materialization is a fraction of the token table it replaces. */
+  private def termCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
   /** Smoothed TF-IDF per (doc, term):
     * tf/dl * (ln((N + 1)/(df + 1)) + 1), with tf the in-doc term count,
     * dl the doc token count, df the number of docs containing the term
     * and N the total document count (the sklearn-style smooth idf, which
-    * never divides by zero). The token table is aggregated ONCE to the
-    * (doc, term) level; doc lengths derive from that table (no second
-    * token scan) and the df table joins back on the term key. */
+    * never divides by zero). The token table is aggregated (and
+    * materialized) ONCE at the (doc, term) level; doc lengths and the df
+    * table both derive from it — one corpus scan total. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDocs = df.count()
-    val tf = tokens(df, idCol, textCol)
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termCounts(df, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
@@ -47,26 +61,25 @@ object Relevance {
     * sum over query terms of
     * ln(1 + (N - df + 0.5)/(df + 0.5)) * tf*(k1+1) /
     * (tf + k1*(1 - b + b*dl/avgdl)).
-    * Only rows whose term is in the query survive the first aggregation
-    * (the filter sits below the groupBy, so the big token table is
-    * pruned before any shuffle); doc lengths come from an unfiltered
-    * doc-level count. Docs containing no query term are absent. */
+    * Doc lengths and the query-term tf table both derive from the ONE
+    * materialized (doc, term) reduction — the corpus is exploded exactly
+    * once; the query filter prunes that reduction (not a second token
+    * scan) before the score joins. Docs with no query term are absent. */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
     val nDocs = df.count()
-    val toks = tokens(df, idCol, textCol)
+    val tc = termCounts(df, idCol, textCol)
     // doc-level lengths: narrow (2 cols, one row per doc) — checkpoint
-    // so the avgdl action and the score join don't re-run the token agg
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // so the avgdl action and the score join don't re-run the groupBy
+    val dl = tc.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
     // exact avgdl: integer token total / doc count (docs with zero
     // tokens count in N but contribute 0 length, as in Lucene)
     val totalLen = dl.agg(sum(col("dl"))).head().getLong(0)
     val avgdl = totalLen.toDouble / nDocs.toDouble
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = tc.filter(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

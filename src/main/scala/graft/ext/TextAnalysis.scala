@@ -84,7 +84,9 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val in =
-      if (df.rdd.getNumPartitions < 16) df.repartition(32, col(idCol)) else df
+      if (df.queryExecution.toRdd.getNumPartitions < 16)
+        df.repartition(32, col(idCol))
+      else df
     val grams = in
       .select(col(idCol), split(col(textCol), "\\s+").as("__toks__"))
       .filter(size(col("__toks__")) >= n)

@@ -90,6 +90,31 @@ class AkmMatchingSpec extends SparkSpec {
     assert(math.abs(c.beta(0) - b.beta(0)) < 1e-6)
   }
 
+  test("AKM drops null-CONTROL rows identically on both paths") {
+    // the reference cleans rows with a null in ANY model column before
+    // AKM (builder.rs:760-784) — a null control must drop the row, not
+    // silently become a 0.0 observation
+    val rng = new scala.util.Random(13)
+    val base = (0 until 200).map { i =>
+      val w = rng.nextInt(20)
+      val f = rng.nextInt(6)
+      (f"w$w", f"f$f",
+        if (i % 13 == 0) None else Some(rng.nextDouble() * 3),
+        1.2 * (w % 3) + f * 0.1 + rng.nextGaussian() * 0.1)
+    }
+    val df = base.toDF("worker", "firm", "x", "y")
+    val clean = base.collect { case (w, f, Some(x), y) => (w, f, x, y) }
+      .toDF("worker", "firm", "x", "y")
+    val a = Akm.run(df, "y", "worker", "firm", Seq("x"))
+    val b = Akm.run(clean, "y", "worker", "firm", Seq("x"))
+    assert(a.nObs == b.nObs, s"null-control rows leaked: ${a.nObs} vs ${b.nObs}")
+    assert(math.abs(a.beta(0) - b.beta(0)) < 1e-12)
+    assert(math.abs(a.r2 - b.r2) < 1e-12)
+    val c = Akm.run(df, "y", "worker", "firm", Seq("x"), driverEdgeCap = 0L)
+    assert(c.nObs == b.nObs)
+    assert(math.abs(c.beta(0) - b.beta(0)) < 1e-6)
+  }
+
   test("AKM largest connected set drops the disconnected worker (test_akm.rs:74-108)") {
     val df = Seq(
       ("w1", "f1", 1.0, 1.0), ("w2", "f1", 2.0, 2.0), ("w3", "f2", 3.0, 3.0)
