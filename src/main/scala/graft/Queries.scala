@@ -338,6 +338,25 @@ object Queries {
         StructField("coef", DoubleType)))).orderBy("variable")
     }),
 
+    // E4 with a FULL oracle: exactly 3 Fisher-scoring iterations from
+    // beta = 0 — each iteration is one ridged WLS solve on the probit
+    // working response, Cramer-expressible in ANSI SQL once erf is
+    // expanded inline (Cody's rational approximation, ~1e-16 relative,
+    // far below the 6-decimal rounding). The convergence-based q_probit
+    // below stays rows-only.
+    "q_probit_newton3" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem")
+        .withColumn("is_r", when(col("l_returnflag") === "R", 1.0).otherwise(0.0)))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity", "l_discount")
+      val fit = Probit.fit(li, "is_r", xCols, maxIter = 3, tol = 0.0)
+      val rows = xCols.zipWithIndex.map { case (c, i) =>
+        Row(if (c == Prep.InterceptCol) "intercept" else c, r6d(fit.beta(i)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("variable", StringType),
+        StructField("coef", DoubleType)))).orderBy("variable")
+    }),
+
     "q_probit" -> ((s, d) => {
       val li = Prep.withIntercept(t(s, d, "lineitem")
         .withColumn("is_r", when(col("l_returnflag") === "R", 1.0).otherwise(0.0)))
@@ -776,8 +795,99 @@ object Queries {
        |) ORDER BY variable""".stripMargin
   }
 
+  /** 3 Fisher-scoring probit iterations as chained CTEs — the exact
+    * algebra of `Probit.fit` (clamped Phi, lambda score, expected
+    * information weights, 1e-9 ridge on BOTH the normal matrix and the
+    * rhs). Phi needs erf, which DuckDB lacks: `erfCase` expands Cody's
+    * three-region rational approximation inline (validated ~3e-16
+    * relative against libm erf across [-10, 10]), applied to
+    * per-row helper columns eax/ezz/esgn/eiz computed one SELECT below. */
+  private val probitNewton3Sql = {
+    // region 1 (|x| <= 0.46875): erf(x) = x * P1(x^2)/Q1(x^2)
+    val r1n = "((((1.85777706184603153e-1*ezz + 3.16112374387056560e0)*ezz + " +
+      "1.13864154151050156e2)*ezz + 3.77485237685302021e2)*ezz + 3.20937758913846947e3)"
+    val r1d = "((((ezz + 2.36012909523441209e1)*ezz + 2.44024637934444173e2)*ezz + " +
+      "1.28261652607737228e3)*ezz + 2.84423683343917062e3)"
+    // region 2 (0.46875 < |x| <= 4): erfc(|x|) = exp(-x^2) P2(|x|)/Q2(|x|)
+    val r2n = "((((((((2.15311535474403846e-8*eax + 5.64188496988670089e-1)*eax + " +
+      "8.88314979438837594e0)*eax + 6.61191906371416295e1)*eax + " +
+      "2.98635138197400131e2)*eax + 8.81952221241769090e2)*eax + " +
+      "1.71204761263407058e3)*eax + 2.05107837782607147e3)*eax + 1.23033935479799725e3)"
+    val r2d = "((((((((eax + 1.57449261107098347e1)*eax + 1.17693950891312499e2)*eax + " +
+      "5.37181101862009858e2)*eax + 1.62138957456669019e3)*eax + " +
+      "3.29079923573345963e3)*eax + 4.36261909014324716e3)*eax + " +
+      "3.43936767414372164e3)*eax + 1.23033935480374942e3)"
+    // region 3 (|x| > 4): erfc(|x|) = exp(-x^2)/|x| * (1/sqrt(pi) - z P3(z)/Q3(z)), z = 1/x^2
+    val r3n = "(((((1.63153871373020978e-2*eiz + 3.05326634961232344e-1)*eiz + " +
+      "3.60344899949804439e-1)*eiz + 1.25781726111229246e-1)*eiz + " +
+      "1.60837851487422766e-2)*eiz + 6.58749161529837803e-4)"
+    val r3d = "(((((eiz + 2.56852019228982242e0)*eiz + 1.87295284992346047e0)*eiz + " +
+      "5.27905102951428412e-1)*eiz + 6.05183413124413191e-2)*eiz + 2.33520497626869185e-3)"
+    val erfCase =
+      s"""CASE WHEN eax <= 0.46875 THEN earg * $r1n / $r1d
+         |  WHEN eax <= 4.0 THEN esgn * (1.0 - exp(-ezz) * $r2n / $r2d)
+         |  ELSE esgn * (1.0 - exp(-ezz) *
+         |    (5.6418958354775628695e-1 - eiz * $r3n / $r3d) / eax)
+         |END""".stripMargin
+    def step(k: Int): String = {
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""s$k AS (
+         |  SELECT
+         |    sum(w) AS h11, sum(w*x1) AS h12, sum(w*x2) AS h13,
+         |    sum(w*x1*x1) AS h22, sum(w*x1*x2) AS h23, sum(w*x2*x2) AS h33,
+         |    sum(w*z) AS g1, sum(w*x1*z) AS g2, sum(w*x2*z) AS g3
+         |  FROM (
+         |SELECT x1, x2, w, xb + CASE WHEN w > 0.0 THEN lam / w ELSE 0.0 END AS z FROM (
+         |      SELECT x1, x2, xb, pdfv*pdfv / (cdfv * (1.0 - cdfv)) AS w,
+         |        CASE WHEN y > 0.5 THEN pdfv / cdfv ELSE -pdfv / (1.0 - cdfv) END AS lam
+         |      FROM (
+         |        SELECT x1, x2, y, xb,
+         |          (1.0/sqrt(2.0*pi())) * exp(xb*xb*(-0.5)) AS pdfv,
+         |          least(greatest(0.5 * (1.0 + $erfCase), 1e-10), 1.0 - 1e-10) AS cdfv
+         |        FROM (
+         |          SELECT x1, x2, y, xb, xb / sqrt(2.0) AS earg,
+         |            abs(xb / sqrt(2.0)) AS eax,
+         |            (xb / sqrt(2.0)) * (xb / sqrt(2.0)) AS ezz,
+         |            CASE WHEN xb / sqrt(2.0) < 0 THEN -1.0 ELSE 1.0 END AS esgn,
+         |            1.0 / ((xb / sqrt(2.0)) * (xb / sqrt(2.0)) + 1e-300) AS eiz
+         |          FROM (
+         |            SELECT x1, x2, y, b.b0 + b.b1 * x1 + b.b2 * x2 AS xb
+         |            FROM pts CROSS JOIN $prev b)
+         |        )
+         |      )
+         |    )
+         |  )
+         |), it$k AS (
+         |  SELECT
+         |    (r1*(a22*a33 - h23*h23) - h12*(r2*a33 - h23*r3) + h13*(r2*h23 - a22*r3)) / det AS b0,
+         |    (a11*(r2*a33 - r3*h23) - r1*(h12*a33 - h23*h13) + h13*(h12*r3 - r2*h13)) / det AS b1,
+         |    (a11*(a22*r3 - h23*r2) - h12*(h12*r3 - r2*h13) + r1*(h12*h23 - a22*h13)) / det AS b2
+         |  FROM (SELECT *,
+         |    a11*(a22*a33 - h23*h23) - h12*(h12*a33 - h23*h13) + h13*(h12*h23 - a22*h13) AS det
+         |    FROM (SELECT h12, h13, h23,
+         |      h11 + 1e-9 AS a11, h22 + 1e-9 AS a22, h33 + 1e-9 AS a33,
+         |      g1 + 1e-9 * b.b0 AS r1, g2 + 1e-9 * b.b1 AS r2, g3 + 1e-9 * b.b2 AS r3
+         |      FROM s$k CROSS JOIN $prev b))
+         |)""".stripMargin
+    }
+    s"""WITH pts AS (
+       |  SELECT l_quantity AS x1, l_discount AS x2,
+       |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM lineitem
+       |), it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT variable, round(coef, 6) AS coef FROM (
+       |  SELECT 'intercept' AS variable, b0 AS coef FROM it3
+       |  UNION ALL SELECT 'l_quantity', b1 FROM it3
+       |  UNION ALL SELECT 'l_discount', b2 FROM it3
+       |) ORDER BY variable""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_logit_newton3" -> logitNewton3Sql,
+    "q_probit_newton3" -> probitNewton3Sql,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 6) AS sum_qty,

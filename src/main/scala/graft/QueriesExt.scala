@@ -162,13 +162,18 @@ object QueriesExt {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- multimodal plumbing (stubbed decode; rows-only) ----
+    // ---- multimodal: REAL image decode (javax.imageio; rows-only —
+    // no SQL engine can replay a PNG codec). Payloads are deterministic
+    // doc-derived PNGs (the environment ships no image corpus), so the
+    // decoded dimensions/histograms are exact functions of the data. ----
     "q_multimodal" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(
-        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text", "source")
-      Multimodal.decodeFeatures(media, dim = 16)
+      val media = Multimodal.synthesizePng(
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.imageFeatures(media, histBins = 16)
         .select(col("media_id"), col("mime"), col("n_bytes"),
-          r6(aggregate(col("features"), lit(0.0), _ + _)).as("feature_sum"))
+          col("decode_ok"), col("width"), col("height"), col("channels"),
+          r6(expr("aggregate(zip_with(luma_hist, sequence(0, size(luma_hist) - 1)," +
+            " (v, i) -> v * i), 0D, (a, x) -> a + x)")).as("luma_mean_bin"))
         .orderBy(col("media_id"))
     }),
 
