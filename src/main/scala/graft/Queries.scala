@@ -402,6 +402,28 @@ object Queries {
         StructField("density_b_cf", DoubleType)))).orderBy("idx")
     }),
 
+    // D14 with a FULL oracle: 3 pinned logit iterations make the whole
+    // DFL pipeline (reweighting logit -> psi weights -> per-group
+    // Silverman -> three grid KDEs) deterministic closed-form SQL.
+    // Outcome l_discount keeps density values O(10), so 6-decimal
+    // rounding retains real precision (l_extendedprice densities are
+    // ~1e-5 and would round to noise). The convergence-based q_dfl
+    // stays rows-only.
+    "q_dfl_newton3" -> ((s, d) => {
+      val res = Dfl.run(t(s, d, "lineitem"), "l_discount",
+        "l_linestatus", "F", Seq("l_quantity", "l_tax"),
+        logitMaxIter = 3, logitTol = 0.0)
+      val rows = res.grid.indices.map(i => Row(i, r6d(res.grid(i)),
+        r6d(res.densityA(i)), r6d(res.densityB(i)),
+        r6d(res.densityBCounterfactual(i))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("idx", IntegerType),
+        StructField("grid", DoubleType),
+        StructField("density_a", DoubleType),
+        StructField("density_b", DoubleType),
+        StructField("density_b_cf", DoubleType)))).orderBy("idx")
+    }),
+
     // ---- quantile decomposition + JMP (E5, D12, D13) ----
     "q_jmp" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -751,8 +773,10 @@ object Queries {
     * clamped-sigmoid working response feeds 9 aggregate sums (3x3 normal
     * equations) solved by Cramer — the exact algebra of `Logit.fit`
     * (IRLS solve == Newton step in exact arithmetic). */
-  private val logitNewton3Sql = {
-    def step(k: Int): String = {
+  /** One Newton/IRLS logit iteration as CTEs s$k/it$k over a `pts` CTE
+    * carrying x1, x2, y (extra columns tolerated) — shared by the logit
+    * and DFL oracles. */
+  private def logitNewtonStep(k: Int): String = {
       val prev = if (k == 1) "it0" else s"it${k - 1}"
       s"""s$k AS (
          |  SELECT
@@ -779,21 +803,97 @@ object Queries {
          |    h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13) + h13*(h12*h23 - h22*h13) AS det
          |    FROM s$k)
          |)""".stripMargin
-    }
+  }
+
+  private val logitNewton3Sql =
     s"""WITH pts AS (
        |  SELECT l_quantity AS x1, l_discount AS x2,
        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
        |  FROM lineitem
        |), it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
-       |${step(1)},
-       |${step(2)},
-       |${step(3)}
+       |${logitNewtonStep(1)},
+       |${logitNewtonStep(2)},
+       |${logitNewtonStep(3)}
        |SELECT variable, round(coef, 6) AS coef FROM (
        |  SELECT 'intercept' AS variable, b0 AS coef FROM it3
        |  UNION ALL SELECT 'l_quantity', b1 FROM it3
        |  UNION ALL SELECT 'l_discount', b2 FROM it3
        |) ORDER BY variable""".stripMargin
-  }
+
+  /** The full DFL reweighting pipeline, closed-form: 3 pinned logit
+    * iterations (shared CTEs above) -> clamped probabilities ->
+    * counterfactual weights psi = p/(1-p) * (nB/nA) -> exact-rank
+    * Silverman bandwidths per group (kde.rs floor-index convention) ->
+    * three Gaussian grid densities (A, B, reweighted B). First oracle
+    * over an entire reweighting pipeline rather than one operator. */
+  private val dflNewton3Sql =
+    s"""WITH pts AS (
+       |  SELECT l_quantity AS x1, l_tax AS x2, l_discount AS yv,
+       |    l_linestatus AS grp,
+       |    CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM lineitem
+       |), it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${logitNewtonStep(1)},
+       |${logitNewtonStep(2)},
+       |${logitNewtonStep(3)},
+       |stats AS (
+       |  SELECT sum(CASE WHEN grp = 'O' THEN 1 ELSE 0 END) AS na,
+       |    sum(CASE WHEN grp = 'F' THEN 1 ELSE 0 END) AS nb,
+       |    min(yv) AS mn, max(yv) AS mx
+       |  FROM pts
+       |),
+       |iqra AS (
+       |  SELECT max(CASE WHEN rn = CAST(floor(0.25 * n) AS BIGINT) + 1 THEN yv END) AS q1,
+       |    max(CASE WHEN rn = CAST(floor(0.75 * n) AS BIGINT) + 1 THEN yv END) AS q3,
+       |    max(n) AS n
+       |  FROM (SELECT yv, row_number() OVER (ORDER BY yv) AS rn,
+       |      count(*) OVER () AS n FROM pts WHERE grp = 'O')
+       |),
+       |iqrb AS (
+       |  SELECT max(CASE WHEN rn = CAST(floor(0.25 * n) AS BIGINT) + 1 THEN yv END) AS q1,
+       |    max(CASE WHEN rn = CAST(floor(0.75 * n) AS BIGINT) + 1 THEN yv END) AS q3,
+       |    max(n) AS n
+       |  FROM (SELECT yv, row_number() OVER (ORDER BY yv) AS rn,
+       |      count(*) OVER () AS n FROM pts WHERE grp = 'F')
+       |),
+       |bwa AS (SELECT 0.9 * least(
+       |    (SELECT stddev_samp(yv) FROM pts WHERE grp = 'O'),
+       |    (q3 - q1) / 1.34) * pow(n, -0.2) AS h FROM iqra),
+       |bwb AS (SELECT 0.9 * least(
+       |    (SELECT stddev_samp(yv) FROM pts WHERE grp = 'F'),
+       |    (q3 - q1) / 1.34) * pow(n, -0.2) AS h FROM iqrb),
+       |wts AS (
+       |  SELECT yv, grp,
+       |    least(greatest(least(greatest(
+       |      1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))),
+       |      1e-10), 1.0 - 1e-10), 1e-4), 0.9999) AS p
+       |  FROM pts CROSS JOIN it3 b
+       |),
+       |grid AS (
+       |  SELECT CAST(range AS INTEGER) AS idx,
+       |    s.mn + range * ((s.mx - s.mn) / 100.0) AS g
+       |  FROM range(100), stats s
+       |),
+       |dens AS (
+       |  SELECT g.idx, g.g,
+       |    sum(CASE WHEN w.grp = 'O'
+       |      THEN exp(-0.5 * pow((g.g - w.yv) / a.h, 2)) ELSE 0.0 END) AS ska,
+       |    sum(CASE WHEN w.grp = 'F'
+       |      THEN exp(-0.5 * pow((g.g - w.yv) / b.h, 2)) ELSE 0.0 END) AS skb,
+       |    sum(CASE WHEN w.grp = 'F'
+       |      THEN (w.p / (1.0 - w.p)) * (s.nb * 1.0 / s.na)
+       |        * exp(-0.5 * pow((g.g - w.yv) / b.h, 2)) ELSE 0.0 END) AS skc,
+       |    sum(CASE WHEN w.grp = 'F'
+       |      THEN (w.p / (1.0 - w.p)) * (s.nb * 1.0 / s.na) ELSE 0.0 END) AS swc,
+       |    max(a.h) AS ha, max(b.h) AS hb, max(s.na) AS na, max(s.nb) AS nb
+       |  FROM grid g, wts w, bwa a, bwb b, stats s
+       |  GROUP BY g.idx, g.g
+       |)
+       |SELECT idx, round(g, 6) AS grid,
+       |  round(ska / sqrt(2.0 * pi()) / (na * ha), 6) AS density_a,
+       |  round(skb / sqrt(2.0 * pi()) / (nb * hb), 6) AS density_b,
+       |  round(skc / sqrt(2.0 * pi()) / (swc * hb), 6) AS density_b_cf
+       |FROM dens ORDER BY idx""".stripMargin
 
   /** 3 Fisher-scoring probit iterations as chained CTEs — the exact
     * algebra of `Probit.fit` (clamped Phi, lambda score, expected
@@ -888,6 +988,7 @@ object Queries {
   val oracleSql: Map[String, String] = Map(
     "q_logit_newton3" -> logitNewton3Sql,
     "q_probit_newton3" -> probitNewton3Sql,
+    "q_dfl_newton3" -> dflNewton3Sql,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 6) AS sum_qty,

@@ -24,8 +24,13 @@ object Dfl {
 
   val GridSize = 100
 
+  /** `logitMaxIter`/`logitTol` pin the reweighting logit's iteration
+    * count (tol = 0.0 forces exactly maxIter iterations) — the oracle
+    * query q_dfl_newton3 uses 3 pinned iterations so the whole pipeline
+    * is closed-form; production callers keep the convergence defaults. */
   def run(df0: DataFrame, outcome: String, group: String, reference: String,
-      predictors: Seq[String]): DflResult = {
+      predictors: Seq[String], logitMaxIter: Int = 100,
+      logitTol: Double = 1e-6): DflResult = {
     // string predictors are dummy-expanded drop-first (sorted levels),
     // numeric predictors cast to double (`dfl.rs:76-105`)
     val stringPreds = predictors.filter(p =>
@@ -53,7 +58,7 @@ object Dfl {
     val withTarget = df.withColumn("__dfl_target__", target)
 
     val fit = Logit.fit(withTarget, "__dfl_target__", xCols,
-      maxIter = 100, tol = 1e-6)
+      maxIter = logitMaxIter, tol = logitTol)
 
     // one pass: group counts + outcome range (previously two)
     val y = col(outcome).cast("double")
