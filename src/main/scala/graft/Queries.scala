@@ -372,6 +372,59 @@ object Queries {
         StructField("std_err", DoubleType)))).orderBy("variable")
     }),
 
+    // E6/D7 with a FULL oracle: the selection probit pinned at 3 Fisher
+    // iterations makes the whole Heckman two-step + two-fold detailed
+    // decomposition closed-form — per-group 2x2 ridged probit Cramer,
+    // inline-erf inverse Mills ratio on the selected rows, 3x3 OLS on
+    // [1, x, IMR], then the runHeckman scalar algebra (betaStar = betaB).
+    // The convergence-based q_heckman_decomp stays rows-only.
+    "q_heckman_newton3" -> ((s, d) => {
+      // selection depends on the selection predictor (discount) so the
+      // IMR actually varies across rows: a selection rule independent of
+      // z makes the IMR near-constant, the [1, x, IMR] normal matrix
+      // near-singular, and the solve amplifies engine-level FP noise
+      // past the 6-decimal oracle rounding
+      val li = Prep.withIntercept(t(s, d, "lineitem")
+        .withColumn("sel",
+          when(col("l_discount") + col("l_tax") > 0.07, 1.0).otherwise(0.0)))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity")
+      val selX = Seq(Prep.InterceptCol, "l_discount")
+      val g = col("l_linestatus").cast("string")
+      def fitOf(lvl: String) = Heckman.fit(li.filter(g === lit(lvl)),
+        "l_extendedprice", xCols, "sel", selX,
+        probitMaxIter = 3, probitTol = 0.0)
+      val fa = fitOf("O")
+      val fb = fitOf("F")
+      val names = Seq("intercept", "l_quantity", "imr")
+      val selNames = Seq("intercept", "l_discount")
+      // the runHeckman two-fold algebra with betaStar = betaB (default
+      // reference side), written in the same operation order
+      val detExp = names.indices.map(i =>
+        (fa.xMeans(i) - fb.xMeans(i)) * fb.beta(i))
+      val detUnexp = names.indices.map(i =>
+        fa.xMeans(i) * (fa.beta(i) - fb.beta(i)) +
+          fb.xMeans(i) * (fb.beta(i) - fb.beta(i)))
+      val detSel = selNames.indices.map(i =>
+        fb.beta(2) * fb.imrDelta * fb.gamma(i) * (fa.zMeans(i) - fb.zMeans(i)))
+      val y = col("l_extendedprice").cast("double")
+      val gm = li.groupBy(g.as("grp"))
+        .agg(sum(y * lit(1.0)).as("sy"), sum(lit(1.0)).as("sw")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1) / r.getDouble(2)).toMap
+      val metrics: Seq[(String, Double)] =
+        selNames.indices.map(i => s"gamma_a_${selNames(i)}" -> fa.gamma(i)) ++
+        selNames.indices.map(i => s"gamma_b_${selNames(i)}" -> fb.gamma(i)) ++
+        names.indices.map(i => s"beta_a_${names(i)}" -> fa.beta(i)) ++
+        names.indices.map(i => s"beta_b_${names(i)}" -> fb.beta(i)) ++
+        names.indices.map(i => s"exp_${names(i)}" -> detExp(i)) ++
+        names.indices.map(i => s"unexp_${names(i)}" -> detUnexp(i)) ++
+        selNames.indices.map(i => s"sel_${selNames(i)}" -> detSel(i)) :+
+        ("total_gap" -> (gm("O") - gm("F")))
+      val rows = metrics.map { case (m, v) => Row(m, r6d(v)) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("metric", StringType),
+        StructField("value", DoubleType)))).orderBy("metric")
+    }),
+
     "q_heckman_decomp" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .withColumn("sel", when(col("l_tax") > 0.03, 1.0).otherwise(0.0))
@@ -902,7 +955,12 @@ object Queries {
     * three-region rational approximation inline (validated ~3e-16
     * relative against libm erf across [-10, 10]), applied to
     * per-row helper columns eax/ezz/esgn/eiz computed one SELECT below. */
-  private val probitNewton3Sql = {
+  // ---- inline erf for DuckDB (it has none): Cody's three-region
+  // rational approximation, validated ~3e-16 relative against libm
+  // across [-10, 10] — far below the 6-decimal oracle rounding. The
+  // CASE expects the helper columns from [[erfAuxCols]] one SELECT
+  // below it. ----
+  private val erfCase = {
     // region 1 (|x| <= 0.46875): erf(x) = x * P1(x^2)/Q1(x^2)
     val r1n = "((((1.85777706184603153e-1*ezz + 3.16112374387056560e0)*ezz + " +
       "1.13864154151050156e2)*ezz + 3.77485237685302021e2)*ezz + 3.20937758913846947e3)"
@@ -923,12 +981,22 @@ object Queries {
       "1.60837851487422766e-2)*eiz + 6.58749161529837803e-4)"
     val r3d = "(((((eiz + 2.56852019228982242e0)*eiz + 1.87295284992346047e0)*eiz + " +
       "5.27905102951428412e-1)*eiz + 6.05183413124413191e-2)*eiz + 2.33520497626869185e-3)"
-    val erfCase =
-      s"""CASE WHEN eax <= 0.46875 THEN earg * $r1n / $r1d
-         |  WHEN eax <= 4.0 THEN esgn * (1.0 - exp(-ezz) * $r2n / $r2d)
-         |  ELSE esgn * (1.0 - exp(-ezz) *
-         |    (5.6418958354775628695e-1 - eiz * $r3n / $r3d) / eax)
-         |END""".stripMargin
+    s"""CASE WHEN eax <= 0.46875 THEN earg * $r1n / $r1d
+       |  WHEN eax <= 4.0 THEN esgn * (1.0 - exp(-ezz) * $r2n / $r2d)
+       |  ELSE esgn * (1.0 - exp(-ezz) *
+       |    (5.6418958354775628695e-1 - eiz * $r3n / $r3d) / eax)
+       |END""".stripMargin
+  }
+
+  /** Helper columns for [[erfCase]], from the erf argument expression. */
+  private def erfAuxCols(arg: String): String =
+    s"""($arg) AS earg,
+       |abs($arg) AS eax,
+       |($arg) * ($arg) AS ezz,
+       |CASE WHEN ($arg) < 0 THEN -1.0 ELSE 1.0 END AS esgn,
+       |1.0 / (($arg) * ($arg) + 1e-300) AS eiz""".stripMargin
+
+  private val probitNewton3Sql = {
     def step(k: Int): String = {
       val prev = if (k == 1) "it0" else s"it${k - 1}"
       s"""s$k AS (
@@ -945,11 +1013,7 @@ object Queries {
          |          (1.0/sqrt(2.0*pi())) * exp(xb*xb*(-0.5)) AS pdfv,
          |          least(greatest(0.5 * (1.0 + $erfCase), 1e-10), 1.0 - 1e-10) AS cdfv
          |        FROM (
-         |          SELECT x1, x2, y, xb, xb / sqrt(2.0) AS earg,
-         |            abs(xb / sqrt(2.0)) AS eax,
-         |            (xb / sqrt(2.0)) * (xb / sqrt(2.0)) AS ezz,
-         |            CASE WHEN xb / sqrt(2.0) < 0 THEN -1.0 ELSE 1.0 END AS esgn,
-         |            1.0 / ((xb / sqrt(2.0)) * (xb / sqrt(2.0)) + 1e-300) AS eiz
+         |          SELECT x1, x2, y, xb, ${erfAuxCols("xb / sqrt(2.0)")}
          |          FROM (
          |            SELECT x1, x2, y, b.b0 + b.b1 * x1 + b.b2 * x2 AS xb
          |            FROM pts CROSS JOIN $prev b)
@@ -985,10 +1049,154 @@ object Queries {
        |) ORDER BY variable""".stripMargin
   }
 
+  /** Heckman two-step + two-fold detailed decomposition, closed-form:
+    * per-group 2x2 ridged probit Cramer (3 pinned Fisher iterations,
+    * inline erf), IMR on selected rows, 3x3 OLS Cramer on [1, x, IMR],
+    * then the runHeckman scalar algebra (betaStar = betaB). The
+    * trailing `+ 0.0` on values normalizes IEEE -0.0 (exact-zero
+    * metrics like exp_intercept multiply a negative coefficient by
+    * 0.0) to match r6d's BigDecimal rounding, which has no signed
+    * zero. */
+  private val heckmanNewton3Sql = {
+    def probitStep(k: Int): String = {
+      val prev = if (k == 1) "pit0" else s"pit${k - 1}"
+      s"""ps$k AS (
+         |  SELECT grp,
+         |    sum(w) AS h11, sum(w*z1) AS h12, sum(w*z1*z1) AS h22,
+         |    sum(w*zz) AS g1, sum(w*z1*zz) AS g2
+         |  FROM (
+         |    SELECT grp, z1, w, zg + CASE WHEN w > 0.0 THEN lam / w ELSE 0.0 END AS zz FROM (
+         |      SELECT grp, z1, zg, pdfv*pdfv / (cdfv * (1.0 - cdfv)) AS w,
+         |        CASE WHEN sel > 0.5 THEN pdfv / cdfv ELSE -pdfv / (1.0 - cdfv) END AS lam
+         |      FROM (
+         |        SELECT grp, z1, sel, zg,
+         |          (1.0/sqrt(2.0*pi())) * exp(zg*zg*(-0.5)) AS pdfv,
+         |          least(greatest(0.5 * (1.0 + $erfCase), 1e-10), 1.0 - 1e-10) AS cdfv
+         |        FROM (
+         |          SELECT p.grp, p.z1, p.sel, b.c0 + b.c1 * p.z1 AS zg,
+         |            ${erfAuxCols("(b.c0 + b.c1 * p.z1) / sqrt(2.0)")}
+         |          FROM pts p JOIN $prev b ON b.grp = p.grp)
+         |      )
+         |    )
+         |  ) GROUP BY grp
+         |), pit$k AS (
+         |  SELECT grp,
+         |    (r1 * a22 - h12 * r2) / det AS c0,
+         |    (a11 * r2 - h12 * r1) / det AS c1
+         |  FROM (SELECT *, a11 * a22 - h12 * h12 AS det FROM (
+         |    SELECT s0.grp, s0.h12,
+         |      s0.h11 + 1e-9 AS a11, s0.h22 + 1e-9 AS a22,
+         |      s0.g1 + 1e-9 * b.c0 AS r1, s0.g2 + 1e-9 * b.c1 AS r2
+         |    FROM ps$k s0 JOIN $prev b ON b.grp = s0.grp))
+         |)""".stripMargin
+    }
+    s"""WITH pts AS (
+       |  SELECT l_linestatus AS grp, l_extendedprice AS yv, l_quantity AS x1,
+       |    l_discount AS z1,
+       |    CASE WHEN l_discount + l_tax > 0.07 THEN 1.0 ELSE 0.0 END AS sel
+       |  FROM lineitem
+       |), pit0 AS (SELECT 'O' AS grp, 0.0 AS c0, 0.0 AS c1
+       |            UNION ALL SELECT 'F', 0.0, 0.0),
+       |${probitStep(1)},
+       |${probitStep(2)},
+       |${probitStep(3)},
+       |imrr AS (
+       |  SELECT grp, yv, x1, zg,
+       |    CASE WHEN cdfv < 1e-10 THEN 0.0 ELSE pdfv / cdfv END AS imr
+       |  FROM (
+       |    SELECT grp, yv, x1, zg,
+       |      (1.0/sqrt(2.0*pi())) * exp(zg*zg*(-0.5)) AS pdfv,
+       |      0.5 * (1.0 + $erfCase) AS cdfv
+       |    FROM (
+       |      SELECT p.grp, p.yv, p.x1, b.c0 + b.c1 * p.z1 AS zg,
+       |        ${erfAuxCols("(b.c0 + b.c1 * p.z1) / sqrt(2.0)")}
+       |      FROM pts p JOIN pit3 b ON b.grp = p.grp
+       |      WHERE p.sel = 1.0)
+       |  )
+       |),
+       |osum AS (
+       |  SELECT grp, sum(1.0) AS h11, sum(x1) AS h12, sum(imr) AS h13,
+       |    sum(x1*x1) AS h22, sum(x1*imr) AS h23, sum(imr*imr) AS h33,
+       |    sum(yv) AS g1, sum(x1*yv) AS g2, sum(imr*yv) AS g3
+       |  FROM imrr GROUP BY grp
+       |),
+       |ob AS (
+       |  SELECT grp,
+       |    (g1*(h22*h33 - h23*h23) - h12*(g2*h33 - h23*g3) + h13*(g2*h23 - h22*g3)) / det AS b0,
+       |    (h11*(g2*h33 - g3*h23) - g1*(h12*h33 - h23*h13) + h13*(h12*g3 - g2*h13)) / det AS b1,
+       |    (h11*(h22*g3 - h23*g2) - h12*(h12*g3 - g2*h13) + g1*(h12*h23 - h22*h13)) / det AS b2
+       |  FROM (SELECT *,
+       |    h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13) + h13*(h12*h23 - h22*h13) AS det
+       |    FROM osum)
+       |),
+       |sm AS (
+       |  SELECT grp, sum(1.0) AS sw, sum(x1) AS sx1, sum(imr) AS simr,
+       |    sum(-imr * (imr + zg)) AS sdelta
+       |  FROM imrr GROUP BY grp
+       |),
+       |zm AS (
+       |  SELECT grp, sum(1.0) AS sw, sum(z1) AS sz1, sum(yv) AS sy
+       |  FROM pts GROUP BY grp
+       |),
+       |fin AS (
+       |  SELECT
+       |    (SELECT c0 FROM pit3 WHERE grp = 'O') AS ga0,
+       |    (SELECT c1 FROM pit3 WHERE grp = 'O') AS ga1,
+       |    (SELECT c0 FROM pit3 WHERE grp = 'F') AS gb0,
+       |    (SELECT c1 FROM pit3 WHERE grp = 'F') AS gb1,
+       |    (SELECT b0 FROM ob WHERE grp = 'O') AS ba0,
+       |    (SELECT b1 FROM ob WHERE grp = 'O') AS ba1,
+       |    (SELECT b2 FROM ob WHERE grp = 'O') AS ba2,
+       |    (SELECT b0 FROM ob WHERE grp = 'F') AS bb0,
+       |    (SELECT b1 FROM ob WHERE grp = 'F') AS bb1,
+       |    (SELECT b2 FROM ob WHERE grp = 'F') AS bb2,
+       |    (SELECT sw / sw FROM sm WHERE grp = 'O') AS xa0,
+       |    (SELECT sx1 / sw FROM sm WHERE grp = 'O') AS xa1,
+       |    (SELECT simr / sw FROM sm WHERE grp = 'O') AS xa2,
+       |    (SELECT sw / sw FROM sm WHERE grp = 'F') AS xb0,
+       |    (SELECT sx1 / sw FROM sm WHERE grp = 'F') AS xb1,
+       |    (SELECT simr / sw FROM sm WHERE grp = 'F') AS xb2,
+       |    (SELECT sdelta / sw FROM sm WHERE grp = 'F') AS deltab,
+       |    (SELECT sw / sw FROM zm WHERE grp = 'O') AS za0,
+       |    (SELECT sz1 / sw FROM zm WHERE grp = 'O') AS za1,
+       |    (SELECT sw / sw FROM zm WHERE grp = 'F') AS zb0,
+       |    (SELECT sz1 / sw FROM zm WHERE grp = 'F') AS zb1,
+       |    (SELECT sy / sw FROM zm WHERE grp = 'O') AS ya,
+       |    (SELECT sy / sw FROM zm WHERE grp = 'F') AS yb
+       |)
+       |SELECT metric, round(value, 6) + 0.0 AS value FROM (
+       |  SELECT 'gamma_a_intercept' AS metric, ga0 AS value FROM fin
+       |  UNION ALL SELECT 'gamma_a_l_discount', ga1 FROM fin
+       |  UNION ALL SELECT 'gamma_b_intercept', gb0 FROM fin
+       |  UNION ALL SELECT 'gamma_b_l_discount', gb1 FROM fin
+       |  UNION ALL SELECT 'beta_a_intercept', ba0 FROM fin
+       |  UNION ALL SELECT 'beta_a_l_quantity', ba1 FROM fin
+       |  UNION ALL SELECT 'beta_a_imr', ba2 FROM fin
+       |  UNION ALL SELECT 'beta_b_intercept', bb0 FROM fin
+       |  UNION ALL SELECT 'beta_b_l_quantity', bb1 FROM fin
+       |  UNION ALL SELECT 'beta_b_imr', bb2 FROM fin
+       |  UNION ALL SELECT 'exp_intercept', (xa0 - xb0) * bb0 FROM fin
+       |  UNION ALL SELECT 'exp_l_quantity', (xa1 - xb1) * bb1 FROM fin
+       |  UNION ALL SELECT 'exp_imr', (xa2 - xb2) * bb2 FROM fin
+       |  UNION ALL SELECT 'unexp_intercept',
+       |    xa0 * (ba0 - bb0) + xb0 * (bb0 - bb0) FROM fin
+       |  UNION ALL SELECT 'unexp_l_quantity',
+       |    xa1 * (ba1 - bb1) + xb1 * (bb1 - bb1) FROM fin
+       |  UNION ALL SELECT 'unexp_imr',
+       |    xa2 * (ba2 - bb2) + xb2 * (bb2 - bb2) FROM fin
+       |  UNION ALL SELECT 'sel_intercept',
+       |    bb2 * deltab * gb0 * (za0 - zb0) FROM fin
+       |  UNION ALL SELECT 'sel_l_discount',
+       |    bb2 * deltab * gb1 * (za1 - zb1) FROM fin
+       |  UNION ALL SELECT 'total_gap', ya - yb FROM fin
+       |) ORDER BY metric""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_logit_newton3" -> logitNewton3Sql,
     "q_probit_newton3" -> probitNewton3Sql,
     "q_dfl_newton3" -> dflNewton3Sql,
+    "q_heckman_newton3" -> heckmanNewton3Sql,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 6) AS sum_qty,

@@ -35,12 +35,17 @@ object Heckman {
 
   /** `df` = one cleaned group; xCols/selXCols must include the intercept
     * column (first). `wCol` resamples/weights every stage (None mirrors
-    * the reference exactly). */
+    * the reference exactly). `probitMaxIter`/`probitTol` pin the
+    * selection probit's iteration count (tol = 0.0 forces exactly
+    * maxIter iterations — the q_heckman_newton3 oracle); production
+    * callers keep the convergence defaults. */
   def fit(df: DataFrame, outcome: String, xCols: Seq[String],
       selectionOutcome: String, selXCols: Seq[String],
-      wCol: Option[String] = None): HeckmanFit = {
+      wCol: Option[String] = None, probitMaxIter: Int = 100,
+      probitTol: Double = 1e-6): HeckmanFit = {
     val spark = df.sparkSession
-    val probit = Probit.fit(df, selectionOutcome, selXCols, wCol = wCol)
+    val probit = Probit.fit(df, selectionOutcome, selXCols,
+      maxIter = probitMaxIter, tol = probitTol, wCol = wCol)
     val gamma = probit.beta
 
     val zg = Ols.predictionCol(selXCols, gamma)
