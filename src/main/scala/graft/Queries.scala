@@ -488,6 +488,30 @@ object Queries {
         Seq(res.totalChange, res.quantityEffect, res.priceEffect, res.gapEffect))
     }),
 
+    // E5 with a FULL oracle: OLS start (no subsample warm start) + 3
+    // pinned IRLS iterations on the smoothed pinball loss — every step
+    // is a 2x2 weighted solve (trace-scaled ridge), Cramer-expressible.
+    // Median tau only: the IRLS weight's tau/(1-tau) sign split makes
+    // asymmetric taus chaotically sensitive to sub-ulp residual
+    // differences near r = 0 (observed 1e-8-relative divergence); at
+    // tau = 0.5 the weight is continuous in r and the engines agree
+    // bit-stable. The convergence-based q_quantreg (3 taus) stays
+    // rows-only.
+    "q_quantreg_newton3" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity")
+      val taus = Seq(0.5)
+      val betas = QuantileReg.fitMany(li, "l_extendedprice", xCols, taus,
+        maxIter = 3, tol = 0.0, warmStart = false)
+      val rows = taus.zip(betas).map { case (tau, b) =>
+        Row(tau, r6d(b(0)), r6d(b(1)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("tau", DoubleType),
+        StructField("intercept", DoubleType),
+        StructField("slope", DoubleType)))).orderBy("tau")
+    }),
+
     "q_quantreg" -> ((s, d) => {
       val li = Prep.withIntercept(t(s, d, "lineitem"))
       val xCols = Seq(Prep.InterceptCol, "l_quantity")
@@ -537,6 +561,21 @@ object Queries {
         when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0))
       Matching.run(cust, "treated", Seq("c_acctbal"), k = 3,
           Matching.Propensity, "c_custkey")
+        .select(col("c_custkey"), r6(col("__match_weight__")).as("weight"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // E16 with a FULL oracle: the propensity logit pinned at 3 IRLS
+    // iterations (2x2 Cramer on [1, acctbal]) makes PSM closed-form —
+    // the kNN-on-score match itself was always SQL-expressible (same
+    // crossJoin + rank shape as q_matching_knn, ties broken by control
+    // id). The convergence-based q_matching_psm stays rows-only.
+    "q_matching_psm_newton3" -> ((s, d) => {
+      val cust = t(s, d, "customer").withColumn("treated",
+        when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0))
+      Matching.run(cust, "treated", Seq("c_acctbal"), k = 3,
+          Matching.Propensity, "c_custkey",
+          logitMaxIter = 3, logitTol = 0.0)
         .select(col("c_custkey"), r6(col("__match_weight__")).as("weight"))
         .orderBy(col("c_custkey"))
     }),
@@ -1192,11 +1231,120 @@ object Queries {
        |) ORDER BY metric""".stripMargin
   }
 
+  /** 3 IRLS iterations of smoothed-pinball quantile regression from the
+    * OLS start, for all three taus in one chain (the tau column rides
+    * through every CTE): weight c/max(|r|, 1e-6) with c = tau or 1-tau
+    * by residual sign, then a 2x2 solve with the trace-scaled ridge
+    * 1e-10*(tr/2 + 1) — the exact `QuantileReg.fitMany` algebra with
+    * `warmStart = false`. */
+  private val quantregNewton3Sql = {
+    def irlsStep(k: Int): String = {
+      val prev = if (k == 1) "qit0" else s"qit${k - 1}"
+      s"""qs$k AS (
+         |  SELECT tau, sum(w) AS h11, sum(w*x1) AS h12, sum(w*x1*x1) AS h22,
+         |    sum(w*yv) AS g1, sum(w*x1*yv) AS g2
+         |  FROM (
+         |    SELECT b.tau, p.x1, p.yv,
+         |      (CASE WHEN p.yv - (b.b0 + b.b1 * p.x1) > 0.0
+         |        THEN b.tau ELSE 1.0 - b.tau END)
+         |        / greatest(abs(p.yv - (b.b0 + b.b1 * p.x1)), 1e-6) AS w
+         |    FROM pts p CROSS JOIN $prev b
+         |  ) GROUP BY tau
+         |), qit$k AS (
+         |  SELECT tau,
+         |    (g1 * a22 - h12 * g2) / det AS b0,
+         |    (a11 * g2 - h12 * g1) / det AS b1
+         |  FROM (SELECT *, a11 * a22 - h12 * h12 AS det FROM (
+         |    SELECT tau, h12, g1, g2, h11 + lam AS a11, h22 + lam AS a22
+         |    FROM (SELECT *, 1e-10 * ((h11 + h22) / 2.0 + 1.0) AS lam FROM qs$k)))
+         |)""".stripMargin
+    }
+    s"""WITH pts AS (
+       |  SELECT l_quantity AS x1, l_extendedprice AS yv FROM lineitem
+       |), taus AS (SELECT 0.5 AS tau),
+       |qs0 AS (
+       |  SELECT sum(1.0) AS h11, sum(x1) AS h12, sum(x1*x1) AS h22,
+       |    sum(yv) AS g1, sum(x1*yv) AS g2
+       |  FROM pts
+       |),
+       |qit0 AS (
+       |  SELECT t.tau,
+       |    (g1 * h22 - h12 * g2) / det AS b0,
+       |    (h11 * g2 - h12 * g1) / det AS b1
+       |  FROM (SELECT *, h11 * h22 - h12 * h12 AS det FROM qs0) CROSS JOIN taus t
+       |),
+       |${irlsStep(1)},
+       |${irlsStep(2)},
+       |${irlsStep(3)}
+       |SELECT tau, round(b0, 6) AS intercept, round(b1, 6) AS slope
+       |FROM qit3 ORDER BY tau""".stripMargin
+  }
+
+  /** Pinned-logit propensity-score matching: 3 IRLS iterations on
+    * [1, c_acctbal] (2x2 plain Cramer — `Logit.fit` uses no ridge),
+    * clamped sigmoid scores, then the q_matching_knn crossJoin + rank
+    * match on squared score distance with ties broken by control id. */
+  private val psmNewton3Sql = {
+    def logit2Step(k: Int): String = {
+      val prev = if (k == 1) "lit0" else s"lit${k - 1}"
+      s"""ls$k AS (
+         |  SELECT
+         |    sum(w) AS h11, sum(w*x1) AS h12, sum(w*x1*x1) AS h22,
+         |    sum(w*z) AS g1, sum(w*x1*z) AS g2
+         |  FROM (
+         |    SELECT x1, w, xb + (y - p) / w AS z FROM (
+         |      SELECT x1, y, xb, p, p * (1.0 - p) AS w FROM (
+         |        SELECT x1, y, xb,
+         |          greatest(least(1.0 / (1.0 + exp(-xb)), 1.0 - 1e-10), 1e-10) AS p
+         |        FROM (
+         |          SELECT x1, y, b.b0 + b.b1 * x1 AS xb
+         |          FROM pcust CROSS JOIN $prev b)
+         |      )
+         |    )
+         |  )
+         |), lit$k AS (
+         |  SELECT
+         |    (g1 * h22 - h12 * g2) / det AS b0,
+         |    (h11 * g2 - h12 * g1) / det AS b1
+         |  FROM (SELECT *, h11 * h22 - h12 * h12 AS det FROM ls$k)
+         |)""".stripMargin
+    }
+    s"""WITH pcust AS (
+       |  SELECT c_custkey AS cid, c_acctbal AS x1, c_mktsegment AS seg,
+       |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM customer
+       |), lit0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+       |${logit2Step(1)},
+       |${logit2Step(2)},
+       |${logit2Step(3)},
+       |scored AS (
+       |  SELECT cid, seg,
+       |    least(greatest(1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1))), 1e-10),
+       |      1.0 - 1e-10) AS ps
+       |  FROM pcust CROSS JOIN lit3 b
+       |),
+       |pairs AS (
+       |  SELECT t.cid AS tid, c.cid AS ccid, (t.ps - c.ps) * (t.ps - c.ps) AS d2
+       |  FROM (SELECT * FROM scored WHERE seg = 'BUILDING') t,
+       |       (SELECT * FROM scored WHERE seg <> 'BUILDING') c
+       |),
+       |ranked AS (SELECT ccid, row_number() OVER (
+       |  PARTITION BY tid ORDER BY d2, ccid) AS rn FROM pairs),
+       |cw AS (SELECT ccid, count(*) / 3.0 AS w FROM ranked
+       |  WHERE rn <= 3 GROUP BY ccid)
+       |SELECT c_custkey, round(CASE WHEN c_mktsegment = 'BUILDING'
+       |  THEN 1.0 ELSE coalesce(w, 0.0) END, 6) AS weight
+       |FROM customer LEFT JOIN cw ON c_custkey = ccid
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_logit_newton3" -> logitNewton3Sql,
     "q_probit_newton3" -> probitNewton3Sql,
     "q_dfl_newton3" -> dflNewton3Sql,
     "q_heckman_newton3" -> heckmanNewton3Sql,
+    "q_quantreg_newton3" -> quantregNewton3Sql,
+    "q_matching_psm_newton3" -> psmNewton3Sql,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 6) AS sum_qty,

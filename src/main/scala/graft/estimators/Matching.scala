@@ -32,9 +32,14 @@ object Matching {
 
   /** Returns df + "__match_weight__". `idCol` must uniquely identify
     * rows (the reference's orig_index). */
+  /** `logitMaxIter`/`logitTol` pin the propensity logit's iteration
+    * count (Propensity method only; tol = 0.0 forces exactly maxIter
+    * iterations — the q_matching_psm_newton3 oracle); production
+    * callers keep the convergence defaults. */
   def run(df: DataFrame, treatmentCol: String, covariates: Seq[String],
       k: Int, method: Method = Euclidean, idCol: String,
-      exact: Boolean = true, lshBucketLength: Double = 1.0): DataFrame = {
+      exact: Boolean = true, lshBucketLength: Double = 1.0,
+      logitMaxIter: Int = 100, logitTol: Double = 1e-6): DataFrame = {
     require(k > 0, "k must be positive")
     val treatedFlag = col(treatmentCol).cast("double") === 1.0
     val controlFlag = col(treatmentCol).cast("double") === 0.0
@@ -43,7 +48,8 @@ object Matching {
       case Propensity =>
         val withIntercept = Prep.withIntercept(df)
         val xCols = Prep.InterceptCol +: covariates
-        val fit = Logit.fit(withIntercept, treatmentCol, xCols)
+        val fit = Logit.fit(withIntercept, treatmentCol, xCols,
+          maxIter = logitMaxIter, tol = logitTol)
         (withIntercept.withColumn("__ps__", fit.probCol(xCols))
           .drop(Prep.InterceptCol), Seq("__ps__"))
       case Euclidean => (df, covariates)

@@ -91,9 +91,13 @@ object QuantileReg {
     * [[Probit.fitManyGrouped]] uses for bootstrap replicates. A tau that
     * converges is frozen and stops paying for weight columns, so the scan
     * count is max-iterations-over-taus instead of the sum. */
+  /** `warmStart = false` skips the subsample warm start and begins from
+    * the closed-form OLS solution — with a pinned `maxIter`/`tol = 0.0`
+    * this makes the whole fit deterministic closed-form algebra (the
+    * q_quantreg_newton3 oracle); production callers keep the default. */
   def fitMany(df: DataFrame, yCol: String, xCols: Seq[String],
       taus: Seq[Double], maxIter: Int = 50,
-      tol: Double = 1e-8): Seq[DenseVector[Double]] = {
+      tol: Double = 1e-8, warmStart: Boolean = true): Seq[DenseVector[Double]] = {
     taus.foreach(t => require(t > 0.0 && t < 1.0, "Tau must be between 0 and 1."))
     val proj = df.select((col(yCol).cast("double").as(yCol) +:
       xCols.map(c => col(c).cast("double").as(c))): _*)
@@ -109,8 +113,11 @@ object QuantileReg {
       // dist==local spec are unaffected. Constant driver cost at any SF.
       val warmN = 20000
       val hash = xxhash64((yCol +: xCols).map(col): _*)
-      val sampleRows = proj.orderBy(hash).limit(warmN)
-        .select((col(yCol) +: xCols.map(col)): _*).collect()
+      val sampleRows =
+        if (warmStart)
+          proj.orderBy(hash).limit(warmN)
+            .select((col(yCol) +: xCols.map(col)): _*).collect()
+        else Array.empty[org.apache.spark.sql.Row]
       val nT = taus.size
       val betas: Array[DenseVector[Double]] =
         if (sampleRows.length > k + 1) {
