@@ -580,6 +580,28 @@ object Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // E10-E13 with a FULL oracle: tolerance = 1e15 makes BOTH iterative
+    // loops (zig-zag demeaning, FE alternating projection) run exactly
+    // ONE iteration — the loops enter (diff starts at tol + 1, and
+    // 1e15 + 1 > 1e15 still holds in doubles, unlike 1e99 + 1), compute
+    // one exact round whose diff is ~1e7 here, and exit. One round from zero starts is
+    // closed-form edge-table algebra: a = S_w/n_w, p = (S_f - sum n a)/
+    // n_f, scalar beta on the demeaned pair, one FE projection round,
+    // first-firm normalization. Verifies every non-loop component of
+    // AKM (edge aggregation, both update rules, demeaned OLS,
+    // normalization) exactly; the convergence-based q_akm stays
+    // rows-only.
+    "q_akm_step1" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("worker", concat(lit("w"), pmod(col("l_suppkey"), lit(200))))
+        .withColumn("firm", concat(lit("f"), pmod(col("l_partkey"), lit(50))))
+      val res = Akm.run(li, "l_extendedprice", "worker", "firm",
+        Seq("l_quantity"), tolerance = 1e15)
+      res.firmEffects
+        .select(col("firm"), r6(col("effect")).as("effect"))
+        .orderBy(col("firm"))
+    }),
+
     "q_akm" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .withColumn("worker", concat(lit("w"), pmod(col("l_suppkey"), lit(200))))
@@ -1338,6 +1360,63 @@ object Queries {
        |ORDER BY c_custkey""".stripMargin
   }
 
+  /** One exact AKM round as edge-table algebra (see q_akm_step1): the
+    * zig-zag's first Gauss-Seidel iteration from p = 0, a scalar OLS on
+    * the demeaned pair (one control, no intercept), the first FE
+    * alternating-projection round on the edge residual sums, and the
+    * first-firm (lexicographic min) normalization. */
+  private val akmStep1Sql =
+    """WITH pts AS (
+      |  SELECT 'w' || CAST(l_suppkey % 200 AS VARCHAR) AS w,
+      |         'f' || CAST(l_partkey % 50 AS VARCHAR) AS f,
+      |         l_extendedprice AS yv, l_quantity AS xv
+      |  FROM lineitem
+      |),
+      |edges AS (
+      |  SELECT w, f, count(*) * 1.0 AS n, sum(yv) AS s0, sum(xv) AS s1
+      |  FROM pts GROUP BY w, f
+      |),
+      |aw AS (
+      |  SELECT w, sum(n) AS wn,
+      |    sum(s0) / sum(n) AS a0, sum(s1) / sum(n) AS a1
+      |  FROM edges GROUP BY w
+      |),
+      |fs AS (
+      |  SELECT f, sum(n) AS fn, sum(s0) AS fs0, sum(s1) AS fs1
+      |  FROM edges GROUP BY f
+      |),
+      |pf AS (
+      |  SELECT e.f,
+      |    (max(fs.fs0) - sum(e.n * a.a0)) / max(fs.fn) AS p0,
+      |    (max(fs.fs1) - sum(e.n * a.a1)) / max(fs.fn) AS p1v
+      |  FROM edges e
+      |    JOIN aw a ON a.w = e.w
+      |    JOIN fs ON fs.f = e.f
+      |  GROUP BY e.f
+      |),
+      |bsolve AS (
+      |  SELECT sum(d1 * d0) / sum(d1 * d1) AS b FROM (
+      |    SELECT p.yv - a.a0 - q.p0 AS d0, p.xv - a.a1 - q.p1v AS d1
+      |    FROM pts p JOIN aw a ON a.w = p.w JOIN pf q ON q.f = p.f)
+      |),
+      |aw2 AS (
+      |  SELECT e.w, sum(e.s0 - b.b * e.s1) / max(a.wn) AS alpha
+      |  FROM edges e CROSS JOIN bsolve b JOIN aw a ON a.w = e.w
+      |  GROUP BY e.w
+      |),
+      |pf2 AS (
+      |  SELECT e.f,
+      |    (sum(e.s0 - b.b * e.s1) - sum(e.n * w2.alpha)) / max(fs.fn) AS psi
+      |  FROM edges e CROSS JOIN bsolve b
+      |    JOIN aw2 w2 ON w2.w = e.w
+      |    JOIN fs ON fs.f = e.f
+      |  GROUP BY e.f
+      |)
+      |SELECT f AS firm,
+      |  round(psi - (SELECT psi FROM pf2 WHERE f = (SELECT min(f) FROM pf2)), 6)
+      |    AS effect
+      |FROM pf2 ORDER BY firm""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_logit_newton3" -> logitNewton3Sql,
     "q_probit_newton3" -> probitNewton3Sql,
@@ -1345,6 +1424,7 @@ object Queries {
     "q_heckman_newton3" -> heckmanNewton3Sql,
     "q_quantreg_newton3" -> quantregNewton3Sql,
     "q_matching_psm_newton3" -> psmNewton3Sql,
+    "q_akm_step1" -> akmStep1Sql,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 6) AS sum_qty,
