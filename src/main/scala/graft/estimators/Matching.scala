@@ -31,11 +31,11 @@ object Matching {
   case object Propensity extends Method
 
   /** Returns df + "__match_weight__". `idCol` must uniquely identify
-    * rows (the reference's orig_index). */
-  /** `logitMaxIter`/`logitTol` pin the propensity logit's iteration
-    * count (Propensity method only; tol = 0.0 forces exactly maxIter
-    * iterations — the q_matching_psm_newton3 oracle); production
-    * callers keep the convergence defaults. */
+    * rows (the reference's orig_index). `logitMaxIter`/`logitTol` pin
+    * the propensity logit's iteration count (Propensity method only;
+    * tol = 0.0 forces exactly maxIter iterations — the
+    * q_matching_psm_newton3 oracle); production callers keep the
+    * convergence defaults. */
   def run(df: DataFrame, treatmentCol: String, covariates: Seq[String],
       k: Int, method: Method = Euclidean, idCol: String,
       exact: Boolean = true, lshBucketLength: Double = 1.0,
@@ -49,7 +49,7 @@ object Matching {
         val withIntercept = Prep.withIntercept(df)
         val xCols = Prep.InterceptCol +: covariates
         val fit = Logit.fit(withIntercept, treatmentCol, xCols,
-          maxIter = logitMaxIter, tol = logitTol)
+          maxIter = logitMaxIter, tol = logitTol, warmStart = logitTol > 0.0)
         (withIntercept.withColumn("__ps__", fit.probCol(xCols))
           .drop(Prep.InterceptCol), Seq("__ps__"))
       case Euclidean => (df, covariates)
