@@ -49,7 +49,7 @@ object Matching {
         val withIntercept = Prep.withIntercept(df)
         val xCols = Prep.InterceptCol +: covariates
         val fit = Logit.fit(withIntercept, treatmentCol, xCols,
-          maxIter = logitMaxIter, tol = logitTol, warmStart = logitTol > 0.0)
+          maxIter = logitMaxIter, tol = logitTol)
         (withIntercept.withColumn("__ps__", fit.probCol(xCols))
           .drop(Prep.InterceptCol), Seq("__ps__"))
       case Euclidean => (df, covariates)
