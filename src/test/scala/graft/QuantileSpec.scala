@@ -88,6 +88,35 @@ class QuantileSpec extends SparkSpec {
     assert(res.logitConverged)
   }
 
+  test("valuesAtRanksGrouped: exact order statistics under ties, many groups, any boundaries") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(5)
+    // heavy ties: values quantized to 0.1 steps over [0, 5)
+    val rows = (0 until 5000).map { i =>
+      (s"g${i % 7}", math.floor(rng.nextDouble() * 50) / 10.0)
+    }
+    val df = rows.toDF("g", "v")
+    val byG = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted.toIndexedSeq
+    }
+    val wanted = byG.map { case (g, vs) =>
+      g -> Set(0L, vs.size / 3L, vs.size - 1L)
+    }
+    val got = graft.core.Windows.valuesAtRanksGrouped(
+      df, col("g"), col("v"), wanted)
+    wanted.foreach { case (g, rs) =>
+      rs.foreach(r => assert(got(g)(r) == byG(g)(r.toInt), s"$g rank $r"))
+    }
+    // precomputed boundaries only balance buckets — coarse, duplicated,
+    // or even empty boundary sets must not change any returned value
+    val got2 = graft.core.Windows.valuesAtRanksGrouped(
+      df, col("g"), col("v"), wanted, Some(Array(1.0, 1.0, 3.7)))
+    assert(got2 == got)
+    val got3 = graft.core.Windows.valuesAtRanksGrouped(
+      df, col("g"), col("v"), wanted, Some(Array.empty[Double]))
+    assert(got3 == got)
+  }
+
   test("KDE on grid matches a hand-computed density (kde.rs)") {
     val df = Seq(1.0, 2.0, 3.0).toDF("v")
     val grid = Array(2.0)
