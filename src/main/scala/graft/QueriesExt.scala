@@ -17,14 +17,39 @@ object QueriesExt {
 
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read nanos as long and convert (micro truncation — the
-    * synthetic data is ms-precision, so lossless). */
+    * synthetic data is µs-precision, so lossless). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    // integer `div`, NOT floor(ts / 1000): the `/` is double division,
+    // and at ~1.7e15 µs a double's ulp is 0.25 — one in a few thousand
+    // values rounds up across the next microsecond before the floor
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private val EnStop = TextAnalysis.LangStopwords.head._2
+
+  // -- corpus-mixing constants shared by the Spark queries and their
+  // oracle SQL (single source of truth; fractions are dyadic so
+  // rate * 1e6 is integer-exact in both engines) --
+  private val SampleFracs = Seq("src0" -> 1.0, "src1" -> 0.125, "src2" -> 0.0)
+  private val SampleDefaultFrac = 0.25
+  private val TokenBudget = 500L
+
+  /** bit_xor signature over the kept doc ids (SQL-side hash56). */
+  private val XorIdSig =
+    "bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 14)," +
+      " 16, 10) as bigint))"
+
+  /** Deterministic synthetic PII appended to the corpus text (the word
+    * salad contains none) — same arithmetic emitted as SQL below. */
+  private val piiAugment: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, concat(lit(" call 555-867-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, concat(lit(" from 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".17"))).otherwise(lit("")))
 
   /** In real use an ANN index is built once and queried many times; cache
     * the fitted IVF quantizer per (session, dir) so the benched number is
@@ -175,6 +200,80 @@ object QueriesExt {
           r6(expr("aggregate(zip_with(luma_hist, sequence(0, size(luma_hist) - 1)," +
             " (v, i) -> v * i), 0D, (a, x) -> a + x)")).as("luma_mean_bin"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- near-dup clustering: connected components (large-star /
+    // small-star) over the exact-Jaccard pair list, every doc assigned
+    // the minimum doc id of its component, one canonical doc kept ----
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = Some(10000L))
+      Cluster.assignClusters(docs, "doc_id",
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("doc_id"), col("cluster_id"),
+          col("is_canonical").cast("int").as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- as-of join: each click aligned to the user's most recent
+    // view at-or-before it (the right side pre-reduced to one row per
+    // (user, ts) so tie policy is explicit in both engines) ----
+    "q_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      AsOf.joinBackward(clicks, views, Seq("user_id"), "ts", "ts",
+          payload = Seq("view_value"))
+        // microseconds, not millis: the synthetic ts is µs-precision and
+        // Spark's unix_millis ROUNDS where DuckDB's epoch_ms truncates
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          unix_micros(col("ts_asof")).as("view_us"),
+          r6(col("view_value_asof")).as("view_value"),
+          (unix_micros(col("ts")) - unix_micros(col("ts_asof"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- deterministic corpus mixing: per-stratum hash sampling and
+    // token-budget downsampling (id_sig pins exact MEMBERSHIP, not just
+    // counts) ----
+    "q_stratified_sample" -> ((s, d) => {
+      val kept = Sampling.stratifiedHashSample(t(s, d, "documents"),
+        "doc_id", "source", SampleFracs.toMap, SampleDefaultFrac)
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), expr(XorIdSig).as("id_sig"))
+        .orderBy(col("source"))
+    }),
+
+    "q_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(t(s, d, "documents"), "doc_id", "source",
+          "text", budget = TokenBudget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          expr(XorIdSig).as("id_sig"))
+        .orderBy(col("source"))),
+
+    // ---- PII redaction: deterministic synthetic PII injected (the
+    // corpus has none), then counted and redacted; red_sig pins the
+    // redacted TEXT byte-for-byte across engines ----
+    "q_pii_scrub" -> ((s, d) => {
+      val aug = t(s, d, "documents").withColumn("__t2__", piiAugment)
+      val cnts = TextAnalysis.piiCounts(col("__t2__"))
+      aug.select(col("source") +: (cnts.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.redactPii(col("__t2__")).as("__red__")): _*)
+        .groupBy(col("source"))
+        .agg(sum(col("n_email")).as("n_email"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(col("n_ip")).as("n_ip"),
+          expr("bit_xor(cast(conv(substring(md5(__red__), 1, 14), 16, 10)" +
+            " as bigint))").as("red_sig"))
+        .orderBy(col("source"))
     }),
 
     // ---- events / streaming-safe window aggregation ----
@@ -338,7 +437,109 @@ object QueriesExt {
        |ORDER BY c.id_a, c.id_b""".stripMargin
   }
 
+  /** Recursive-CTE connected components over the >= 0.8 Jaccard pairs:
+    * min reachable doc id per doc (docs in no pair reach only
+    * themselves). Exact fixpoint — matches the large-star/small-star
+    * result regardless of either side's iteration schedule. */
+  private val dedupClustersSql =
+    jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(u, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |)
+        |SELECT u AS doc_id, min(r) AS cluster_id,
+        |  CAST(u = min(r) AS INT) AS is_canonical
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  private val sampleCaseSql = {
+    val whens = SampleFracs.map { case (k, f) =>
+      s"WHEN '$k' THEN ${(f * 1000000).toLong}"
+    }.mkString(" ")
+    s"(CASE source $whens ELSE ${(SampleDefaultFrac * 1000000).toLong} END)"
+  }
+
+  private val piiAugSql =
+    """text ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+      |    CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' ||
+      |    CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END""".stripMargin
+
+  /** PII counting + redaction SQL generated from the SAME pattern table
+    * as the Spark side (TextAnalysis.PiiPatterns). */
+  private val piiScrubSql = {
+    val cnts = TextAnalysis.PiiPatterns.map { case (name, re, _) =>
+      s"len(regexp_extract_all(t2, '$re')) AS n_$name"
+    }.mkString(",\n    ")
+    val red = TextAnalysis.PiiPatterns.foldLeft("t2") {
+      case (acc, (_, re, repl)) => s"regexp_replace($acc, '$re', '$repl', 'g')"
+    }
+    s"""WITH aug AS (SELECT source, $piiAugSql AS t2 FROM documents),
+       |red AS (
+       |  SELECT source,
+       |    $cnts,
+       |    $red AS red
+       |  FROM aug
+       |)
+       |SELECT source, CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+       |  bit_xor(${h56("red")}) AS red_sig
+       |FROM red GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" -> dedupClustersSql,
+
+    "q_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(v.ts) AS view_us, round(v.view_value, 6) AS view_value,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE ${h56("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |    < $sampleCaseSql
+         |)
+         |SELECT source, count(*) AS n,
+         |  bit_xor(${h56("CAST(doc_id AS VARCHAR)")}) AS id_sig
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '\\S+')) AS nt,
+         |    ${h56("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), c AS (
+         |  SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t0
+         |)
+         |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  bit_xor(h) AS id_sig
+         |FROM c WHERE cum <= $TokenBudget GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pii_scrub" -> piiScrubSql,
+
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
         |  round(avg(len(regexp_extract_all(text, '\S+'))), 6) AS avg_tokens

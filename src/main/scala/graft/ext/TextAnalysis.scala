@@ -74,6 +74,30 @@ object TextAnalysis {
         "cast(conv(substring(md5(__tok__), 1, 14), 16, 10) as bigint))")
         .as("fingerprint"))
 
+  /** PII patterns (name, regex, placeholder) — deliberately restricted
+    * to the Java-regex ∩ RE2 common dialect (char classes, bounded
+    * repetition, \b) so the DuckDB oracle replays them byte-exactly.
+    * Redaction order is table order: email first, so the later numeric
+    * patterns cannot re-match inside an already-redacted span. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Per-category PII match counts on the raw text (columns named
+    * n_email, n_phone, n_ip). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, re, _) =>
+      s"n_$name" -> regexp_count(text, lit(re))
+    }
+
+  /** Text with every PII category replaced by its placeholder, applied
+    * in [[PiiPatterns]] order. Pure codegen'd regexp_replace chain. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, lit(re), lit(repl))
+    }
+
   /** Per-doc n-gram repetition profile — the standard degenerate-text
     * screen for LLM corpora (a doc stuck in a loop has few distinct
     * n-grams and one dominant n-gram):
