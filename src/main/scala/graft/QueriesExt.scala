@@ -238,6 +238,24 @@ object QueriesExt {
         .orderBy(col("event_id"))
     }),
 
+    // ---- interval join: errors within 4h after each purchase, per
+    // user (bucketed equi-join; the oracle is the naive range join) ----
+    "q_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("value"))
+      RangeJoin.intervalJoin(purchases, errors, Seq("user_id"),
+          "ts", "err_ts", 0.0, 14400.0, payload = Seq("value"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          r6(sum(col("value_r"))).as("sum_err_value"),
+          min(unix_micros(col("err_ts_r")) - unix_micros(col("ts")))
+            .as("first_gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- deterministic corpus mixing: per-stratum hash sampling and
     // token-budget downsampling (id_sig pins exact MEMBERSHIP, not just
     // counts) ----
@@ -512,6 +530,17 @@ object QueriesExt {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.event_id, count(*) AS n_errors,
+        |  round(sum(e.value), 6) AS sum_err_value,
+        |  min(epoch_us(e.ts) - epoch_us(p.ts)) AS first_gap_us
+        |FROM events p JOIN events e
+        |  ON e.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND e.event_type = 'error'
+        |  AND epoch_us(e.ts) >= epoch_us(p.ts)
+        |  AND epoch_us(e.ts) <= epoch_us(p.ts) + 14400000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stratified_sample" ->
       s"""WITH kept AS (

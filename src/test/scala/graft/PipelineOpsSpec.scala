@@ -156,6 +156,41 @@ class PipelineOpsSpec extends SparkSpec {
       budget = 1000000).count() == 100)
   }
 
+  test("interval join matches brute force, inclusive boundaries") {
+    val rng = new scala.util.Random(3)
+    val base = 1700000000000000L // µs
+    val left = (0 until 60).map(i =>
+      (i.toLong, "k" + rng.nextInt(4), ts(base / 1000 + rng.nextInt(100000))))
+      .toDF("lid", "key", "t")
+    val right = (0 until 80).map(i =>
+      (i.toLong + 1000, "k" + rng.nextInt(4),
+        ts(base / 1000 + rng.nextInt(100000)), rng.nextDouble()))
+      .toDF("rid", "key", "t2", "v")
+    // window [-7s, 13s] — negative lo, not bucket-aligned
+    val got = ext.RangeJoin.intervalJoin(left, right, Seq("key"), "t", "t2",
+        -7.0, 13.0, payload = Seq("rid", "v"))
+      .select("lid", "rid_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = left.as("l").join(right.as("r"), expr(
+        """l.key = r.key AND
+          |unix_micros(r.t2) >= unix_micros(l.t) - 7000000 AND
+          |unix_micros(r.t2) <= unix_micros(l.t) + 13000000""".stripMargin))
+      .select(col("l.lid"), col("r.rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+
+    // exact boundary inclusivity: right rows AT lo and AT hi match, one
+    // µs outside does not
+    val l1 = Seq((1L, "k", ts(1000000))).toDF("lid", "key", "t")
+    val r1 = Seq((1L, "k", ts(1000000 - 7000)), (2L, "k", ts(1000000 + 13000)),
+        (3L, "k", ts(1000000 - 7001)), (4L, "k", ts(1000000 + 13001)))
+      .toDF("rid", "key", "t2")
+    val hits = ext.RangeJoin.intervalJoin(l1, r1, Seq("key"), "t", "t2",
+        -7.0, 13.0, payload = Seq("rid"))
+      .select("rid_r").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+  }
+
   test("pii redaction: categories, counts, clean text untouched") {
     val df = Seq(
       (1L, "mail bob.smith+x@ex-corp.co.uk now"),
