@@ -93,6 +93,54 @@ class PlanSpec extends SparkSpec {
       assert(w.partitionSpec.nonEmpty, s"global (unpartitioned) window:\n$w"))
   }
 
+  test("as-of join plans as ONE shuffle (keyed window over the union)") {
+    import spark.implicits._
+    val left = Seq((1L, "u", new java.sql.Timestamp(1000), 1.0))
+      .toDF("id", "k", "t", "v")
+    val right = Seq((2L, "u", new java.sql.Timestamp(500), 2.0))
+      .toDF("id", "k", "t", "w")
+    val joined = graft.ext.AsOf.joinBackward(left, right, Seq("k"), "t", "t",
+      payload = Seq("w"))
+    joined.collect()
+    // AQE's toString prints the plan twice (Final + Initial) — count
+    // shuffles in the final section only
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("interval join is an equi-join, never a nested-loop/cartesian") {
+    val ev = QueriesExt.events(spark, sf("sf0.001"))
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val b = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("ts2"), col("value"))
+    val j = graft.ext.RangeJoin.intervalJoin(a, b, Seq("user_id"),
+      "ts", "ts2", 0.0, 14400.0, payload = Seq("value"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join found:\n$plan")
+  }
+
+  test("stratified hash sample is a pure pruned-scan filter (no shuffle)") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val kept = graft.ext.Sampling.stratifiedHashSample(docs, "doc_id",
+      "source", Map("src0" -> 0.5), defaultFraction = 0.25)
+      .select(col("doc_id"), col("source"))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling shuffled:\n$plan")
+    val leaves = scanSchema(kept)
+    assert(!leaves.contains("text"),
+      s"sampling scan reads the text column it never uses:\n$leaves")
+  }
+
   test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
     // the Heckman bootstrap weight column (and anything else) must not
     // introduce a ScalaUDF codegen fence into the scan pipeline
