@@ -1,7 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Tagged input event for [[Streams.streamingAsOf]]: side 0 = right
+  * (reference) stream, side 1 = left (probe) stream. `tsMs` is event
+  * time in epoch millis; `tiebreak` disambiguates equal-time right
+  * events (largest wins, matching [[graft.ext.AsOf.joinBackward]]). */
+case class AsOfEvent(key: String, tsMs: Long, side: Int, tiebreak: Long,
+  value: Double)
+
+/** One probe event with its as-of match (None = no right event at or
+  * before it was retained). */
+case class AsOfJoined(key: String, tsMs: Long, value: Double,
+  matchTsMs: Option[Long], matchValue: Option[Double])
+
+/** Per-key state: retained right events, newest-first. */
+case class AsOfBuffer(rights: List[(Long, Long, Double)])
 
 /** Structured-Streaming-ready event aggregations. The reference engine
   * is batch-only (SURVEY §1.1), so these are engine extensions: each
@@ -76,4 +92,58 @@ object Streams {
       events.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
+
+  /** Streaming backward as-of enrichment: every left (side 1) event is
+    * emitted with the most recent right (side 0) event at-or-before it
+    * on the same key — continuous feature alignment, the streaming
+    * counterpart of [[graft.ext.AsOf.joinBackward]] (which it equals
+    * exactly on in-order input; a golden spec pins this).
+    *
+    * Custom state via `flatMapGroupsWithState`: per key, the retained
+    * right events (newest-first). Each micro-batch's events are
+    * processed in (ts, side, tiebreak) order, so a right event AT a
+    * left event's timestamp matches (inclusive <=) and equal-time
+    * rights resolve to the largest tiebreak — batch semantics.
+    *
+    * State is bounded: rights older than `lookbackMs` below the current
+    * event-time watermark are evicted, except the single newest right,
+    * which stays forever (it remains the valid match for every future
+    * left event — one record per key, the same bound as any keyed
+    * aggregation). Define a watermark on the event-time column upstream
+    * or state never shrinks past one retained buffer. The documented
+    * streaming caveat: a right event arriving in a LATER micro-batch
+    * than a left event it should have matched cannot retro-match it —
+    * disorder is only absorbed within a micro-batch (plus the buffer),
+    * the standard watermark tradeoff. */
+  def streamingAsOf(events: Dataset[AsOfEvent],
+      lookbackMs: Long = 3600000L): Dataset[AsOfJoined] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuffer, AsOfJoined](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[AsOfEvent], state: GroupState[AsOfBuffer]) =>
+          var rights = state.getOption.map(_.rights).getOrElse(Nil)
+          val out = List.newBuilder[AsOfJoined]
+          it.toSeq.sortBy(e => (e.tsMs, e.side, e.tiebreak)).foreach { e =>
+            if (e.side == 0)
+              rights = ((e.tsMs, e.tiebreak, e.value) :: rights)
+                .sortBy(r => (-r._1, -r._2))
+            else {
+              val m = rights.find(_._1 <= e.tsMs)
+              out += AsOfJoined(key, e.tsMs, e.value, m.map(_._1), m.map(_._3))
+            }
+          }
+          // batch mode / no-watermark streams have no watermark to read:
+          // retain everything (bounded by the input itself)
+          val horizon =
+            try state.getCurrentWatermarkMs() - lookbackMs
+            catch { case _: UnsupportedOperationException => Long.MinValue }
+          val kept = rights match {
+            case newest :: rest => newest :: rest.filter(_._1 >= horizon)
+            case Nil => Nil
+          }
+          if (kept.nonEmpty) state.update(AsOfBuffer(kept)) else state.remove()
+          out.result().iterator
+      }
+  }
 }

@@ -368,6 +368,85 @@ class ExtSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(expected(k) == v, s"window $k") }
   }
 
+  test("streaming as-of enrichment: batch == stream == AsOf.joinBackward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val rng = new scala.util.Random(5)
+    val events = (0 until 400).map { i =>
+      graft.streaming.AsOfEvent("k" + rng.nextInt(6),
+        1000000L + rng.nextInt(500) * 1000L,
+        if (i % 3 == 0) 1 else 0, i.toLong, i * 0.5)
+    }.sortBy(e => (e.tsMs, e.side, e.tiebreak)) // in-order arrival
+    // local brute-force reference
+    val byKey = events.groupBy(_.key)
+    val want = events.filter(_.side == 1).map { l =>
+      val m = byKey(l.key)
+        .filter(r => r.side == 0 && r.tsMs <= l.tsMs)
+        .sortBy(r => (r.tsMs, r.tiebreak)).lastOption
+      (l.key, l.tsMs, l.value) -> m.map(r => (r.tsMs, r.value))
+    }.toMap
+    def toMapOut(js: Array[graft.streaming.AsOfJoined]) = js.map(j =>
+      (j.key, j.tsMs, j.value) ->
+        j.matchTsMs.flatMap(t => j.matchValue.map(v => (t, v)))).toMap
+
+    // 1. the state function run as one batch
+    assert(toMapOut(Streams.streamingAsOf(events.toDS()).collect()) == want)
+
+    // 2. the batch as-of join on the same data
+    val leftDf = events.filter(_.side == 1)
+      .map(e => (e.key, new java.sql.Timestamp(e.tsMs), e.value))
+      .toDF("key", "t", "v")
+    val rightDf = events.filter(_.side == 0)
+      .map(e => (e.key, new java.sql.Timestamp(e.tsMs), e.tiebreak, e.value))
+      .toDF("key", "t", "tb", "w")
+    val viaJoin = graft.ext.AsOf.joinBackward(leftDf, rightDf, Seq("key"),
+        "t", "t", Seq("w"), tiebreak = Some("tb")).collect()
+      .map { r =>
+        val m = if (r.isNullAt(3)) None
+          else Some((r.getTimestamp(3).getTime, r.getDouble(4)))
+        (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)) -> m
+      }.toMap
+    assert(viaJoin == want)
+
+    // 3. incremental micro-batches (in order) through MemoryStream,
+    // WITH a watermark so the state-eviction path executes (lookback
+    // covers the whole span, so results must be unchanged)
+    val stream = MemoryStream[graft.streaming.AsOfEvent]
+    val watermarked = stream.toDS()
+      .withColumn("et", timestamp_millis($"tsMs"))
+      .withWatermark("et", "1 second")
+      .as[graft.streaming.AsOfEvent]
+    val q = Streams.streamingAsOf(watermarked)
+      .writeStream.format("memory").queryName("asofstream")
+      .outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM asofstream").as[graft.streaming.AsOfJoined]
+      .collect()
+    q.stop()
+    assert(toMapOut(got) == want)
+
+    // 4. the documented caveat: a right event arriving a micro-batch
+    // LATER than the left event it precedes cannot retro-match
+    val lateStream = MemoryStream[graft.streaming.AsOfEvent]
+    val q2 = Streams.streamingAsOf(lateStream.toDS())
+      .writeStream.format("memory").queryName("asoflate")
+      .outputMode("append").start()
+    lateStream.addData(Seq(graft.streaming.AsOfEvent("x", 2000L, 1, 0L, 1.0)))
+    q2.processAllAvailable()
+    lateStream.addData(Seq(graft.streaming.AsOfEvent("x", 1000L, 0, 1L, 9.0),
+      graft.streaming.AsOfEvent("x", 3000L, 1, 2L, 2.0)))
+    q2.processAllAvailable()
+    val late = spark.sql("SELECT * FROM asoflate").as[graft.streaming.AsOfJoined]
+      .collect().map(j => j.tsMs -> j.matchValue).toMap
+    q2.stop()
+    assert(late(2000L).isEmpty) // left before the right arrived: no match
+    assert(late(3000L).contains(9.0)) // later left sees the buffered right
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct keys") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
