@@ -277,6 +277,18 @@ object QueriesExt {
           expr(XorIdSig).as("id_sig"))
         .orderBy(col("source"))),
 
+    // top-5 docs per source by ROUNDED quality score (rounding-stable
+    // ordering, so membership is exact across engines)
+    "q_topk_quality" -> ((s, d) => {
+      val score = TextAnalysis.qualityCols(col("text"))
+        .find(_._1 == "quality_score").get._2
+      val scored = t(s, d, "documents")
+        .withColumn("quality", r6(score))
+      Sampling.topKByScore(scored, "doc_id", "source", col("quality"), k = 5)
+        .select(col("source"), col("doc_id"), col("quality"))
+        .orderBy(col("source"), col("quality").desc, col("doc_id"))
+    }),
+
     // ---- PII redaction: deterministic synthetic PII injected (the
     // corpus has none), then counted and redacted; red_sig pins the
     // redacted TEXT byte-for-byte across engines ----
@@ -568,6 +580,18 @@ object QueriesExt {
          |FROM c WHERE cum <= $TokenBudget GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pii_scrub" -> piiScrubSql,
+
+    "q_topk_quality" ->
+      s"""WITH scored AS (
+         |  SELECT source, doc_id, round($qualityExpr, 6) AS quality
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT source, doc_id, quality FROM ranked WHERE rk <= 5
+         |ORDER BY source, quality DESC, doc_id""".stripMargin,
 
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,

@@ -37,6 +37,23 @@ object Sampling {
     df.filter(ticket < (rate * Million).cast("long"))
   }
 
+  /** Per-stratum top-k filter: the k best rows per stratum by a score
+    * column, ties broken by ascending id — the standard quality gate of
+    * a training-data recipe ("keep the 10k best docs per domain").
+    * Callers should pass an already-rounded score when cross-engine
+    * reproducibility matters (the ordering is then rounding-stable).
+    * One keyed window; a pathologically hot stratum serializes its own
+    * rank like any keyed window — shard such strata upstream. */
+  def topKByScore(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.withColumn("__rk__", row_number().over(w))
+      .filter(col("__rk__") <= k)
+      .drop("__rk__")
+  }
+
   /** Per-stratum token-budget downsampling: within each stratum, rows
     * are ordered by (hash56(id), id) — a deterministic uniform shuffle —
     * and the maximal prefix whose running token total stays within
