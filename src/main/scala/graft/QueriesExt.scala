@@ -284,7 +284,9 @@ object QueriesExt {
         .find(_._1 == "quality_score").get._2
       val scored = t(s, d, "documents")
         .withColumn("quality", r6(score))
-      Sampling.topKByScore(scored, "doc_id", "source", col("quality"), k = 5)
+      // shards = 4 exercises the two-phase scale path against the oracle
+      Sampling.topKByScore(scored, "doc_id", "source", col("quality"),
+          k = 5, shards = 4)
         .select(col("source"), col("doc_id"), col("quality"))
         .orderBy(col("source"), col("quality").desc, col("doc_id"))
     }),

@@ -42,16 +42,33 @@ object Sampling {
     * a training-data recipe ("keep the 10k best docs per domain").
     * Callers should pass an already-rounded score when cross-engine
     * reproducibility matters (the ordering is then rounding-stable).
-    * One keyed window; a pathologically hot stratum serializes its own
-    * rank like any keyed window — shard such strata upstream. */
+    *
+    * With `shards > 1` the rank runs two-phase: top-k within each of
+    * the row's hash shards (parallelism = strata x shards), then top-k
+    * over the <= k x shards survivors — same result as the direct
+    * window (each shard forwards every row that could make the global
+    * top k), but a 10^9-row stratum never funnels through one sort
+    * task. At 100 TB call sites should size shards so k x shards stays
+    * small relative to a partition. */
   def topKByScore(df: DataFrame, idCol: String, strataCol: String,
-      scoreCol: Column, k: Int): DataFrame = {
+      scoreCol: Column, k: Int, shards: Int = 1): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(scoreCol.desc, col(idCol).asc)
-    df.withColumn("__rk__", row_number().over(w))
-      .filter(col("__rk__") <= k)
-      .drop("__rk__")
+    require(shards > 0, "shards must be positive")
+    def rank(in: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(scoreCol.desc, col(idCol).asc)
+      in.withColumn("__rk__", row_number().over(w))
+        .filter(col("__rk__") <= k)
+        .drop("__rk__")
+    }
+    if (shards <= 1) rank(df, Seq(col(strataCol)))
+    else {
+      val sharded = df.withColumn("__shard__",
+        pmod(TextAnalysis.hash56(col(idCol).cast("string")), lit(shards)))
+      val survivors = rank(sharded, Seq(col(strataCol), col("__shard__")))
+        .drop("__shard__")
+      rank(survivors, Seq(col(strataCol)))
+    }
   }
 
   /** Per-stratum token-budget downsampling: within each stratum, rows

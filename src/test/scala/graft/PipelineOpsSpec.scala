@@ -191,6 +191,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits == Set(1L, 2L))
   }
 
+  test("topKByScore: ties by id, sharded == direct") {
+    val docs = (0L until 90L)
+      .map(i => (i, "s" + (i % 3), (i % 9).toDouble)) // many score ties
+      .toDF("doc_id", "source", "score")
+    def kept(shards: Int) = Sampling.topKByScore(docs, "doc_id", "source",
+        col("score"), k = 7, shards = shards)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = kept(1)
+    // local reference: per stratum, top 7 by (score desc, id asc)
+    val want = (0L until 90L).map(i => (i, "s" + (i % 3), (i % 9).toDouble))
+      .groupBy(_._2).values.flatMap { rs =>
+        rs.sortBy(r => (-r._3, r._1)).take(7).map(_._1)
+      }.toSet
+    assert(direct == want)
+    assert(kept(4) == direct && kept(16) == direct)
+  }
+
   test("pii redaction: categories, counts, clean text untouched") {
     val df = Seq(
       (1L, "mail bob.smith+x@ex-corp.co.uk now"),
