@@ -25,6 +25,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components match union-find on generated graphs") {
+    (1 to 6).foreach { trial =>
+      val rng = new scala.util.Random(trial * 7919L)
+      val n = 20 + rng.nextInt(60)
+      val m = rng.nextInt(3 * n)
+      val edges = Seq.fill(m)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map { v =>
+          val r = find(v.toInt)
+          v -> nodes.filter(u => find(u.toInt) == r).min
+        }.toMap
+        val got = graft.ext.Cluster
+          .connectedComponents(edges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial (n=$n m=$m)")
+      }
+    }
+  }
+
+  test("as-of and interval joins match brute force on generated events") {
+    (1 to 4).foreach { trial =>
+      val rng = new scala.util.Random(trial * 104729L)
+      val keys = Array("a", "b", "c")
+      def gen(n: Int) = (0 until n).map { i =>
+        (i.toLong, keys(rng.nextInt(3)),
+          new java.sql.Timestamp(1000000L + rng.nextInt(5000).toLong),
+          rng.nextDouble())
+      }
+      val lefts = gen(40)
+      val rights = gen(50)
+      val leftDf = lefts.toDF("id", "k", "t", "v")
+      val rightDf = rights.toDF("id", "k", "t", "v")
+
+      val asofGot = graft.ext.AsOf.joinBackward(leftDf, rightDf, Seq("k"),
+          "t", "t", Seq("v"), tiebreak = Some("id")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+      val asofWant = lefts.map { l =>
+        val m = rights.filter(r => r._2 == l._2 &&
+            !r._3.after(l._3))
+          .sortBy(r => (r._3.getTime, r._1)).lastOption
+        l._1 -> m.map(_._4)
+      }.toMap
+      assert(asofGot == asofWant, s"as-of trial $trial")
+
+      val (lo, hi) = (-1.5, 2.0)
+      val rjGot = graft.ext.RangeJoin.intervalJoin(leftDf, rightDf,
+          Seq("k"), "t", "t", lo, hi, payload = Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(5))).toSet
+      val rjWant = (for {
+        l <- lefts
+        r <- rights
+        if r._2 == l._2
+        d = r._3.getTime - l._3.getTime
+        if d >= (lo * 1000).toLong && d <= (hi * 1000).toLong
+      } yield (l._1, r._1)).toSet
+      assert(rjGot == rjWant, s"interval trial $trial")
+    }
+  }
+
   test("explained + unexplained == total and three-fold sums to total, any data, all policies") {
     (1 to 8).foreach { trial =>
       val rows = datasetGen(Gen.Parameters.default, Seed(trial.toLong)).get
