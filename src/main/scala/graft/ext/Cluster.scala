@@ -72,21 +72,35 @@ object Cluster {
     * contract, not that more rounds are needed). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
-    var edges = pairs
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint pins its RDD in the block manager for the session;
+    // O(log n) rounds x |edges| would accumulate, so each superseded
+    // round's checkpoint is freed as soon as its successor materializes
+    // (the ids are diffed around the eager checkpoint call)
+    def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+    }
+    def free(ids: Seq[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (edges, ckptIds) = ckpt(pairs
       .select(col(idA).cast("long").as("x"), col(idB).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var sig = signature(edges)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val next = signature(edges)
-      converged = next == sig
-      sig = next
+      val (next, nextIds) = ckpt(smallStar(largeStar(edges)))
+      free(ckptIds)
+      edges = next
+      ckptIds = nextIds
+      val nextSig = signature(edges)
+      converged = nextSig == sig
+      sig = nextSig
       round += 1
     }
     require(converged,
