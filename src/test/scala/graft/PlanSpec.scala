@@ -141,6 +141,42 @@ class PlanSpec extends SparkSpec {
       s"sampling scan reads the text column it never uses:\n$leaves")
   }
 
+  test("bucketed tables join with no exchange and no sort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      .toString
+    val orders = spark.read.parquet(sf("sf0.001/orders.parquet"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val liSlim = li.select(col("l_orderkey"), col("l_extendedprice"))
+    graft.sources.Bucketed.writeBucketed(orders, "b_orders",
+      s"$dir/orders", Seq("o_orderkey"), numBuckets = 4)
+    graft.sources.Bucketed.writeBucketed(liSlim, "b_lineitem",
+      s"$dir/lineitem", Seq("l_orderkey"), numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the merge-join path (a broadcast would hide the property
+      // under test: bucketed co-location eliminating the shuffle)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")), first(col("o_totalprice")))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+      val joinSection = plan.split("SortMergeJoin")(1)
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"scan did not use buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
     // the Heckman bootstrap weight column (and anything else) must not
     // introduce a ScalaUDF codegen fence into the scan pipeline
