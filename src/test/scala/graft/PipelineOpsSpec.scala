@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{AsOf, Cluster, Sampling, TextAnalysis}
+import graft.ext.{AsOf, Cluster, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -206,6 +206,49 @@ class PipelineOpsSpec extends SparkSpec {
       }.toSet
     assert(direct == want)
     assert(kept(4) == direct && kept(16) == direct)
+  }
+
+  test("end-to-end corpus recipe: dedup -> cluster -> gate -> sample -> budget -> redact") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val n0 = docs.count()
+
+    // 1. exact dedup, then near-dup clustering over jaccard pairs
+    val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val canonical = Cluster.dropNearDuplicates(exact, "doc_id", pairs)
+    // 2. keep the 15 best docs per source by quality
+    val score = TextAnalysis.qualityCols(col("text"))
+      .find(_._1 == "quality_score").get._2
+    val gated = Sampling.topKByScore(canonical.withColumn("q", score),
+      "doc_id", "source", col("q"), k = 15, shards = 2)
+    // 3. 50% hash sample, then a 300-token budget per source
+    val sampled = Sampling.stratifiedHashSample(gated, "doc_id", "source",
+      Map.empty, defaultFraction = 0.5)
+    val budgeted = Sampling.tokenBudgetSample(sampled, "doc_id", "source",
+      "text", budget = 300)
+    // 4. redact
+    val fin = budgeted.withColumn("text", TextAnalysis.redactPii(col("text")))
+
+    val counts = Seq(exact, canonical, gated, sampled, budgeted, fin)
+      .map(_.count())
+    // each stage only ever drops rows; redaction drops none
+    assert((n0 +: counts).sliding(2).forall(w => w(1) <= w(0)))
+    assert(counts(5) == counts(4))
+    assert(counts.last > 0)
+    // the budget binds per stratum
+    val overBudget = budgeted
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("t"))
+      .filter(col("t") > 300).count()
+    assert(overBudget == 0)
+    // deterministic end to end: the same recipe yields the same ids
+    val ids1 = fin.select("doc_id").as[Long].collect().toSet
+    val fin2 = Sampling.tokenBudgetSample(
+      Sampling.stratifiedHashSample(gated, "doc_id", "source",
+        Map.empty, defaultFraction = 0.5),
+      "doc_id", "source", "text", budget = 300)
+    assert(fin2.select("doc_id").as[Long].collect().toSet == ids1)
   }
 
   test("pii redaction: categories, counts, clean text untouched") {
