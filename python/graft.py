@@ -25,7 +25,8 @@ Setup: start PySpark with the graft jar on the driver classpath::
 
 from pyspark.sql import DataFrame
 
-__all__ = ["OaxacaBlinder", "OaxacaResults", "BudgetResult"]
+__all__ = ["OaxacaBlinder", "OaxacaResults", "BudgetResult", "DflResult",
+           "AkmResult", "run_dfl", "estimate_akm", "match_units"]
 
 
 class OaxacaResults:
@@ -113,6 +114,95 @@ class BudgetResult:
     @property
     def required_budget(self):
         return self._h.requiredBudget()
+
+
+class DflResult:
+    """DFL reweighting densities on a 100-point outcome grid."""
+
+    def __init__(self, jhandle):
+        self._h = jhandle
+
+    @property
+    def grid(self):
+        return list(self._h.grid())
+
+    @property
+    def density_a(self):
+        return list(self._h.densityA())
+
+    @property
+    def density_b(self):
+        return list(self._h.densityB())
+
+    @property
+    def density_b_counterfactual(self):
+        return list(self._h.densityBCounterfactual())
+
+    @property
+    def logit_converged(self):
+        return self._h.logitConverged()
+
+
+class AkmResult:
+    """AKM two-way fixed effects results."""
+
+    def __init__(self, jhandle, spark):
+        self._h = jhandle
+        self._spark = spark
+
+    @property
+    def beta(self):
+        return list(self._h.beta())
+
+    @property
+    def control_names(self):
+        return list(self._h.controlNames())
+
+    @property
+    def worker_effects(self):
+        return DataFrame(self._h.workerEffects(), self._spark)
+
+    @property
+    def firm_effects(self):
+        return DataFrame(self._h.firmEffects(), self._spark)
+
+    @property
+    def r2(self):
+        return self._h.r2()
+
+    @property
+    def n_obs(self):
+        return self._h.nObs()
+
+
+def run_dfl(dataframe, outcome, group, reference_group, predictors):
+    """DFL reweighting (reference: ``run_dfl_from_csv``; pass
+    ``spark.read.csv(path, header=True, inferSchema=True)`` for the
+    CSV case)."""
+    jvm = dataframe.sparkSession._jvm
+    h = jvm.graft.api.PyApi.runDfl(dataframe._jdf, outcome, group,
+                                   reference_group, list(predictors))
+    return DflResult(h)
+
+
+def estimate_akm(dataframe, outcome, worker_col, firm_col, controls=None,
+                 tolerance=1e-8, max_iters=1000):
+    """AKM two-way fixed effects on the largest connected set."""
+    spark = dataframe.sparkSession
+    h = spark._jvm.graft.api.PyApi.estimateAkm(
+        dataframe._jdf, outcome, worker_col, firm_col,
+        list(controls or []), float(tolerance), int(max_iters))
+    return AkmResult(h, spark)
+
+
+def match_units(dataframe, treatment_col, covariates, k, method, id_col):
+    """k-NN matching (``euclidean | mahalanobis | propensity``);
+    returns the match pairs as a pyspark DataFrame."""
+    spark = dataframe.sparkSession
+    jdf = spark._jvm.graft.api.PyApi.matchUnits(
+        dataframe._jdf, treatment_col, list(covariates), int(k), method,
+        id_col)
+    return DataFrame(jdf, spark)
 
 
 class OaxacaBlinder:

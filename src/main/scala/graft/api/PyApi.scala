@@ -2,6 +2,7 @@ package graft.api
 
 import graft.decompose._
 import graft.equity.{Equity, EquityConfig, OptimizeResult}
+import graft.estimators.{Akm, AkmResult, Matching}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
@@ -68,6 +69,37 @@ object PyApi {
         java.util.Collections.emptyList[String](), seed), tau),
       df.sparkSession)
 
+  /** DFL reweighting (python: `run_dfl`; the reference's
+    * `run_dfl_from_csv` reads a path — here any DataFrame works, so
+    * `spark.read.csv(path)` covers the CSV case). */
+  def runDfl(df: DataFrame, outcome: String, group: String,
+      reference: String, predictors: java.util.List[String]): PyDfl =
+    new PyDfl(Dfl.run(df, outcome, group, reference,
+      predictors.asScala.toSeq))
+
+  /** AKM two-way fixed effects (python: `estimate_akm`). */
+  def estimateAkm(df: DataFrame, outcome: String, workerCol: String,
+      firmCol: String, controls: java.util.List[String], tolerance: Double,
+      maxIters: Int): PyAkm =
+    new PyAkm(Akm.run(df, outcome, workerCol, firmCol,
+      controls.asScala.toSeq, tolerance, maxIters))
+
+  /** k-NN matching (python: `match_units`); method is one of
+    * euclidean | mahalanobis | propensity. */
+  def matchUnits(df: DataFrame, treatmentCol: String,
+      covariates: java.util.List[String], k: Int, method: String,
+      idCol: String): DataFrame = {
+    val m = method.toLowerCase match {
+      case "euclidean" => Matching.Euclidean
+      case "mahalanobis" => Matching.Mahalanobis
+      case "propensity" | "psm" => Matching.Propensity
+      case other => throw new IllegalArgumentException(
+        s"unknown matching method '$other' " +
+          "(expected euclidean | mahalanobis | propensity)")
+    }
+    Matching.run(df, treatmentCol, covariates.asScala.toSeq, k, m, idCol)
+  }
+
   /** Budgeted pay-equity optimization (python: `optimize_budget(b)`). */
   def optimizeBudget(df: DataFrame, outcome: String, group: String,
       reference: String, predictors: java.util.List[String],
@@ -91,6 +123,26 @@ class PyResults(res: OaxacaResults, spark: SparkSession) {
   def summary(): String = Export.summary(res)
   def interpret(): String = Export.interpret(res)
   def svgBar(): String = Export.toSvgBar(res)
+}
+
+/** DFL results handle (python: `DflResult`): the 100-point outcome
+  * grid with the two observed densities and the counterfactual. */
+class PyDfl(res: DflResult) {
+  def grid(): Array[Double] = res.grid
+  def densityA(): Array[Double] = res.densityA
+  def densityB(): Array[Double] = res.densityB
+  def densityBCounterfactual(): Array[Double] = res.densityBCounterfactual
+  def logitConverged(): Boolean = res.logitConverged
+}
+
+/** AKM results handle (python: `AkmResult`). */
+class PyAkm(res: AkmResult) {
+  def beta(): Array[Double] = res.beta.toArray
+  def controlNames(): java.util.List[String] = res.controlNames.asJava
+  def workerEffects(): DataFrame = res.workerEffects
+  def firmEffects(): DataFrame = res.firmEffects
+  def r2(): Double = res.r2
+  def nObs(): Long = res.nObs
 }
 
 /** Optimization results handle (python: `BudgetResult`). */

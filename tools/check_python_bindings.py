@@ -85,5 +85,38 @@ assert opt.original_unexplained_gap != opt.new_unexplained_gap
 print("[pycheck] optimize_budget: cost=%.2f spent=%.2f adjustments=%d"
       % (opt.total_cost, spent, n_adj))
 
+from graft import run_dfl, estimate_akm, match_units  # noqa: E402
+
+dfl = run_dfl(df, "l_extendedprice", "l_linestatus", "F", ["l_quantity"])
+assert len(dfl.grid) == 100
+assert len(dfl.density_b_counterfactual) == 100
+assert all(d >= 0 for d in dfl.density_a)
+print("[pycheck] run_dfl: grid=%d converged=%s"
+      % (len(dfl.grid), dfl.logit_converged))
+
+import random  # noqa: E402
+random.seed(7)
+panel = spark.createDataFrame(
+    [(f"w{random.randrange(30)}", f"f{random.randrange(6)}",
+      random.random() * 10, random.gauss(0, 1))
+     for _ in range(400)],
+    ["worker", "firm", "x", "noise"]) \
+    .withColumn("y", F.col("x") * 2.5 + F.col("noise"))
+akm = estimate_akm(panel, "y", "worker", "firm", controls=["x"])
+assert len(akm.beta) == 1 and abs(akm.beta[0] - 2.5) < 0.2
+assert akm.worker_effects.count() > 0 and akm.firm_effects.count() > 0
+print("[pycheck] estimate_akm: beta=%.3f r2=%.3f n=%d"
+      % (akm.beta[0], akm.r2, akm.n_obs))
+
+with_id = (df.limit(2000)
+           .withColumn("uid", F.monotonically_increasing_id())
+           .withColumn("treated",
+                       (F.col("l_returnflag") == "R").cast("double")))
+pairs = match_units(with_id, "treated", ["l_quantity", "l_discount"],
+                    k=1, method="mahalanobis", id_col="uid")
+assert pairs.count() > 0
+print("[pycheck] match_units: %d pairs, cols=%s"
+      % (pairs.count(), pairs.columns))
+
 spark.stop()
 print("[pycheck] PASS")
