@@ -502,7 +502,7 @@ object Queries {
       val xCols = Seq(Prep.InterceptCol, "l_quantity")
       val taus = Seq(0.5)
       val betas = QuantileReg.fitMany(li, "l_extendedprice", xCols, taus,
-        maxIter = 3, tol = 0.0, warmStart = false)
+        maxIter = 3, tol = 0.0, warmStart = false, objRtol = 0.0)
       val rows = taus.zip(betas).map { case (tau, b) =>
         Row(tau, r6d(b(0)), r6d(b(1)))
       }
@@ -516,10 +516,14 @@ object Queries {
       val li = Prep.withIntercept(t(s, d, "lineitem"))
       val xCols = Seq(Prep.InterceptCol, "l_quantity")
       val taus = Seq(0.25, 0.5, 0.75)
-      // 1e-6 coefficient tolerance is far below the 6-decimal output
-      // rounding; halves the IRLS pass count vs the 1e-8 default
+      // default convergence: relative beta step + objective stagnation.
+      // On this data the slope is weakly identified (the pinball loss is
+      // flat along it), so beta steps chatter at ~1e-3 relative forever
+      // while 40 scans move the loss by < 3e-4 total — the objective
+      // test is what fires, a handful of scans past the warm start.
+      // maxIter = 30 stays as a backstop only.
       val betas = QuantileReg.fitMany(li, "l_extendedprice", xCols, taus,
-        maxIter = 30, tol = 1e-6)
+        maxIter = 30)
       val rows = taus.zip(betas).map { case (tau, b) =>
         Row(tau, r6d(b(0)), r6d(b(1)))
       }

@@ -72,7 +72,7 @@ object QuantileReg {
         i += 1
       }
       val nb = wlsSolve(w)
-      if (norm(nb - beta) < Tol) done = true
+      if (norm(nb - beta) < Tol * math.max(1.0, norm(beta))) done = true
       beta = nb
     }
     beta
@@ -81,8 +81,9 @@ object QuantileReg {
   /** Distributed IRLS: one Gram pass per iteration; the 100 TB path for
     * a single-tau fit. */
   def fit(df: DataFrame, yCol: String, xCols: Seq[String], tau: Double,
-      maxIter: Int = 50, tol: Double = 1e-8): DenseVector[Double] =
-    fitMany(df, yCol, xCols, Seq(tau), maxIter, tol).head
+      maxIter: Int = 50, tol: Double = 1e-8,
+      objRtol: Double = 1e-5): DenseVector[Double] =
+    fitMany(df, yCol, xCols, Seq(tau), maxIter, tol, objRtol = objRtol).head
 
   /** Several taus over ONE cached projection of the data, batched through
     * the multi-system Gram kernel: every IRLS iteration is ONE scan that
@@ -90,14 +91,33 @@ object QuantileReg {
     * reweighting column as a system), the same batching
     * [[Probit.fitManyGrouped]] uses for bootstrap replicates. A tau that
     * converges is frozen and stops paying for weight columns, so the scan
-    * count is max-iterations-over-taus instead of the sum. */
-  /** `warmStart = false` skips the subsample warm start and begins from
+    * count is max-iterations-over-taus instead of the sum.
+    *
+    * TWO stopping criteria, whichever fires first:
+    *  - coefficient step: `norm(nb - beta) < tol * max(1, norm(beta))`
+    *    (RELATIVE — betas live on the data's scale, where an absolute
+    *    test would sit below per-scan floating-point churn). Fires on
+    *    well-identified fits, where IRLS contracts geometrically.
+    *  - objective stagnation: the weighted SSR at the current beta —
+    *    free from the scan's own Gram lane (swyy, xty, xtx) — IS the
+    *    pinball loss up to the Eps smoothing; when one scan improves it
+    *    by less than `objRtol` relative, further scans are polishing a
+    *    direction the loss is insensitive to (a statistically
+    *    unidentified coefficient slide — observed on weakly-identified
+    *    slopes, where beta steps chatter at ~1e-3 relative forever while
+    *    40 scans move the loss by under 3e-4 total). MM iterations
+    *    decrease this objective monotonically, so stagnation is a sound
+    *    stop. `objRtol = 0.0` disables the test (pinned-iteration
+    *    oracles).
+    *
+    * `warmStart = false` skips the subsample warm start and begins from
     * the closed-form OLS solution — with a pinned `maxIter`/`tol = 0.0`
     * this makes the whole fit deterministic closed-form algebra (the
     * q_quantreg_newton3 oracle); production callers keep the default. */
   def fitMany(df: DataFrame, yCol: String, xCols: Seq[String],
       taus: Seq[Double], maxIter: Int = 50,
-      tol: Double = 1e-8, warmStart: Boolean = true): Seq[DenseVector[Double]] = {
+      tol: Double = 1e-8, warmStart: Boolean = true,
+      objRtol: Double = 1e-5): Seq[DenseVector[Double]] = {
     taus.foreach(t => require(t > 0.0 && t < 1.0, "Tau must be between 0 and 1."))
     val proj = df.select((col(yCol).cast("double").as(yCol) +:
       xCols.map(c => col(c).cast("double").as(c))): _*)
@@ -129,6 +149,7 @@ object QuantileReg {
           Array.fill(nT)(LinAlg.solveLeastSquares(g.xtx, g.xty))
         }
       val done = Array.fill(nT)(false)
+      val prevObj = Array.fill(nT)(Double.NaN)
       var iter = 0
       while (iter < maxIter && done.contains(false)) {
         iter += 1
@@ -143,9 +164,19 @@ object QuantileReg {
         val grams = Gram.computeMulti(work, xCols, systems, lit(0), 1)(0)
         active.zipWithIndex.foreach { case (i, si) =>
           val g = grams(si)
+          val b = betas(i)
+          // weighted SSR at the beta the weights were built from:
+          // sum w*r^2 with w = c/max(|r|, Eps) == sum c*|r| wherever
+          // |r| >= Eps — the pinball objective, free from this scan
+          val obj = g.swyy - 2.0 * (b dot g.xty) + (b dot (g.xtx * b))
+          if (objRtol > 0.0 && !prevObj(i).isNaN &&
+              prevObj(i) - obj < objRtol * math.abs(prevObj(i)))
+            done(i) = true
+          prevObj(i) = obj
           val nb = LinAlg.ridgeSolve(g.xtx, g.xty,
             1e-10 * (breeze.linalg.trace(g.xtx) / k + 1.0))
-          if (norm(nb - betas(i)) < tol) done(i) = true
+          if (norm(nb - b) < tol * math.max(1.0, norm(b)))
+            done(i) = true
           betas(i) = nb
         }
       }
