@@ -197,7 +197,10 @@ def estimate_akm(dataframe, outcome, worker_col, firm_col, controls=None,
 
 def match_units(dataframe, treatment_col, covariates, k, method, id_col):
     """k-NN matching (``euclidean | mahalanobis | propensity``);
-    returns the match pairs as a pyspark DataFrame."""
+    returns the INPUT rows with an appended ``__match_weight__`` column
+    (treated rows weight 1.0, each control 1/k per treated row that
+    matched it, unmatched controls 0.0) as a pyspark DataFrame — not
+    pair rows."""
     spark = dataframe.sparkSession
     jdf = spark._jvm.graft.api.PyApi.matchUnits(
         dataframe._jdf, treatment_col, list(covariates), int(k), method,

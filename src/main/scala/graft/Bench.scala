@@ -54,7 +54,7 @@ object Bench {
       sweep(spark)
       try { fn(spark, sfDir).count(); () }
       catch { case _: Throwable => () /* the timed reps report it */ }
-      val times = (1 to reps).map { _ =>
+      def timed(): Double = {
         sweep(spark)
         val t0 = System.nanoTime()
         val ok =
@@ -65,19 +65,33 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         if (ok) secs else -secs
       }
-      val good = times.filter(_ >= 0).sorted
-      val median =
+      def medianOf(ts: Seq[Double]): Double = {
+        val good = ts.filter(_ >= 0).sorted
         if (good.nonEmpty) good(good.size / 2)
-        else -times.map(math.abs).min
-      name -> median
+        else -ts.map(math.abs).min
+      }
+      var times = (1 to reps).map(_ => timed())
+      // slow queries get extra reps: machine-level drift between runs can
+      // move a multi-second query by 1.5-2x, so a 3-rep median still
+      // cries wolf — 2 more samples tighten both the median and the min
+      if (medianOf(times) > 2.0) times ++= (1 to 2).map(_ => timed())
+      val good = times.filter(_ >= 0)
+      // the workload is deterministic, so the MIN over reps is the
+      // drift-robust statistic (reported alongside the headline median
+      // for cross-round comparisons)
+      val minT = if (good.nonEmpty) good.min else medianOf(times)
+      name -> (medianOf(times), minT)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val failed = results.filter(_._2._1 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = results.filter(_._2._1 >= 0).map(_._2._1).sum
+    val totalMin = results.filter(_._2._2 >= 0).map(_._2._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // stop Spark FIRST: its shutdown logging otherwise lands after our

@@ -147,22 +147,28 @@ object Windows {
     // rank offsets for EVERY (group, bucket) pair that survives the
     // bucket prune — a surviving row's rank must be exact even when its
     // own (group, bucket) wasn't the hit target, or the final rank
-    // filter could select an impostor row
-    val offCol = offsets.filter { case ((_, b), _) => keptBuckets(b) }
-      .foldLeft(lit(0.0)) { case (c, ((g, b), off)) =>
-        when(col("__g__") === lit(g) && col("__bucket__") === lit(b),
-          lit(off.toDouble)).otherwise(c)
-      }
+    // filter could select an impostor row. The offsets (and below, the
+    // requested ranks) attach via tiny BROADCAST-joined frames, not
+    // inlined when-chains: a high-cardinality group map would otherwise
+    // generate an enormous Catalyst expression (codegen 64KB method
+    // fallback, slow analysis). The isin bucket prune stays a plain
+    // filter so it still pushes toward the scan.
+    import df.sparkSession.implicits._
+    val offDf = offsets.iterator
+      .collect { case ((g, b), off) if keptBuckets(b) => (g, b, off.toDouble) }
+      .toSeq.toDF("__g__", "__bucket__", "__off__")
     val local = Window.partitionBy(col("__g__"), col("__bucket__"))
       .orderBy(col("__v__").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = bucketed.filter(keepBucket).withColumn("__rk__",
-      coalesce(sum(lit(1.0)).over(local), lit(0.0)) + offCol)
-    val keep = want.foldLeft(lit(false)) { case (c, (g, rs)) =>
-      c || (col("__g__") === lit(g) &&
-        col("__rk__").isin(rs.toSeq.map(_.toDouble): _*))
-    }
-    ranked.filter(keep).select(col("__g__"), col("__rk__"), col("__v__"))
+    val ranked = bucketed.filter(keepBucket)
+      .join(broadcast(offDf), Seq("__g__", "__bucket__"))
+      .withColumn("__rk__",
+        coalesce(sum(lit(1.0)).over(local), lit(0.0)) + col("__off__"))
+    val wantDf = want.iterator
+      .flatMap { case (g, rs) => rs.map(r => (g, r.toDouble)) }
+      .toSeq.toDF("__g__", "__rk__")
+    ranked.join(broadcast(wantDf), Seq("__g__", "__rk__"))
+      .select(col("__g__"), col("__rk__"), col("__v__"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (g, rows) =>

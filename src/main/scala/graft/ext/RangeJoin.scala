@@ -25,13 +25,18 @@ object RangeJoin {
 
   /** Inner interval join. Returns every left row paired with every
     * matching right row; `rightTime` and each `payload` column arrive
-    * suffixed. `loSec <= hiSec` may be negative (window reaching back
-    * in time). Timestamps must be post-epoch (bucket ids use integer
-    * division). */
+    * suffixed. `loSec <= hiSec`, either may be negative (window reaching
+    * back in time); `loSec == hiSec` is the degenerate exact-offset join
+    * (right exactly `loSec` after left). Pre-epoch timestamps are safe:
+    * bucket ids use truncating integer division, under which every
+    * bucket still spans at least the window width, so a left row's
+    * window touches at most two bucket ids — when they coincide (near
+    * the epoch, or in the degenerate window) the duplicate is dropped
+    * before the explode. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, loSec: Double, hiSec: Double,
       payload: Seq[String], suffix: String = "_r"): DataFrame = {
-    require(hiSec > loSec, "interval join window must have hi > lo")
+    require(hiSec >= loSec, "interval join window must have hi >= lo")
     val loUs = math.round(loSec * 1e6)
     val hiUs = math.round(hiSec * 1e6)
     val wUs = math.max(hiUs - loUs, 1L)
@@ -39,9 +44,9 @@ object RangeJoin {
     // bucket boundary (same 1-ulp hazard as the events() µs conversion)
     val l = left
       .withColumn("__lt__", unix_micros(col(leftTime).cast("timestamp")))
-      .withColumn("__bkt__", explode(array(
+      .withColumn("__bkt__", explode(array_distinct(array(
         expr(s"(__lt__ + $loUs) div $wUs"),
-        expr(s"(__lt__ + $hiUs) div $wUs"))))
+        expr(s"(__lt__ + $hiUs) div $wUs")))))
     val r = right.select(
       keys.map(col) ++ Seq(
         unix_micros(col(rightTime).cast("timestamp")).as("__rt__"),
@@ -51,9 +56,9 @@ object RangeJoin {
     val joined = l.join(r, keys :+ "__bkt__")
       .filter(col("__rt__") >= col("__lt__") + lit(loUs) &&
         col("__rt__") <= col("__lt__") + lit(hiUs))
-      // a right row whose bucket equals both of a left row's two bucket
-      // ids cannot exist (the ids differ by exactly 1), so no dedup is
-      // needed: each qualifying pair is produced exactly once
+      // the left row's (<= 2) bucket ids are DISTINCT after
+      // array_distinct, and a right row carries exactly one bucket id,
+      // so each qualifying pair is produced exactly once — no dedup
       .drop("__bkt__", "__lt__", "__rt__")
     val outCols = left.columns.map(col) ++
       (("__rts__", rightTime + suffix) +:

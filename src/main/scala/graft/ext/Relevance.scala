@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.OperatorCaches
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,16 +28,18 @@ object Relevance {
 
   /** The (doc, term) occurrence counts — the shared inverted-index
     * reduction both scorers start from — materialized via
-    * `localCheckpoint` because every consumer reads it at least twice
+    * [[OperatorCaches]] because every consumer reads it at least twice
     * (doc lengths, document frequency, the final score join): without
-    * the checkpoint each consumer re-runs the full corpus explode. The
-    * frame is narrow (id, term, tf — one row per distinct pair), so the
-    * materialization is a fraction of the token table it replaces. */
+    * the materialization each consumer re-runs the full corpus explode.
+    * The frame is narrow (id, term, tf — one row per distinct pair), so
+    * the materialization is a fraction of the token table it replaces;
+    * each new scorer call frees the previous call's blocks, so repeated
+    * calls cannot pin unbounded block-manager storage. */
   private def termCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    tokens(df, idCol, textCol)
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    OperatorCaches.register(
+      tokens(df, idCol, textCol)
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
 
   /** Smoothed TF-IDF per (doc, term):
     * tf/dl * (ln((N + 1)/(df + 1)) + 1), with tf the in-doc term count,
@@ -46,6 +49,7 @@ object Relevance {
     * materialized) ONCE at the (doc, term) level; doc lengths and the df
     * table both derive from it — one corpus scan total. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    OperatorCaches.supersede()
     val nDocs = df.count()
     val tf = termCounts(df, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
@@ -69,12 +73,13 @@ object Relevance {
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    OperatorCaches.supersede()
     val nDocs = df.count()
     val tc = termCounts(df, idCol, textCol)
-    // doc-level lengths: narrow (2 cols, one row per doc) — checkpoint
+    // doc-level lengths: narrow (2 cols, one row per doc) — materialized
     // so the avgdl action and the score join don't re-run the groupBy
-    val dl = tc.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint()
+    val dl = OperatorCaches.register(
+      tc.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")))
     // exact avgdl: integer token total / doc count (docs with zero
     // tokens count in N but contribute 0 length, as in Lucene)
     val totalLen = dl.agg(sum(col("dl"))).head().getLong(0)

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.OperatorCaches
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,11 +91,19 @@ object Sampling {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two (top-bits bucketing)")
     val shift = 56 - Integer.numberOfTrailingZeros(buckets)
-    val in = df
+    // Materialize the tokenized frame: BOTH the local prefix window and
+    // the offsets aggregate consume it, and tokenCount is a full pass
+    // over the text bytes — without the cache the corpus is scanned and
+    // tokenized twice (invisible at test SF, a second 100 TB pass at
+    // scale). MEMORY_AND_DISK via OperatorCaches, so a later operator
+    // call frees these blocks (and an evicted block recomputes instead
+    // of failing).
+    OperatorCaches.supersede()
+    val in = OperatorCaches.register(df
       .withColumn("__h__", TextAnalysis.hash56(col(idCol).cast("string")))
       .withColumn("__nt__",
         TextAnalysis.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__b__", shiftright(col("__h__"), shift))
+      .withColumn("__b__", shiftright(col("__h__"), shift)))
     val local = Window.partitionBy(col(strataCol), col("__b__"))
       .orderBy(col("__h__").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

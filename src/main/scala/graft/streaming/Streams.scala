@@ -125,10 +125,17 @@ object Streams {
           var rights = state.getOption.map(_.rights).getOrElse(Nil)
           val out = List.newBuilder[AsOfJoined]
           it.toSeq.sortBy(e => (e.tsMs, e.side, e.tiebreak)).foreach { e =>
-            if (e.side == 0)
-              rights = ((e.tsMs, e.tiebreak, e.value) :: rights)
-                .sortBy(r => (-r._1, -r._2))
-            else {
+            if (e.side == 0) {
+              // splice into the (already newest-first) buffer instead of
+              // re-sorting it per insert: the batch is processed in
+              // ascending event order, so the prefix of strictly-newer
+              // entries is almost always empty and the insert is O(1);
+              // an out-of-order right pays only its displacement
+              val entry = (e.tsMs, e.tiebreak, e.value)
+              val (newer, older) = rights.span(r =>
+                r._1 > e.tsMs || (r._1 == e.tsMs && r._2 > e.tiebreak))
+              rights = newer ::: (entry :: older)
+            } else {
               val m = rights.find(_._1 <= e.tsMs)
               out += AsOfJoined(key, e.tsMs, e.value, m.map(_._1), m.map(_._3))
             }

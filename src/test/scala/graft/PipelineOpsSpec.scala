@@ -191,6 +191,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits == Set(1L, 2L))
   }
 
+  test("interval join: degenerate lo == hi window and pre-epoch timestamps") {
+    // lo == hi is the exact-offset join: right exactly `lo` after left,
+    // each qualifying pair exactly once (the two exploded bucket ids
+    // coincide and must be deduped before the join)
+    val l1 = Seq((1L, "k", ts(1000000)), (2L, "k", ts(2000000)))
+      .toDF("lid", "key", "t")
+    val r1 = Seq((1L, "k", ts(1000000 + 5000)), (2L, "k", ts(1000000 + 5001)),
+        (3L, "k", ts(2000000 + 5000)))
+      .toDF("rid", "key", "t2")
+    val exact = ext.RangeJoin.intervalJoin(l1, r1, Seq("key"), "t", "t2",
+        5.0, 5.0, payload = Seq("rid"))
+      .select("lid", "rid_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.sorted.toSeq == Seq((1L, 1L), (2L, 3L)))
+
+    // pre-epoch timestamps: truncating `div` collapses bucket ids near
+    // the epoch — pairs must still match brute force with no duplicates
+    val rng = new scala.util.Random(9)
+    val left = (0 until 50).map(i =>
+      (i.toLong, "k" + rng.nextInt(3), ts(rng.nextInt(120000) - 60000L)))
+      .toDF("lid", "key", "t")
+    val right = (0 until 60).map(i =>
+      (i.toLong, "k" + rng.nextInt(3), ts(rng.nextInt(120000) - 60000L)))
+      .toDF("rid", "key", "t2")
+    val gotAll = ext.RangeJoin.intervalJoin(left, right, Seq("key"), "t",
+        "t2", -11.0, 4.0, payload = Seq("rid"))
+      .select("lid", "rid_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotAll.size == gotAll.toSet.size, "duplicate pairs emitted")
+    val want = left.as("l").join(right.as("r"), expr(
+        """l.key = r.key AND
+          |unix_micros(r.t2) >= unix_micros(l.t) - 11000000 AND
+          |unix_micros(r.t2) <= unix_micros(l.t) + 4000000""".stripMargin))
+      .select(col("l.lid"), col("r.rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && gotAll.toSet == want)
+  }
+
   test("topKByScore: ties by id, sharded == direct") {
     val docs = (0L until 90L)
       .map(i => (i, "s" + (i % 3), (i % 9).toDouble)) // many score ties

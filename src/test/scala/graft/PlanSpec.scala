@@ -141,6 +141,28 @@ class PlanSpec extends SparkSpec {
       s"sampling scan reads the text column it never uses:\n$leaves")
   }
 
+  test("token-budget sampling tokenizes the corpus once (cached projection)") {
+    // the tokenized frame feeds BOTH the local prefix window and the
+    // bucket-offset aggregate — without the materialization the corpus
+    // is scanned (and the text tokenized) twice
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val kept = graft.ext.Sampling.tokenBudgetSample(docs, "doc_id",
+      "source", "text", budget = 5000)
+    kept.collect()
+    val plan = kept.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // both consumers must read the cache; every FileScan printed must
+    // belong to a cached relation's definition (printed once per cache
+    // read), never to an uncached second corpus scan
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheReads == 2,
+      s"expected 2 cache reads (window + offsets), got $cacheReads:\n$plan")
+    val fileScans = "FileScan parquet".r.findAllIn(plan).length
+    val cachedDefs = "InMemoryRelation".r.findAllIn(plan).length
+    assert(fileScans == cachedDefs,
+      s"uncached parquet scan in plan ($fileScans scans, $cachedDefs cached):\n$plan")
+  }
+
   test("bucketed tables join with no exchange and no sort") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
       .toString

@@ -112,11 +112,13 @@ with_id = (df.limit(2000)
            .withColumn("uid", F.monotonically_increasing_id())
            .withColumn("treated",
                        (F.col("l_returnflag") == "R").cast("double")))
-pairs = match_units(with_id, "treated", ["l_quantity", "l_discount"],
-                    k=1, method="mahalanobis", id_col="uid")
-assert pairs.count() > 0
-print("[pycheck] match_units: %d pairs, cols=%s"
-      % (pairs.count(), pairs.columns))
+matched = match_units(with_id, "treated", ["l_quantity", "l_discount"],
+                      k=1, method="mahalanobis", id_col="uid")
+# returns the input rows + __match_weight__ (not pair rows)
+assert matched.count() == with_id.count()
+assert "__match_weight__" in matched.columns
+print("[pycheck] match_units: %d weighted rows, cols=%s"
+      % (matched.count(), matched.columns))
 
 spark.stop()
 print("[pycheck] PASS")
