@@ -550,6 +550,58 @@ object Queries {
         StructField("coefficients", DoubleType)))).orderBy("quantile")
     }),
 
+    // D12 with a FULL oracle: the Machado-Mata skeleton (group split,
+    // per-group QR fit, counterfactual AB prediction, P11 lower-bound
+    // empirical quantiles of the predicted distributions) made
+    // deterministic closed-form: ONE pinned tau (0.5 — the tau whose
+    // IRLS weight is continuous in the residual; asymmetric taus'
+    // weight jump at r = 0 is chaotically engine-sensitive, see
+    // q_quantreg_newton3), 3 pinned IRLS iterations per group from the
+    // OLS start, and the predicted distributions evaluated over ALL
+    // rows (the simulations -> infinity limit of MM's random row
+    // draws). q_mm_quantile stays the at-scale rows-only twin with
+    // random taus/draws. Reference: quantile_decomposition.rs:173-279.
+    "q_mm_newton3" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity")
+      val yCol = "l_extendedprice"
+      val a = li.filter(col("l_linestatus") === "F")
+      val b = li.filter(col("l_linestatus") === "O")
+      def pinnedBeta(g: DataFrame) =
+        QuantileReg.fitMany(g, yCol, xCols, Seq(0.5), maxIter = 3,
+          tol = 0.0, warmStart = false, objRtol = 0.0).head
+      val bA = pinnedBeta(a)
+      val bB = pinnedBeta(b)
+      val preds = a.select(lit("AA").as("__pool__"),
+          Ols.predictionCol(xCols, bA).as("__v__"))
+        .unionByName(a.select(lit("AB").as("__pool__"),
+          Ols.predictionCol(xCols, bB).as("__v__")))
+        .unionByName(b.select(lit("BB").as("__pool__"),
+          Ols.predictionCol(xCols, bB).as("__v__")))
+      val nA = a.count()
+      val nB = b.count()
+      val qs = Seq(0.1, 0.5, 0.9)
+      def rankOf(n: Long, q: Double): Long =
+        math.min(math.floor(n * q).toLong, n - 1)
+      val got = Windows.valuesAtRanksGrouped(preds, col("__pool__"),
+        col("__v__"), Map(
+          "AA" -> qs.map(rankOf(nA, _)).toSet,
+          "AB" -> qs.map(rankOf(nA, _)).toSet,
+          "BB" -> qs.map(rankOf(nB, _)).toSet))
+      val rows = qs.map { q =>
+        val qAA = got("AA")(rankOf(nA, q))
+        val qAB = got("AB")(rankOf(nA, q))
+        val qBB = got("BB")(rankOf(nB, q))
+        Row(s"q${(q * 100).toInt}", r6d(qAA - qBB), r6d(qAB - qBB),
+          r6d(qAA - qAB))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("quantile", StringType),
+        StructField("gap", DoubleType),
+        StructField("characteristics", DoubleType),
+        StructField("coefficients", DoubleType)))).orderBy("quantile")
+    }),
+
     // ---- AKM + matching (E10-E16) ----
     "q_matching_knn" -> ((s, d) => {
       val cust = t(s, d, "customer").withColumn("treated",
@@ -1306,6 +1358,86 @@ object Queries {
        |FROM qit3 ORDER BY tau""".stripMargin
   }
 
+  /** Machado-Mata with everything pinned (see the q_mm_newton3 entry):
+    * the per-group 3-iteration IRLS chain is the q_quantreg_newton3
+    * algebra with the group column riding through every CTE; the
+    * lower-bound quantile pick (P11, `quantile_decomposition.rs:164-171`)
+    * is row_number at floor(n*q), capped at n-1 — value-at-rank is
+    * well-defined under ties because tied rows share the value. */
+  private val mmNewton3Sql = {
+    def irlsStep(k: Int): String = {
+      val prev = if (k == 1) "mit0" else s"mit${k - 1}"
+      s"""ms$k AS (
+         |  SELECT grp, sum(w) AS h11, sum(w*x1) AS h12, sum(w*x1*x1) AS h22,
+         |    sum(w*yv) AS g1, sum(w*x1*yv) AS g2
+         |  FROM (
+         |    SELECT p.grp, p.x1, p.yv,
+         |      (CASE WHEN p.yv - (b.b0 + b.b1 * p.x1) > 0.0
+         |        THEN 0.5 ELSE 0.5 END)
+         |        / greatest(abs(p.yv - (b.b0 + b.b1 * p.x1)), 1e-6) AS w
+         |    FROM mpts p JOIN $prev b ON p.grp = b.grp
+         |  ) GROUP BY grp
+         |), mit$k AS (
+         |  SELECT grp,
+         |    (g1 * a22 - h12 * g2) / det AS b0,
+         |    (a11 * g2 - h12 * g1) / det AS b1
+         |  FROM (SELECT *, a11 * a22 - h12 * h12 AS det FROM (
+         |    SELECT grp, h12, g1, g2, h11 + lam AS a11, h22 + lam AS a22
+         |    FROM (SELECT *, 1e-10 * ((h11 + h22) / 2.0 + 1.0) AS lam FROM ms$k)))
+         |)""".stripMargin
+    }
+    s"""WITH mpts AS (
+       |  SELECT l_linestatus AS grp, l_quantity AS x1, l_extendedprice AS yv
+       |  FROM lineitem WHERE l_linestatus IN ('F', 'O')
+       |),
+       |ms0 AS (
+       |  SELECT grp, sum(1.0) AS h11, sum(x1) AS h12, sum(x1*x1) AS h22,
+       |    sum(yv) AS g1, sum(x1*yv) AS g2
+       |  FROM mpts GROUP BY grp
+       |),
+       |mit0 AS (
+       |  SELECT grp,
+       |    (g1 * h22 - h12 * g2) / det AS b0,
+       |    (h11 * g2 - h12 * g1) / det AS b1
+       |  FROM (SELECT *, h11 * h22 - h12 * h12 AS det FROM ms0)
+       |),
+       |${irlsStep(1)},
+       |${irlsStep(2)},
+       |${irlsStep(3)},
+       |preds AS (
+       |  SELECT 'AA' AS pool, b.b0 + b.b1 * p.x1 AS v
+       |    FROM mpts p, (SELECT * FROM mit3 WHERE grp = 'F') b
+       |    WHERE p.grp = 'F'
+       |  UNION ALL
+       |  SELECT 'AB', b.b0 + b.b1 * p.x1
+       |    FROM mpts p, (SELECT * FROM mit3 WHERE grp = 'O') b
+       |    WHERE p.grp = 'F'
+       |  UNION ALL
+       |  SELECT 'BB', b.b0 + b.b1 * p.x1
+       |    FROM mpts p, (SELECT * FROM mit3 WHERE grp = 'O') b
+       |    WHERE p.grp = 'O'
+       |),
+       |ranked AS (
+       |  SELECT pool, v, row_number() OVER (PARTITION BY pool ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY pool) AS n
+       |  FROM preds
+       |),
+       |qlist AS (SELECT * FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
+       |picks AS (
+       |  SELECT q.q, r.pool, r.v
+       |  FROM ranked r JOIN qlist q
+       |    ON r.rn = least(CAST(floor(r.n * q.q) AS BIGINT), r.n - 1) + 1
+       |)
+       |SELECT 'q' || CAST(CAST(q * 100 AS INT) AS VARCHAR) AS quantile,
+       |  round(aa.v - bb.v, 6) AS gap,
+       |  round(ab.v - bb.v, 6) AS characteristics,
+       |  round(aa.v - ab.v, 6) AS coefficients
+       |FROM (SELECT q, v FROM picks WHERE pool = 'AA') aa
+       |JOIN (SELECT q, v FROM picks WHERE pool = 'AB') ab USING (q)
+       |JOIN (SELECT q, v FROM picks WHERE pool = 'BB') bb USING (q)
+       |ORDER BY quantile""".stripMargin
+  }
+
   /** Pinned-logit propensity-score matching: 3 IRLS iterations on
     * [1, c_acctbal] (2x2 plain Cramer — `Logit.fit` uses no ridge),
     * clamped sigmoid scores, then the q_matching_knn crossJoin + rank
@@ -1427,6 +1559,7 @@ object Queries {
     "q_dfl_newton3" -> dflNewton3Sql,
     "q_heckman_newton3" -> heckmanNewton3Sql,
     "q_quantreg_newton3" -> quantregNewton3Sql,
+    "q_mm_newton3" -> mmNewton3Sql,
     "q_matching_psm_newton3" -> psmNewton3Sql,
     "q_akm_step1" -> akmStep1Sql,
     "q_pricing_summary" ->
