@@ -729,6 +729,66 @@ object Queries {
         StructField("p_value", DoubleType)))).orderBy("component")
     }),
 
+    // P8/D9 with a FULL oracle: the replicates-as-lanes bootstrap kernel
+    // (Gram.computeGrouped with external replicate weight columns — ONE
+    // scan carries the point estimate plus all 8 replicates) made
+    // engine-replayable: the per-(row, rep) Poisson(1) draw is the
+    // inverse CDF of a hash56-derived uniform over the row's CONTENT
+    // (cents(y):qty:group — the same content-keyed-draw approximation
+    // the production xxhash64 path documents; md5-based hash56 replays
+    // in DuckDB, xxhash64 does not), so weights, per-rep two-fold
+    // components, and the bootstrap SE are all closed-form SQL.
+    // q_bootstrap500 stays the at-scale 500-replicate rows-only twin.
+    "q_bootstrap8" -> ((s, d) => {
+      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      val xCols = Seq(Prep.InterceptCol, "l_quantity")
+      val yCol = "l_extendedprice"
+      val key = concat(
+        round(col(yCol) * 100, 0).cast("long").cast("string"), lit(":"),
+        col("l_quantity").cast("long").cast("string"), lit(":"),
+        col("l_linestatus"))
+      // ascending-threshold when-CHAIN (first match wins, same shape as
+      // the oracle's CASE) — a fold that nests `otherwise` would put the
+      // largest threshold outermost and catch everything
+      def poisson(u: Column): Column =
+        PoissonCdf.tail.zipWithIndex.foldLeft(
+          when(u < lit(PoissonCdf.head), 0.0)) {
+          case (acc, (thr, i)) => acc.when(u < lit(thr), (i + 1).toDouble)
+        }.otherwise(PoissonCdf.size.toDouble)
+      val wCols = (1 to 8).map(r => s"__bw_$r")
+      val withW = wCols.zipWithIndex.foldLeft(li) { case (df, (c, i)) =>
+        val u = pmod(graft.ext.TextAnalysis.hash56(
+            concat(key, lit(s":${i + 1}"))), lit(1000000L))
+          .cast("double") / 1000000.0
+        df.withColumn(c, poisson(u))
+      }
+      val laneOf = when(col("l_linestatus") === "O", 0).otherwise(1)
+      val grams = Gram.computeGrouped(withW, yCol, xCols, None, laneOf,
+        nLanes = 2, reps = 0, seed = 0L, repWeightCols = wCols)
+      def comps(rep: Int): (Double, Double, Double) = {
+        val ga = grams(0)(rep)
+        val gb = grams(1)(rep)
+        val bB = LinAlg.solveLeastSquares(gb.xtx, gb.xty)
+        val gap = ga.yMean - gb.yMean
+        val explained = (ga.xMeans(1) - gb.xMeans(1)) * bB(1)
+        (gap, explained, gap - explained)
+      }
+      val pt = comps(0)
+      val reps = (1 to 8).map(comps)
+      def sd(vs: Seq[Double]): Double = {
+        val m = vs.sum / vs.size
+        math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
+      }
+      val rows = Seq(
+        Row("explained", r6d(pt._2), r6d(sd(reps.map(_._2)))),
+        Row("gap", r6d(pt._1), r6d(sd(reps.map(_._1)))),
+        Row("unexplained", r6d(pt._3), r6d(sd(reps.map(_._3)))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("component", StringType),
+        StructField("estimate", DoubleType),
+        StructField("se", DoubleType)))).orderBy("component")
+    }),
+
     "q_decomp_groupa" -> ((s, d) => {
       val res = Oaxaca.run(t(s, d, "lineitem"),
         decompCfg.copy(refCoefficients = RefCoefficients.GroupA))
@@ -1358,6 +1418,79 @@ object Queries {
        |FROM qit3 ORDER BY tau""".stripMargin
   }
 
+  /** Cumulative Poisson(1) CDF thresholds for draws 0..6 (a u above the
+    * last threshold draws 7 — the truncated tail carries ~1e-5 mass,
+    * truncated identically in both engines). The SAME IEEE doubles feed
+    * the Spark weight columns (via lit) and the DuckDB oracle SQL (via
+    * toString, which round-trips doubles exactly). */
+  private val PoissonCdf: Seq[Double] = {
+    var term = math.exp(-1.0)
+    var cum = 0.0
+    (0 to 6).map { k =>
+      if (k > 0) term /= k
+      cum += term
+      cum
+    }
+  }
+
+  /** Pinned 8-replicate Poisson bootstrap of the two-fold decomposition
+    * (see the q_bootstrap8 entry): per-(row, rep) draws from the
+    * content-keyed hash56 uniform, per-rep weighted group means and the
+    * 2x2 Cramer slope, components and stddev_samp SE over the reps. */
+  private val bootstrap8Sql = {
+    val pois = PoissonCdf.zipWithIndex
+      .map { case (t, i) => s"WHEN u < $t THEN $i.0" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdf.size}.0 END")
+    s"""WITH bpts AS (
+       |  SELECT l_linestatus AS grp, l_quantity AS x1, l_extendedprice AS yv,
+       |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+       |      || ':' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+       |      || ':' || l_linestatus AS key
+       |  FROM lineitem
+       |),
+       |bsums AS (
+       |  SELECT grp, 0 AS rep, sum(1.0) AS sw, sum(x1) AS swx,
+       |    sum(yv) AS swy, sum(x1*x1) AS swxx, sum(x1*yv) AS swxy
+       |  FROM bpts GROUP BY grp
+       |  UNION ALL
+       |  SELECT grp, rep, sum(w), sum(w*x1), sum(w*yv), sum(w*x1*x1),
+       |    sum(w*x1*yv)
+       |  FROM (
+       |    SELECT grp, x1, yv, rep, $pois AS w
+       |    FROM (
+       |      SELECT p.grp, p.x1, p.yv, r.r AS rep,
+       |        ((('0x' || substr(md5(p.key || ':' || CAST(r.r AS VARCHAR)),
+       |          1, 14))::BIGINT) % 1000000) / 1000000.0 AS u
+       |      FROM bpts p
+       |      CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) r(r)
+       |    )
+       |  ) GROUP BY grp, rep
+       |),
+       |bcomp AS (
+       |  SELECT a.rep,
+       |    a.swy / a.sw - b.swy / b.sw AS gap,
+       |    (a.swx / a.sw - b.swx / b.sw)
+       |      * ((b.sw * b.swxy - b.swx * b.swy)
+       |         / (b.sw * b.swxx - b.swx * b.swx)) AS explained
+       |  FROM (SELECT * FROM bsums WHERE grp = 'O') a
+       |  JOIN (SELECT * FROM bsums WHERE grp = 'F') b USING (rep)
+       |)
+       |SELECT component, round(est, 6) AS estimate, round(se, 6) AS se
+       |FROM (
+       |  SELECT 'gap' AS component,
+       |    max(CASE WHEN rep = 0 THEN gap END) AS est,
+       |    stddev_samp(CASE WHEN rep > 0 THEN gap END) AS se FROM bcomp
+       |  UNION ALL
+       |  SELECT 'explained',
+       |    max(CASE WHEN rep = 0 THEN explained END),
+       |    stddev_samp(CASE WHEN rep > 0 THEN explained END) FROM bcomp
+       |  UNION ALL
+       |  SELECT 'unexplained',
+       |    max(CASE WHEN rep = 0 THEN gap - explained END),
+       |    stddev_samp(CASE WHEN rep > 0 THEN gap - explained END) FROM bcomp
+       |) ORDER BY component""".stripMargin
+  }
+
   /** Machado-Mata with everything pinned (see the q_mm_newton3 entry):
     * the per-group 3-iteration IRLS chain is the q_quantreg_newton3
     * algebra with the group column riding through every CTE; the
@@ -1560,6 +1693,7 @@ object Queries {
     "q_heckman_newton3" -> heckmanNewton3Sql,
     "q_quantreg_newton3" -> quantregNewton3Sql,
     "q_mm_newton3" -> mmNewton3Sql,
+    "q_bootstrap8" -> bootstrap8Sql,
     "q_matching_psm_newton3" -> psmNewton3Sql,
     "q_akm_step1" -> akmStep1Sql,
     "q_pricing_summary" ->
