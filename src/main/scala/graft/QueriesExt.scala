@@ -202,6 +202,21 @@ object QueriesExt {
         .orderBy(col("media_id"))
     }),
 
+    // real WAV decode over synthesized audio payloads (rows-only like
+    // q_multimodal: a RIFF/PCM codec is not SQL-replayable); the decode
+    // itself is golden-pinned in ExtSpec
+    "q_multimodal_audio" -> ((s, d) => {
+      val media = Multimodal.synthesizeWav(
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.audioFeatures(media)
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("decode_ok"), col("sample_rate"), col("channels"),
+          col("n_frames"), r6(col("duration_sec")).as("duration_sec"),
+          r6(col("rms")).as("rms"), r6(col("zcr")).as("zcr"),
+          r6(col("peak")).as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- near-dup clustering: connected components (large-star /
     // small-star) over the exact-Jaccard pair list, every doc assigned
     // the minimum doc id of its component, one canonical doc kept ----

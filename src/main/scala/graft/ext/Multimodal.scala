@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: `javax.imageio` ships PNG/JPEG/BMP/GIF readers
   * with the JDK, so [[decodeImage]]/[[imageFeatures]] run an actual
   * codec — dimensions, channel count, and a downsampled luma histogram
-  * per payload, with bounded per-row work. Audio/video codecs are NOT
-  * available in this environment, so for those modalities [[fakeDecode]]
-  * remains the documented stand-in: a deterministic content-hash
-  * featurizer with the same signature and batch shape a real decoder
-  * (ffmpeg behind a JNI or Pandas-UDF bridge) would have.
+  * per payload, with bounded per-row work. AUDIO decode is REAL for
+  * WAV/PCM: `javax.sound.sampled` ships with the JDK, so
+  * [[decodeWav]]/[[audioFeatures]] extract duration, RMS, zero-crossing
+  * rate, and peak from actual sample data. VIDEO codecs are NOT
+  * available in this environment (the JDK ships none), so for that
+  * modality [[fakeDecode]] remains the documented stand-in: a
+  * deterministic content-hash featurizer with the same signature and
+  * batch shape a real decoder (ffmpeg behind a JNI or Pandas-UDF
+  * bridge) would have.
   */
 object Multimodal {
 
@@ -177,6 +181,166 @@ object Multimodal {
           javax.imageio.ImageIO.write(img, "png", baos)
           val payload = baos.toByteArray
           Row(id, payload, Row("image/png", payload.length.toLong, "synth"))
+        }
+      }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Real per-payload audio features from the JDK's built-in WAV/PCM
+    * reader (`javax.sound.sampled` — no external codec needed for
+    * RIFF/WAVE PCM). */
+  final case class AudioFeatures(sampleRate: Double, channels: Int,
+      nFrames: Long, durationSec: Double, rms: Double, zcr: Double,
+      peak: Double)
+
+  /** Decode one WAV payload. Features are computed over CHANNEL 0 of
+    * up to `maxFrames` frames (silently truncated beyond — the bounded
+    * per-row-work discipline of [[decodeImage]]): root-mean-square
+    * amplitude, zero-crossing rate (sign flips per frame), and peak
+    * absolute amplitude, all on samples normalized to [-1, 1]. Handles
+    * 8-bit and 16-bit PCM (signed or unsigned); other encodings and
+    * undecodable payloads return None. Duration/frame counts describe
+    * the FULL stream (from the header), not the truncated prefix. */
+  def decodeWav(payload: Array[Byte],
+      maxFrames: Int = 1 << 20): Option[AudioFeatures] = {
+    if (payload == null || payload.isEmpty) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      if (!(signed || unsigned) || (bits != 8 && bits != 16)) return None
+      val channels = fmt.getChannels
+      val frameBytes = fmt.getFrameSize
+      val nFrames = in.getFrameLength
+      val sr = fmt.getSampleRate.toDouble
+      if (channels <= 0 || frameBytes <= 0 || sr <= 0) return None
+      val buf = new Array[Byte](frameBytes * 4096)
+      var frames = 0L
+      var sumSq = 0.0
+      var crossings = 0L
+      var peak = 0.0
+      var prevSign = 0
+      var eof = false
+      while (!eof && frames < maxFrames) {
+        val want = math.min(buf.length.toLong,
+          (maxFrames - frames) * frameBytes).toInt
+        val got = in.read(buf, 0, want)
+        if (got <= 0) eof = true
+        else {
+          var off = 0
+          while (off + frameBytes <= got) {
+            // channel 0 sample at the head of each frame
+            val v =
+              if (bits == 16) {
+                val lo = buf(off) & 0xff
+                val hi = buf(off + 1) & 0xff
+                val raw =
+                  if (fmt.isBigEndian) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                  else (buf(off + 1) << 8) | lo
+                (if (signed) raw.toShort.toInt else (((hi << 8) | lo) - 32768))
+                  .toDouble / 32768.0
+              } else {
+                val raw = buf(off) & 0xff
+                (if (signed) buf(off).toDouble else (raw - 128).toDouble) / 128.0
+              }
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+            if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+            if (sign != 0) prevSign = sign
+            frames += 1
+            off += frameBytes
+          }
+        }
+      }
+      if (frames == 0) return None
+      Some(AudioFeatures(sr, channels, nFrames, nFrames / sr,
+        math.sqrt(sumSq / frames), crossings.toDouble / frames, peak))
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("sample_rate", DoubleType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("zcr", DoubleType),
+    StructField("peak", DoubleType)))
+
+  /** Partition-wise REAL audio decode over a media table — the WAV
+    * analog of [[imageFeatures]]. Undecodable payloads keep their row
+    * with decode_ok = false and null features. (Video remains the
+    * documented [[fakeDecode]] stand-in: the JDK ships no video codec,
+    * and this environment has no external ones.) */
+  def audioFeatures(media: DataFrame,
+      maxFrames: Int = 1 << 20): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload"),
+        col("meta.mime"), col("meta.n_bytes")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          decodeWav(payload, maxFrames) match {
+            case Some(f) =>
+              Row(r.getLong(0), r.getString(2), r.getLong(3), true,
+                f.sampleRate, f.channels, f.nFrames, f.durationSec,
+                f.rms, f.zcr, f.peak)
+            case None =>
+              Row(r.getLong(0), r.getString(2), r.getLong(3), false,
+                null, null, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, AudioFeatureSchema)
+  }
+
+  /** Deterministic tiny-WAV synthesis from a text column — the audio
+    * counterpart of [[synthesizePng]]. Each doc becomes ~0.05 s of
+    * 8 kHz 16-bit mono PCM: a sine whose frequency derives from the id
+    * (200 + 50 * (id % 13) Hz) and whose amplitude derives from the
+    * text length (0.25 + 0.5 * (len % 100) / 100), WAV-encoded
+    * losslessly so decode features are exact functions of the content. */
+  def synthesizeWav(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long"), col(textCol).cast("string")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val len = Option(r.getString(1)).getOrElse("").length
+          val sr = 8000
+          val n = 400
+          val freq = 200.0 + 50.0 * (id % 13)
+          val amp = 0.25 + 0.5 * (len % 100) / 100.0
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (amp * math.sin(2.0 * math.Pi * freq * i / sr) * 32767.0).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val payload = baos.toByteArray
+          Row(id, payload, Row("audio/wav", payload.length.toLong, "synth"))
         }
       }
     spark.createDataFrame(rdd, MediaSchema)

@@ -310,6 +310,82 @@ class ExtSpec extends SparkSpec {
     assert(mutFeats(0L) != again(0L))
   }
 
+  test("audio decode: real javax.sound.sampled golden values on PCM sines") {
+    // golden: 1 s of 1 kHz sine at 8 kHz, amplitude 0.5, 16-bit mono
+    def sineWav(sr: Int, n: Int, freq: Double, amp: Double): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amp * math.sin(2.0 * math.Pi * freq * i / sr) * 32767.0).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val f = Multimodal.decodeWav(sineWav(8000, 8000, 1000.0, 0.5)).get
+    assert(f.sampleRate == 8000.0 && f.channels == 1 && f.nFrames == 8000L)
+    assert(math.abs(f.durationSec - 1.0) < 1e-12)
+    // sine RMS = amp/sqrt(2); ZCR = 2 crossings per cycle = 2f/sr
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2.0)) < 0.005, s"rms ${f.rms}")
+    assert(math.abs(f.zcr - 0.25) < 0.01, s"zcr ${f.zcr}")
+    assert(math.abs(f.peak - 0.5) < 0.001, s"peak ${f.peak}")
+    // 8-bit unsigned constant half-scale signal: rms == peak == 0.5, no
+    // crossings
+    val pcm8 = Array.fill(1000)(192.toByte) // (192-128)/128 = 0.5
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, 1000L)
+    val baos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos8)
+    val f8 = Multimodal.decodeWav(baos8.toByteArray).get
+    assert(math.abs(f8.rms - 0.5) < 1e-12 && math.abs(f8.peak - 0.5) < 1e-12)
+    assert(f8.zcr == 0.0 && f8.nFrames == 1000L)
+    // truncation cap bounds the work but keeps header-level totals
+    val fCap = Multimodal.decodeWav(sineWav(8000, 8000, 1000.0, 0.5),
+      maxFrames = 800).get
+    assert(fCap.nFrames == 8000L && math.abs(fCap.durationSec - 1.0) < 1e-12)
+    assert(math.abs(fCap.rms - 0.5 / math.sqrt(2.0)) < 0.01)
+    // non-audio payloads decode to None, never throw
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+  }
+
+  test("audioFeatures: synthesized WAVs decode distributed, deterministic, content-sensitive") {
+    val media = Multimodal.synthesizeWav(docs, "doc_id", "text")
+    val feats = Multimodal.audioFeatures(media).collect()
+    assert(feats.length == 6)
+    assert(feats.forall(_.getAs[Boolean]("decode_ok")))
+    feats.foreach { r =>
+      assert(r.getAs[Double]("sample_rate") == 8000.0)
+      assert(r.getAs[Long]("n_frames") == 400L)
+      assert(math.abs(r.getAs[Double]("duration_sec") - 0.05) < 1e-12)
+      // amplitude in [0.25, 0.75) -> rms in a sane band, peak <= 0.75
+      assert(r.getAs[Double]("rms") > 0.1 && r.getAs[Double]("rms") < 0.6)
+    }
+    def rmsById(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getAs[Double]("rms")).toMap
+    val first = rmsById(feats)
+    // re-synthesis is bit-identical (WAV is lossless PCM)
+    val again = rmsById(Multimodal.audioFeatures(
+      Multimodal.synthesizeWav(docs, "doc_id", "text")).collect())
+    assert(again == first)
+    // text mutation (same id) changes the synthesized amplitude
+    val mutated = docs.withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(" zzz")))
+    val mut = rmsById(Multimodal.audioFeatures(
+      Multimodal.synthesizeWav(mutated, "doc_id", "text")).collect())
+    assert(mut(0L) != first(0L))
+  }
+
   test("streaming windowed group gap equals the batch gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
