@@ -187,6 +187,20 @@ object QueriesExt {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the sub-quadratic ANN shape with a FULL oracle: sign-grid cells
+    // (data-independent integer geometry both engines compute
+    // identically) instead of the KMeans quantizer, Hamming-ranked
+    // probes, exact cosine re-rank inside — q_ann_ivf stays the
+    // rows-only production default with recall specs
+    "q_ann_ivf_grid" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.gridTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", k = 5, bits = 6, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio; rows-only —
     // no SQL engine can replay a PNG codec). Payloads are deterministic
     // doc-derived PNGs (the environment ships no image corpus), so the
@@ -408,6 +422,48 @@ object QueriesExt {
   }
 
   /** SimHash SQL generated from the same constants as Dedup.simhash. */
+  /** Sign-grid IVF (see the q_ann_ivf_grid entry): cell id from the
+    * sign bits of the first 6 dimensions, nProbe = 8 non-empty cells
+    * ranked by Hamming distance (ties by cell id), exact cosine top-5
+    * re-rank among their members — `Ann.gridTopK` replayed verbatim. */
+  private val annIvfGridSql = {
+    val cellExpr = (0 until 6)
+      .map(j => s"(CASE WHEN embedding[${j + 1}]::DOUBLE > 0.0" +
+        s" THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH gc AS (
+       |  SELECT vec_id, embedding, $cellExpr AS cell FROM embeddings
+       |),
+       |cells AS (SELECT DISTINCT cell FROM gc),
+       |qc AS (
+       |  SELECT vec_id AS query_id, embedding AS qemb, cell AS qcell
+       |  FROM gc WHERE vec_id < 10
+       |),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY bit_count(CAST(xor(q.qcell, c.cell) AS BIGINT)),
+       |          c.cell) AS crank
+       |    FROM qc q CROSS JOIN cells c
+       |  ) WHERE crank <= 8
+       |),
+       |cand AS (
+       |  SELECT p.query_id, g.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.qemb::DOUBLE[],
+       |      g.embedding::DOUBLE[]) AS cosine
+       |  FROM probed p
+       |  JOIN gc g ON g.cell = p.cell
+       |  JOIN qc q ON q.query_id = p.query_id
+       |  WHERE g.vec_id <> p.query_id
+       |)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val simhashSql = {
     val bitSums = (0 until 16).map(b =>
       s"sum(((__h >> $b) & 1) * 2 - 1) AS s_$b").mkString(",\n    ")
@@ -739,6 +795,8 @@ object QueriesExt {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf_grid" -> annIvfGridSql,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -167,4 +167,55 @@ object Ann {
       seed: Long = 42L): DataFrame =
     searchIvf(buildIvfIndex(corpus, idCol, vecCol, nCells, seed),
       queries, idCol, vecCol, k, nProbe)
+
+  /** Sign-grid coarse quantizer cell id: bit j is set iff dimension j of
+    * the vector is positive (first `bits` dimensions; 2^bits cells).
+    * Unlike the KMeans quantizer this is data-INDEPENDENT — it ignores
+    * the corpus distribution, so the KMeans IVF stays the production
+    * default — but it is a pure integer expression both engines compute
+    * identically, which makes the whole IVF search shape (assign cells,
+    * probe the closest cells, exact re-rank inside) SQL-replayable
+    * end-to-end. */
+  def gridCell(vec: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(vec, j + 1).cast("double") > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** IVF top-k over the sign-grid quantizer: per query, probe the
+    * `nProbe` NON-EMPTY cells closest by Hamming distance to the query's
+    * own cell (ties by cell id), then exact cosine top-k among their
+    * members — the same probe-then-rerank shape as [[searchIvf]], with
+    * cell geometry that an ANSI-SQL oracle can replay exactly (the
+    * q_ann_ivf_grid row). Recall < 1 by construction, identically in
+    * both engines. */
+  def gridTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int, nProbe: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits must be in [1, 62]")
+    val corp = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"),
+        gridCell(col(vecCol), bits).as("__cell__"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"),
+        gridCell(col(vecCol), bits).as("__qcell__"))
+    // non-empty cells only (tiny: <= 2^bits rows), broadcast to rank
+    // probe order per query without touching the corpus
+    val cells = corp.select(col("__cell__")).distinct()
+    val probed = q.crossJoin(broadcast(cells))
+      .withColumn("__ham__",
+        bit_count(col("__qcell__").bitwiseXOR(col("__cell__"))))
+      .withColumn("__crank__", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__ham__").asc, col("__cell__").asc)))
+      .filter(col("__crank__") <= nProbe)
+      .select(col("query_id"), col("qv"), col("__cell__"))
+    probed.join(corp, "__cell__")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Dedup.cosineCol(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
 }

@@ -135,6 +135,30 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("grid IVF: full probe equals brute force exactly; partial probe recalls") {
+    val rng = new scala.util.Random(29)
+    val vecs = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // nProbe >= 2^bits probes every cell -> the grid path must reproduce
+    // brute force EXACTLY (ranks, ids, bit-identical cosines)
+    val full = Ann.gridTopK(queries, vecs, "vec_id", "embedding", k = 5,
+        bits = 3, nProbe = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == exact)
+    // partial probe: sub-quadratic candidate set, still decent recall
+    val part = Ann.gridTopK(queries, vecs, "vec_id", "embedding", k = 5,
+        bits = 6, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pRecall = (exact.map(t => (t._1, t._3)) intersect part).size.toDouble /
+      exact.size
+    assert(pRecall >= 0.5, s"recall $pRecall")
+  }
+
   test("IVF near-dup pairs: exact cosines, high recall vs the exact kernel") {
     val rng = new scala.util.Random(7)
     // clustered data: near-dups are perturbed copies, so cells capture them
