@@ -740,7 +740,16 @@ object Queries {
     // components, and the bootstrap SE are all closed-form SQL.
     // q_bootstrap500 stays the at-scale 500-replicate rows-only twin.
     "q_bootstrap8" -> ((s, d) => {
-      val li = Prep.withIntercept(t(s, d, "lineitem"))
+      // The 8 content-keyed draws (md5 + 20-branch Poisson CASE each) are
+      // attached BELOW Gram's own repartition guard, so on a single-file
+      // scan they would all run on ONE task. Fan out the narrow 3-column
+      // projection first — fixed count, so partition contents (and the
+      // r6d-rounded sums) are stable at any thread count; the weight
+      // values themselves are content-keyed and partition-independent.
+      val li = Prep.withIntercept(
+        t(s, d, "lineitem")
+          .select("l_extendedprice", "l_quantity", "l_linestatus")
+          .repartition(64))
       val xCols = Seq(Prep.InterceptCol, "l_quantity")
       val yCol = "l_extendedprice"
       val key = concat(

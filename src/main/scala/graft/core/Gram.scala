@@ -216,9 +216,13 @@ object Gram {
     // on ONE task no matter how many cores exist. Repartition to a FIXED
     // count — fixed, so partition contents (and therefore every FP sum)
     // are bit-identical at any thread count. Large inputs already carry
-    // enough scan partitions and skip the shuffle.
+    // enough scan partitions and skip the shuffle. NOTE: caller-attached
+    // replicate-weight EXPRESSIONS (repWeightCols) evaluate below this
+    // exchange — a caller whose weights are expensive per-row work must
+    // fan out upstream, before attaching them (see q_bootstrap8).
     val proj =
-      if (nReps >= 16 && proj0.queryExecution.toRdd.getNumPartitions < 16)
+      if ((nReps >= 16 || externalReps) &&
+          proj0.queryExecution.toRdd.getNumPartitions < 16)
         proj0.repartition(64)
       else proj0
     val repsTotal = nReps + 1
