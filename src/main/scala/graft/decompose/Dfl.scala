@@ -42,8 +42,8 @@ object Dfl {
     // the Silverman passes and the KDE pass — persist ONE narrow
     // projection (outcome, group, design), not the full source width:
     // the cache write is what you pay per row
-    val df = Prep.withIntercept(dummied)
-      .select((outcome +: group +: xCols).distinct.map(col): _*)
+    val df = Prep.fanOut(Prep.withIntercept(dummied)
+        .select((outcome +: group +: xCols).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
