@@ -1015,7 +1015,7 @@ object Queries {
   /** One Newton/IRLS logit iteration as CTEs s$k/it$k over a `pts` CTE
     * carrying x1, x2, y (extra columns tolerated) — shared by the logit
     * and DFL oracles. */
-  private def logitNewtonStep(k: Int): String = {
+  private[graft] def logitNewtonStep(k: Int): String = {
       val prev = if (k == 1) "it0" else s"it${k - 1}"
       s"""s$k AS (
          |  SELECT

@@ -337,6 +337,46 @@ object QueriesExt {
         .orderBy(col("source"))
     }),
 
+    // ---- training-sequence packing: concat-and-chunk over 4 hash
+    // shards, 64-token sequences; pure integer algebra, so the oracle
+    // match is exact (no FP rounding anywhere) ----
+    "q_seq_pack" -> ((s, d) =>
+      SeqPack.pack(t(s, d, "documents"), "doc_id", "text",
+          maxTokens = 64, numShards = 4)
+        .orderBy(col("doc_id"), col("seq"))),
+
+    // ---- corpus bigram LM perplexity (CCNet-style quality filter):
+    // add-1 smoothed bigram model trained on the corpus itself ----
+    "q_lm_perplexity" -> ((s, d) =>
+      LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          r6(col("avg_nll")).as("avg_nll"), r6(col("ppl")).as("ppl"))
+        .orderBy(col("doc_id"))),
+
+    // ---- reference-vs-rest quality classifier (GPT-3/CCNet design):
+    // pinned 5-iteration logit of P(source = src0 | quality, length),
+    // keep rule = rounded score >= rounded corpus mean (grid-aligned,
+    // so kept MEMBERSHIP is exact across engines) ----
+    "q_quality_classifier" -> ((s, d) => {
+      val qScore = TextAnalysis.qualityCols(col("text"))
+        .find(_._1 == "quality_score").get._2
+      val feats = Seq(
+        "__f_q__" -> qScore,
+        "__f_nt__" ->
+          (TextAnalysis.tokenCount(col("text")).cast("double") / 100.0))
+      val (scored, _, _) = QualityClassifier.scoreAndFilter(
+        t(s, d, "documents"), col("source") === "src0", feats,
+        maxIter = 5, tol = 0.0)
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__quality_keep__"), 1L).otherwise(0L)).as("n_kept"),
+          r6(avg(round(col("__quality_p__"), 6))).as("avg_p"),
+          expr("bit_xor(CASE WHEN __quality_keep__ THEN " +
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 14)," +
+            " 16, 10) as bigint) ELSE 0 END)").as("kept_sig"))
+        .orderBy(col("source"))
+    }),
+
     // ---- events / streaming-safe window aggregation ----
     "q_events_window" -> ((s, d) =>
       Streams.windowedEventStats(events(s, d))
@@ -598,8 +638,83 @@ object QueriesExt {
        |FROM red GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Pinned-5-iteration reference-vs-rest logit over document features
+    * (x1 = quality score, x2 = token count / 100), scored with the
+    * engine's exact probability clamp, keep rule on the 1e-6 grid. */
+  private val qualityClassifierSql = {
+    val x2 = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0"
+    s"""WITH pts AS (
+       |  SELECT doc_id, source, $qualityExpr AS x1, $x2 AS x2,
+       |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents
+       |), it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${Queries.logitNewtonStep(1)},
+       |${Queries.logitNewtonStep(2)},
+       |${Queries.logitNewtonStep(3)},
+       |${Queries.logitNewtonStep(4)},
+       |${Queries.logitNewtonStep(5)},
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    round(greatest(least(
+       |      1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))),
+       |      1.0 - 1e-10), 1e-10), 6) AS p
+       |  FROM pts CROSS JOIN it5 b
+       |), thr AS (SELECT round(avg(p), 6) AS tv FROM scored)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN p >= tv THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(avg(p), 6) AS avg_p,
+       |  bit_xor(CASE WHEN p >= tv
+       |    THEN ${h56("CAST(doc_id AS VARCHAR)")} ELSE 0 END) AS kept_sig
+       |FROM scored CROSS JOIN thr GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_clusters" -> dedupClustersSql,
+
+    "q_seq_pack" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt,
+         |    ${h56("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+         |  FROM documents
+         |), nz AS (SELECT * FROM t0 WHERE nt > 0),
+         |c AS (
+         |  SELECT *, COALESCE(sum(nt) OVER (PARTITION BY shard
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s0
+         |  FROM nz
+         |)
+         |SELECT doc_id, shard, seq,
+         |  GREATEST(seq * 64 - s0, 0) AS tok_from,
+         |  LEAST((seq + 1) * 64, s0 + nt) - s0 AS tok_to
+         |FROM c, UNNEST(generate_series(CAST(s0 // 64 AS BIGINT),
+         |  CAST((s0 + nt - 1) // 64 AS BIGINT))) AS u(seq)
+         |ORDER BY doc_id, seq""".stripMargin,
+
+    "q_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(ts) AS tok,
+        |    unnest(generate_series(1, len(ts))) AS ord
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+        |        FROM documents)
+        |), bi AS (
+        |  SELECT doc_id,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+        |    tok AS w2
+        |  FROM toks QUALIFY w1 IS NOT NULL
+        |), uni AS (SELECT tok AS w, count(*) AS cu FROM toks GROUP BY 1),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |v AS (SELECT count(*) AS vocab FROM uni)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((uni.cu + 1.0 * v.vocab) / (bc.cb + 1.0))), 6)
+        |    AS avg_nll,
+        |  round(exp(avg(ln((uni.cu + 1.0 * v.vocab) / (bc.cb + 1.0)))), 6)
+        |    AS ppl
+        |FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+        |  JOIN uni ON bi.w1 = uni.w CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quality_classifier" -> qualityClassifierSql,
 
     "q_asof" ->
       """WITH clicks AS (
