@@ -377,6 +377,20 @@ object QueriesExt {
         .orderBy(col("source"))
     }),
 
+    // ---- benchmark decontamination: a deterministic 1/47 hash slice
+    // plays the eval benchmark; corpus docs sharing any 4-token shingle
+    // with it are flagged (broadcast-join, corpus never shuffled) ----
+    "q_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val isBench = pmod(TextAnalysis.hash56(col("doc_id").cast("string")),
+        lit(47L)) === 0L
+      val bench = docs.filter(isBench)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontam.flagContaminated(docs.filter(!isBench), "doc_id", "text",
+          bench, "bench_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- events / streaming-safe window aggregation ----
     "q_events_window" -> ((s, d) =>
       Streams.windowedEventStats(events(s, d))
@@ -715,6 +729,25 @@ object QueriesExt {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_quality_classifier" -> qualityClassifierSql,
+
+    "q_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk,
+         |    ${h56("CAST(doc_id AS VARCHAR)")} % 47 = 0 AS is_bench
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, is_bench, s AS shingle FROM (
+         |    SELECT doc_id, is_bench, unnest(list_transform(range(len(tk) - 3),
+         |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS s
+         |    FROM toks WHERE len(tk) >= 4
+         |  ) WHERE s <> ''
+         |)
+         |SELECT a.doc_id, count(*) AS n_hits,
+         |  count(DISTINCT b.doc_id) AS n_bench_docs,
+         |  min(b.doc_id) AS first_bench_doc
+         |FROM sh a JOIN sh b USING (shingle)
+         |WHERE NOT a.is_bench AND b.is_bench
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof" ->
       """WITH clicks AS (

@@ -199,6 +199,66 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing windows are shard-partitioned, never global") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val packed = graft.ext.SeqPack.pack(docs, "doc_id", "text",
+      maxTokens = 64, numShards = 4)
+    packed.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      val nested = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windows(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          windows(q.plan)
+      }.flatten
+      here ++ nested
+    }
+    val ws = windows(packed.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the packing prefix-sum window")
+    ws.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"global (unpartitioned) window:\n$w"))
+  }
+
+  test("LM scoring joins on n-gram keys, never a cartesian, no UDFs") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val scored = graft.ext.LangModel.bigramScore(docs, "doc_id", "text")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"LM scoring degenerated to a non-equi join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF in plan:\n$plan")
+  }
+
+  test("quality-classifier scoring is codegen, not ScalaUDFs") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val qScore = graft.ext.TextAnalysis.qualityCols(col("text"))
+      .find(_._1 == "quality_score").get._2
+    val (scored, _, _) = graft.ext.QualityClassifier.score(
+      docs, col("source") === "src0", Seq("__f__" -> qScore),
+      maxIter = 2, tol = 0.0)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF in plan:\n$plan")
+  }
+
+  test("decontamination broadcast-joins the benchmark; corpus unshuffled") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val bench = docs.limit(5).select(col("doc_id").as("bench_id"),
+      col("text"))
+    val flags = graft.ext.Decontam.flagContaminated(docs, "doc_id", "text",
+      bench, "bench_id", "text", n = 3)
+    flags.collect()
+    val plan = flags.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side was shuffled for the join:\n$plan")
+  }
+
   test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
     // the Heckman bootstrap weight column (and anything else) must not
     // introduce a ScalaUDF codegen fence into the scan pipeline

@@ -105,6 +105,29 @@ class SeqPackLmSpec extends SparkSpec {
     assert(math.abs(got(10L) - math.log(2.0)) < 1e-12)
   }
 
+  test("decontamination: shared shingles flagged, clean corpus intact") {
+    import graft.ext.Decontam
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("bench_id", "text")
+    val corpus = Seq(
+      // shares two 3-shingles with the benchmark
+      (1L, "x alpha beta gamma delta y"),
+      // no 3-token overlap (words shared, order broken)
+      (2L, "alpha gamma beta delta epsilon x"),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val flags = Decontam.flagContaminated(corpus, "doc_id", "text",
+        bench, "bench_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 hits 'alpha beta gamma' and 'beta gamma delta' in bench 100
+    assert(flags == Map(1L -> ((2L, 1L, 100L))))
+    val clean = Decontam.removeContaminated(corpus, "doc_id", "text",
+      bench, "bench_id", "text", n = 3)
+    assert(clean.columns.toSeq == Seq("doc_id", "text"))
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 3L))
+  }
+
   test("quality classifier: signal recovered, keep rule consistent") {
     // OVERLAPPING classes (complete separation has no logit MLE):
     // reference x in [3, 7], rest x in [0, 4]
