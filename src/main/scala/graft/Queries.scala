@@ -159,25 +159,42 @@ object Queries {
           sum(col("l_quantity"))).as("wmean_price"))
         .orderBy(col("l_linestatus"))),
 
+    // P10: type-7 quantiles WITHOUT the exact `percentile` aggregate —
+    // that aggregate buffers every value of the column inside ONE task's
+    // aggregation buffer (OOM at 100 TB). The value-bucketed rank-pick
+    // (`Windows.quantilesType7Grouped`) sorts only the few buckets whose
+    // rank range is hit, never the whole column in one place.
     "q_quantile_t7" -> ((s, d) => {
       val taus = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
-      t(s, d, "lineitem")
-        .agg(expr(s"percentile(l_extendedprice, array(${taus.mkString("D,")}D))").as("qs"))
-        .select(posexplode(col("qs")).as(Seq("pos", "q")))
-        .select((col("pos") + 1).cast("int").as("idx"), r6(col("q")).as("quantile"))
-        .orderBy(col("idx"))
+      val qs = graft.core.Windows.quantilesType7Grouped(
+        t(s, d, "lineitem"), lit("_"), col("l_extendedprice"), taus)("_")._2
+      val rows = taus.zipWithIndex.map { case (tau, i) =>
+        Row(i + 1, r6d(qs(tau)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("idx", IntegerType),
+        StructField("quantile", DoubleType)))).orderBy("idx")
     }),
 
-    "q_silverman" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy(col("l_linestatus"))
-        .agg(
-          stddev_samp(col("l_extendedprice")).as("sigma"),
-          expr("percentile(l_extendedprice, 0.75D) - percentile(l_extendedprice, 0.25D)").as("iqr"),
-          count(lit(1)).as("n"))
-        .select(col("l_linestatus"),
-          r6(lit(0.9) * least(col("sigma"), col("iqr") / lit(1.34)) *
-            pow(col("n").cast("double"), lit(-0.2))).as("bandwidth"))
-        .orderBy(col("l_linestatus"))),
+    // E8 query twin: quantile_cont-convention Silverman per group via the
+    // same rank-pick (sigma and count ride the rollup as extra lanes —
+    // one scan + one pruned rank window, no per-group value buffering)
+    "q_silverman" -> ((s, d) => {
+      val stats = graft.core.Windows.quantilesType7Grouped(
+        t(s, d, "lineitem"), col("l_linestatus"), col("l_extendedprice"),
+        Seq(0.25, 0.75),
+        Seq(stddev_samp(col("l_extendedprice")), count(lit(1))))
+      val rows = stats.toSeq.sortBy(_._1).map { case (g, (_, qs, extras)) =>
+        val sigma = extras(0).asInstanceOf[Double]
+        val n = extras(1).asInstanceOf[Long]
+        val iqr = qs(0.75) - qs(0.25)
+        Row(g, r6d(0.9 * math.min(sigma, iqr / 1.34) *
+          math.pow(n.toDouble, -0.2)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("l_linestatus", StringType),
+        StructField("bandwidth", DoubleType)))).orderBy("l_linestatus")
+    }),
 
     "q_onehot_means" -> ((s, d) => {
       val (dummied, infos) = Prep.oneHot(t(s, d, "lineitem"), Seq("l_returnflag"))

@@ -80,6 +80,63 @@ object Windows {
       .getOrElse("_", Map.empty)
   }
 
+  /** Per-group R type-7 (linearly interpolated) sample quantiles at the
+    * given taus, plus caller-supplied per-group aggregate lanes, WITHOUT
+    * the exact `percentile` aggregate — that aggregate buffers every
+    * value of a group inside one task, which dies at 100 TB. Shape:
+    * ONE rollup pass (per-group n + the extra lanes; the grand-total row
+    * carries the rank-pick's bucket boundaries as a coarse
+    * `percentile_approx` lane) + ONE grouped value-bucketed rank-pick
+    * for the bracketing order statistics of every (group, tau), then
+    * driver interpolation `(hi-pos)*vLo + (pos-lo)*vHi` — identical
+    * arithmetic to Spark's `percentile` and DuckDB's `quantile_cont`.
+    * Returns per group: (non-null value count, tau -> quantile, the
+    * extra aggregate values in argument order). Groups with n == 0 are
+    * omitted; n == 1 reports the single value at every tau. */
+  def quantilesType7Grouped(df: DataFrame, group: Column, value: Column,
+      taus: Seq[Double], extraAggs: Seq[Column] = Nil)
+      : Map[String, (Long, Map[Double, Double], Seq[Any])] = {
+    require(taus.nonEmpty && taus.forall(t => t >= 0.0 && t <= 1.0),
+      "taus must be within [0, 1]")
+    // the stats pass runs over the ORIGINAL frame (extraAggs may
+    // reference any of its columns) with the group/value expressions
+    // tagged on. Counts and extras stay a pure-codegen HashAggregate —
+    // folding the rank-pick's boundary probe in as a percentile_approx
+    // lane (the Rif idiom) measured SLOWER here: the imperative sketch
+    // forces the whole aggregation onto the ObjectHashAggregate path,
+    // costing more than the dedicated approxQuantile job it saves.
+    val base = df.withColumn("__g__", group.cast("string"))
+      .withColumn("__v__", value.cast("double"))
+    val aggLanes = count(col("__v__")).as("__n__") +:
+      extraAggs.zipWithIndex.map { case (c, i) => c.as(s"__a${i}__") }
+    val rows = base.groupBy(col("__g__"))
+      .agg(aggLanes.head, aggLanes.tail: _*)
+      .collect()
+    val perGroup = rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), extraAggs.indices.map(i => r.get(2 + i))))
+      .toMap
+    val wanted = perGroup.collect { case (g, (n, _)) if n >= 1 =>
+      g -> taus.flatMap { t =>
+        val pos = (n - 1).toDouble * t
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+    }
+    val ranked = valuesAtRanksGrouped(base, col("__g__"), col("__v__"),
+      wanted)
+    perGroup.collect { case (g, (n, extras)) if n >= 1 =>
+      val vals = ranked(g)
+      val qs = taus.map { t =>
+        val pos = (n - 1).toDouble * t
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val vLo = vals(lo)
+        t -> (if (lo == hi) vLo else (hi - pos) * vLo + (pos - lo) * vals(hi))
+      }.toMap
+      g -> (n, qs, extras)
+    }
+  }
+
   /** Per-GROUP values at 0-based within-group sort ranks, for every
     * group in ONE set of passes (quantile probe, per-(group, bucket)
     * counts, pruned per-(group, bucket) window) instead of the three

@@ -117,6 +117,40 @@ class QuantileSpec extends SparkSpec {
     assert(got3 == got)
   }
 
+  test("quantilesType7Grouped matches the exact percentile aggregate + extra lanes") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 4000).map(i => (s"g${i % 3}", rng.nextDouble() * 100))
+    val df = rows.toDF("g", "v")
+    val taus = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = graft.core.Windows.quantilesType7Grouped(df, col("g"), col("v"),
+      taus, Seq(stddev_samp(col("v")), count(lit(1))))
+    // reference: Spark's exact percentile (single-task, fine in a test)
+    val want = df.groupBy(col("g"))
+      .agg(expr(s"percentile(v, array(${taus.mkString("D,")}D))").as("qs"),
+        stddev_samp(col("v")).as("sd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, (qs, sd, n)) =>
+      val (gn, gq, extras) = got(g)
+      assert(gn == n)
+      assert(extras(1) == n)
+      assert(math.abs(extras(0).asInstanceOf[Double] - sd) < 1e-9)
+      taus.zip(qs).foreach { case (t, q) =>
+        assert(math.abs(gq(t) - q) < 1e-9, s"$g tau=$t: ${gq(t)} vs $q")
+      }
+    }
+    // single-value group: every tau reports the value; n == 0 (all-null)
+    // groups are omitted
+    val tiny = Seq(("a", Some(7.0)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val gt = graft.core.Windows.quantilesType7Grouped(tiny, col("g"),
+      col("v"), Seq(0.0, 0.5, 1.0))
+    assert(gt.keySet == Set("a"))
+    assert(gt("a")._2.values.toSet == Set(7.0))
+  }
+
   test("KDE on grid matches a hand-computed density (kde.rs)") {
     val df = Seq(1.0, 2.0, 3.0).toDF("v")
     val grid = Array(2.0)
