@@ -2,8 +2,9 @@ package graft
 
 import graft.ext._
 import graft.streaming.Streams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 
 /** Driver-checked queries for the LLM-data-pipeline extension operators
   * (dedup, similarity search, text analysis, multimodal, events).
@@ -199,6 +200,34 @@ object QueriesExt {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           r6(col("cosine")).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- PCA over embeddings: the d-dim mean + d x d covariance is ONE
+    // treeAggregate pass, the eigen-solve is driver-side power iteration
+    // (d never grows with the data), and the projection is a codegen
+    // zip_with/aggregate expression. Pinned 3 rounds from v0 = 1/sqrt(d)
+    // so the whole fixpoint replays as SQL; the production fit (more
+    // iterations, k > 1 deflation, whitening) is the same pass + driver
+    // algebra, covered by EmbeddingsSpec. ----
+    "q_pca_power3" -> ((s, d) => {
+      val m = Embeddings.fitPca(t(s, d, "embeddings"), "embedding",
+        k = 1, iters = 3)
+      val rows = m.components(0).toSeq.zipWithIndex.map { case (v, i) =>
+        Row(i + 1, Queries.r6d(v), Queries.r6d(m.eigenvalues(0)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("idx", IntegerType),
+          StructField("component", DoubleType),
+          StructField("eigval", DoubleType)))).orderBy("idx")
+    }),
+
+    "q_pca_project" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val m = Embeddings.fitPca(emb, "embedding", k = 1, iters = 3)
+      Embeddings.project(emb.filter(col("vec_id") < 20), m, "embedding")
+        .select(col("vec_id"), r6(col("pc_0")).as("pc0"))
+        .orderBy(col("vec_id"))
     }),
 
     // ---- multimodal: REAL image decode (javax.imageio; rows-only —
@@ -517,6 +546,57 @@ object QueriesExt {
        |  ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** `Embeddings.fitPca(k = 1, iters = 3)` replayed verbatim: population
+    * covariance of the 64-dim embeddings via a lateral range expansion,
+    * then the pinned power iteration — same v0 = 1/sqrt(64), same
+    * per-round normalization, same final Rayleigh quotient. */
+  private val pcaCte = {
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (
+         |  SELECT cov.i, sum(cov.c * $prev.v) AS w
+         |  FROM cov JOIN $prev ON $prev.i = cov.j GROUP BY cov.i
+         |), v$k AS (
+         |  SELECT i, w / sqrt((SELECT sum(w * w) FROM w$k)) AS v FROM w$k
+         |)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+       |    embedding[t.i]::DOUBLE AS x
+       |  FROM embeddings, range(1, 65) t(i)
+       |),
+       |mu AS (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+       |m2 AS (
+       |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) / count(*) AS m2
+       |  FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i
+       |),
+       |cov AS (
+       |  SELECT m2.i, m2.j, m2.m2 - ma.mu * mb.mu AS c
+       |  FROM m2 JOIN mu ma ON ma.i = m2.i JOIN mu mb ON mb.i = m2.j
+       |),
+       |v0 AS (SELECT i, 1.0 / sqrt(64.0) AS v FROM mu),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
+  private val pcaPower3Sql =
+    s"""$pcaCte,
+       |lam AS (
+       |  SELECT sum(va.v * cov.c * vb.v) AS l
+       |  FROM cov JOIN v3 va ON va.i = cov.i JOIN v3 vb ON vb.i = cov.j
+       |)
+       |SELECT i AS idx, round(v, 6) + 0.0 AS component,
+       |  round((SELECT l FROM lam), 6) + 0.0 AS eigval
+       |FROM v3 ORDER BY idx""".stripMargin
+
+  private val pcaProjectSql =
+    s"""$pcaCte
+       |SELECT e.vec_id, round(sum((e.x - mu.mu) * v3.v), 6) + 0.0 AS pc0
+       |FROM e JOIN mu ON mu.i = e.i JOIN v3 ON v3.i = e.i
+       |WHERE e.vec_id < 20
+       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
 
   private val simhashSql = {
     val bitSums = (0 until 16).map(b =>
@@ -945,6 +1025,10 @@ object QueriesExt {
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_ivf_grid" -> annIvfGridSql,
+
+    "q_pca_power3" -> pcaPower3Sql,
+
+    "q_pca_project" -> pcaProjectSql,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

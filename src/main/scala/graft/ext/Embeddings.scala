@@ -43,7 +43,11 @@ object Embeddings {
     val eigs = Array.ofDim[Double](k)
     var c = 0
     while (c < k) {
-      val (v, lambda) = powerIterate(work, iters)
+      // deflation pulls the iterate toward the next eigenpair; the
+      // per-step Gram-Schmidt re-orthogonalization guarantees exact
+      // mutual orthogonality even when a flat spectrum leaves the
+      // iterate short of full convergence
+      val (v, lambda) = powerIterate(work, iters, comps.take(c))
       comps(c) = v
       eigs(c) = lambda
       // deflate: C -= lambda * v v^T
@@ -113,15 +117,23 @@ object Embeddings {
   }
 
   /** Dominant eigenpair of a symmetric matrix by `iters` pinned power
-    * iterations from v0 = 1/sqrt(d); eigenvalue is the final Rayleigh
-    * quotient v^T C v (norm(v) == 1 after the last normalization). */
-  private[ext] def powerIterate(m: Array[Array[Double]], iters: Int)
-      : (Array[Double], Double) = {
+    * iterations from v0 = 1/sqrt(d), each step Gram-Schmidt-projected
+    * off `ortho`; eigenvalue is the final Rayleigh quotient v^T C v
+    * (norm(v) == 1 after the last normalization). */
+  private[ext] def powerIterate(m: Array[Array[Double]], iters: Int,
+      ortho: Array[Array[Double]] = Array.empty): (Array[Double], Double) = {
     val d = m.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var it = 0
     while (it < iters) {
       val w = matVec(m, v)
+      ortho.foreach { q =>
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += w(i) * q(i); i += 1 }
+        i = 0
+        while (i < d) { w(i) -= dot * q(i); i += 1 }
+      }
       val nrm = math.sqrt(w.map(x => x * x).sum)
       // a (near-)zero image means v is in the null space — keep v, the
       // Rayleigh quotient below reports the (near-)zero eigenvalue

@@ -259,6 +259,20 @@ class PlanSpec extends SparkSpec {
       s"corpus side was shuffled for the join:\n$plan")
   }
 
+  test("PCA projection is a codegen expression over a pruned scan") {
+    val emb = spark.read.parquet(sf("sf0.01/embeddings.parquet"))
+    val m = graft.ext.Embeddings.fitPca(emb, "embedding", k = 1, iters = 3)
+    val proj = graft.ext.Embeddings.project(emb, m, "embedding")
+      .select(col("vec_id"), col("pc_0"))
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF in plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"projection is per-row, must not shuffle:\n$plan")
+    val leaves = scanSchema(proj)
+    assert(leaves.contains("embedding") && !leaves.contains("label"),
+      s"scan reads pruned columns:\n$leaves")
+  }
+
   test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
     // the Heckman bootstrap weight column (and anything else) must not
     // introduce a ScalaUDF codegen fence into the scan pipeline
