@@ -230,6 +230,17 @@ object QueriesExt {
         .orderBy(col("vec_id"))
     }),
 
+    // data-independent JL sign projection (hash56-derived +-1 matrix —
+    // no fit pass; the dimension-reduction step BEFORE ANN/near-dup
+    // when the ambient dim is large). Pure codegen, fully SQL-replayable.
+    "q_jl_project" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 20)
+      val out = Embeddings.jlProject(emb, "embedding", k = 8, seed = 42L)
+      out.select(col("vec_id") +:
+          (0 until 8).map(j => r6(col(s"jl_$j")).as(s"jl_$j")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio; rows-only —
     // no SQL engine can replay a PNG codec). Payloads are deterministic
     // doc-derived PNGs (the environment ships no image corpus), so the
@@ -597,6 +608,32 @@ object QueriesExt {
        |FROM e JOIN mu ON mu.i = e.i JOIN v3 ON v3.i = e.i
        |WHERE e.vec_id < 20
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+
+  /** `Embeddings.jlProject(k = 8, seed = 42)` replayed: the +-1 matrix
+    * regenerates from md5('jl:42:j:i') exactly as jlSignMatrix builds
+    * it, and the scale multiplies by (1.0 / sqrt(8)) — the same
+    * precomputed-reciprocal arithmetic as the Spark expression. */
+  private val jlProjectSql = {
+    val lanes = (0 until 8).map(j =>
+      s"round(sum(CASE WHEN s.j = $j THEN e.x * s.sgn END)" +
+        s" * (1.0 / sqrt(8.0)), 6) + 0.0 AS jl_$j").mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+       |    embedding[t.i]::DOUBLE AS x
+       |  FROM embeddings, range(1, 65) t(i)
+       |  WHERE vec_id < 20
+       |),
+       |s AS (
+       |  SELECT CAST(t.i AS INTEGER) AS i, CAST(u.j AS INTEGER) AS j,
+       |    CASE WHEN ${h56(s"'jl:42:' || u.j || ':' || (t.i - 1)")} % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM range(1, 65) t(i), range(0, 8) u(j)
+       |)
+       |SELECT e.vec_id,
+       |  $lanes
+       |FROM e JOIN s ON s.i = e.i
+       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+  }
 
   private val simhashSql = {
     val bitSums = (0 until 16).map(b =>
@@ -1029,6 +1066,8 @@ object QueriesExt {
     "q_pca_power3" -> pcaPower3Sql,
 
     "q_pca_project" -> pcaProjectSql,
+
+    "q_jl_project" -> jlProjectSql,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

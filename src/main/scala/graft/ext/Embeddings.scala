@@ -187,4 +187,38 @@ object Embeddings {
         projectionCol(model, col(vecCol), c) /
           lit(math.sqrt(model.eigenvalues(c) + eps)))
     }
+
+  /** Johnson-Lindenstrauss sign matrix: s_{j,i} = +-1 from the engine-
+    * portable 56-bit content hash of "jl:seed:j:i" (i = 0-based feature
+    * index, j = 0-based output dim) — the same md5-prefix family as
+    * [[TextAnalysis.hash56]], so an SQL oracle regenerates the identical
+    * matrix. Data-independent: no fit pass at all. */
+  def jlSignMatrix(d: Int, k: Int, seed: Long): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, d) { (j, i) =>
+      val hex = md.digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.take(14), 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Data-independent Johnson-Lindenstrauss projection to k dims:
+    * y_j = (sum_i x_i * s_{j,i}) / sqrt(k). The cheap distance-
+    * preserving reduction to run BEFORE the quadratic-ish similarity
+    * stages (ANN cells, near-dup verify) when the ambient dimension is
+    * large — pure codegen expressions over a literal sign matrix, no
+    * shuffle, no fit pass, reproducible on any partitioning. */
+  def jlProject(df: DataFrame, vecCol: String, k: Int, seed: Long,
+      outPrefix: String = "jl"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    val signs = jlSignMatrix(d, k, seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    (0 until k).foldLeft(df) { (acc, j) =>
+      val s = array(signs(j).map(lit): _*)
+      acc.withColumn(s"${outPrefix}_$j",
+        aggregate(zip_with(col(vecCol), s, (x, w) => x.cast("double") * w),
+          lit(0.0), (a, y) => a + y) * lit(scale))
+    }
+  }
 }

@@ -85,6 +85,45 @@ class EmbeddingsSpec extends SparkSpec {
     assert(a.n == b.n && a.n == 500)
   }
 
+  test("JL sign projection roughly preserves pairwise distances, deterministically") {
+    val emb = spark.read.parquet(sf("sf0.01/embeddings.parquet"))
+      .filter(col("vec_id") < 60)
+    val k = 16
+    val out = Embeddings.jlProject(emb, "embedding", k = k, seed = 42L)
+      .select(col("vec_id") +:
+        (0 until k).map(j => col(s"jl_$j")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 until k + 1).map(r.getDouble).toArray).toMap
+    val orig = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL with k=16 preserves squared distances in expectation; check the
+    // AVERAGE distortion over many pairs is near 1 (per-pair spread is
+    // wide at small k — that's inherent, not a bug)
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+      da = d2(orig(a), orig(b)) if da > 1e-12
+    } yield d2(out(a), out(b)) / da
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.7 && meanRatio < 1.3, s"mean distortion $meanRatio")
+    // deterministic: same seed twice, any partitioning
+    val again = Embeddings.jlProject(emb.repartition(7), "embedding",
+        k = k, seed = 42L)
+      .select(col("vec_id") +: (0 until k).map(j => col(s"jl_$j")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 until k + 1).map(r.getDouble).toArray).toMap
+    ids.foreach { id =>
+      assert(out(id).toSeq == again(id).toSeq, s"vec $id differs")
+    }
+    // a different seed gives a different matrix
+    val m1 = Embeddings.jlSignMatrix(64, 4, 42L)
+    val m2 = Embeddings.jlSignMatrix(64, 4, 43L)
+    assert(m1.flatten.toSeq != m2.flatten.toSeq)
+  }
+
   test("ragged embedding dimensions are a hard error") {
     val df = vecDf(Seq(Array(1f, 2f), Array(1f, 2f, 3f)))
     val e = intercept[Exception] {
