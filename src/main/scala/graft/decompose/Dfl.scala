@@ -42,8 +42,8 @@ object Dfl {
     // the Silverman passes and the KDE pass — persist ONE narrow
     // projection (outcome, group, design), not the full source width:
     // the cache write is what you pay per row
-    val df = Prep.fanOut(Prep.withIntercept(dummied)
-        .select((outcome +: group +: xCols).distinct.map(col): _*))
+    val df = Prep.withIntercept(dummied)
+      .select((outcome +: group +: xCols).distinct.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
@@ -86,7 +86,12 @@ object Dfl {
     val isA = g === lit(levelA)
     val isB = g === lit(reference)
     val psi = (p / (lit(1.0) - p)) * lit(ratioMarginal)
-    val dens = Kde.onGridMulti(df, outcome,
+    // fan out ONLY the KDE input: the grid pass is ~200 exp calls per
+    // row (single-task death on a 1-partition cache), while the same
+    // persisted frame also feeds ~30 cheap IRLS Gram scans that a
+    // 64-partition fan-out measurably slows (task-launch overhead per
+    // iteration) — so the shuffle happens once, here, not on the cache
+    val dens = Kde.onGridMulti(Prep.fanOut(df), outcome,
       Seq(when(isA, 1.0).otherwise(0.0),
         when(isB, 1.0).otherwise(0.0),
         when(isB, psi).otherwise(0.0)),
