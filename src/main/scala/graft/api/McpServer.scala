@@ -331,13 +331,20 @@ object McpServer {
       .config("spark.ui.enabled", "false")
       .appName("graft-mcp").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // stdio mode rate-limits by BLOCKING until a token frees up, like
+    // the reference (`meridian-mcp/src/main.rs:193-211`, default 60/min)
+    val bucket = new McpHttp.TokenBucket(
+      sys.env.getOrElse("SPARK_GRAFT_MCP_RATE_PER_MIN", "60").toInt)
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(System.in, "UTF-8"))
     Iterator.continually(in.readLine()).takeWhile(_ != null)
       .filter(_.trim.nonEmpty)
-      .foreach(l => handle(spark, l).foreach { resp =>
-        println(resp); Console.out.flush()
-      })
+      .foreach { l =>
+        bucket.acquireBlocking()
+        handle(spark, l).foreach { resp =>
+          println(resp); Console.out.flush()
+        }
+      }
     spark.stop()
   }
 }
