@@ -95,6 +95,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("distributed type-7 quantiles equal the exact percentile aggregate, any ties/skew") {
+    import org.apache.spark.sql.functions._
+    (1 to 4).foreach { trial =>
+      val rng = new scala.util.Random(trial * 15485863L)
+      val nGroups = 1 + rng.nextInt(4)
+      val rows = (0 until 500 + rng.nextInt(1500)).map { _ =>
+        val g = s"g${rng.nextInt(nGroups)}"
+        // heavy ties (quantized), occasional extreme magnitudes
+        val v = if (rng.nextInt(10) == 0) rng.nextDouble() * 1e7
+          else math.floor(rng.nextDouble() * 40) / 4.0
+        (g, v)
+      }
+      val df = rows.toDF("g", "v")
+      val taus = Seq(0.01, 0.25, 0.5, 0.9, 0.99)
+      val got = graft.core.Windows.quantilesType7Grouped(
+        df, col("g"), col("v"), taus)
+      val want = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, array(${taus.mkString("D,")}D))").as("qs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet == want.keySet, s"trial $trial")
+      want.foreach { case (g, qs) =>
+        taus.zip(qs).foreach { case (t, q) =>
+          val rel = math.max(1.0, math.abs(q))
+          assert(math.abs(got(g)._2(t) - q) / rel < 1e-12,
+            s"trial $trial $g tau=$t: ${got(g)._2(t)} vs $q")
+        }
+      }
+    }
+  }
+
+  test("JL projection is linear: scaling and adding inputs scales and adds outputs") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(31L)
+    val d = 24
+    def vec() = Array.fill(d)((rng.nextGaussian()).toFloat)
+    val a = vec(); val b = vec()
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val scaled = a.map(x => 2.5f * x)
+    val df = Seq((0L, a), (1L, b), (2L, sum), (3L, scaled))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Embeddings.jlProject(df, "embedding", k = 6, seed = 9L)
+      .select(col("vec_id") +: (0 until 6).map(j => col(s"jl_$j")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(r.getDouble).toArray).toMap
+    (0 until 6).foreach { j =>
+      assert(math.abs(out(2L)(j) - (out(0L)(j) + out(1L)(j))) < 1e-5)
+      assert(math.abs(out(3L)(j) - 2.5 * out(0L)(j)) < 1e-5)
+    }
+  }
+
   test("explained + unexplained == total and three-fold sums to total, any data, all policies") {
     (1 to 8).foreach { trial =>
       val rows = datasetGen(Gen.Parameters.default, Seed(trial.toLong)).get
