@@ -4,7 +4,7 @@ import graft.ext._
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Driver-checked queries for the LLM-data-pipeline extension operators
   * (dedup, similarity search, text analysis, multimodal, events).
@@ -239,6 +239,33 @@ object QueriesExt {
       out.select(col("vec_id") +:
           (0 until 8).map(j => r6(col(s"jl_$j")).as(s"jl_$j")): _*)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- mergeable count-min sketch: per-partition depth x width count
+    // grids fold up a treeAggregate (the corpus never shuffles; the
+    // driver holds O(depth*width) no matter the corpus size). Exact
+    // oracle: Kirsch-Mitzenmacher buckets from hash56 regenerate the
+    // identical grid in SQL. Output: the 15 most frequent tokens with
+    // exact counts AND sketch estimates (estimates can only overcount).
+    "q_countmin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cm = Sketches.countMinTokens(docs, "text",
+        depth = 4, width = 512, seed = 7L)
+      val top = docs
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok"))
+        .limit(15)
+        .collect()
+      val rows = top.map(r => Row(r.getString(0), r.getLong(1),
+        cm.estimate(r.getString(0)))).toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("token", StringType),
+          StructField("n_exact", LongType),
+          StructField("n_est", LongType))))
+        .orderBy(col("n_exact").desc, col("token"))
     }),
 
     // ---- multimodal: REAL image decode (javax.imageio; rows-only —
@@ -633,6 +660,38 @@ object QueriesExt {
        |  $lanes
        |FROM e JOIN s ON s.i = e.i
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** `Sketches.countMinTokens(depth=4, width=512, seed=7)` replayed:
+    * same tokenization, same md5-derived Kirsch-Mitzenmacher buckets,
+    * grid cells rebuilt by a (occurrence x depth-row) GROUP BY, the
+    * estimate as the min over the 4 bucketed cells. */
+  private val countMinSql = {
+    val h = h56("'cm:7:' || tok")
+    s"""WITH occ AS (
+       |  SELECT tok, $h % 268435456 AS h1, $h // 268435456 AS h2
+       |  FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+       |    FROM documents
+       |  ) WHERE tok <> ''
+       |),
+       |cells AS (
+       |  SELECT r.r, (h1 + r.r * h2) % 512 AS b, count(*) AS c
+       |  FROM occ, range(0, 4) r(r)
+       |  GROUP BY 1, 2
+       |),
+       |top AS (
+       |  SELECT tok, count(*) AS n_exact FROM occ
+       |  GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 15
+       |),
+       |keys AS (SELECT DISTINCT tok, h1, h2 FROM occ)
+       |SELECT t.tok AS token, t.n_exact, min(c.c) AS n_est
+       |FROM top t
+       |JOIN keys k ON k.tok = t.tok
+       |CROSS JOIN range(0, 4) r(r)
+       |JOIN cells c ON c.r = r.r AND c.b = (k.h1 + r.r * k.h2) % 512
+       |GROUP BY 1, 2
+       |ORDER BY n_exact DESC, token""".stripMargin
   }
 
   private val simhashSql = {
@@ -1068,6 +1127,8 @@ object QueriesExt {
     "q_pca_project" -> pcaProjectSql,
 
     "q_jl_project" -> jlProjectSql,
+
+    "q_countmin" -> countMinSql,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Mergeable frequency sketches — the approximate-aggregation pattern
+  * for corpora where exact per-token state is too big: each partition
+  * folds its rows into a fixed depth x width count grid, grids add
+  * elementwise up the treeAggregate combiner, and the driver holds one
+  * O(depth * width) result no matter the corpus size. Estimates
+  * overcount only (min over depth rows), never undercount.
+  *
+  * Bucket indices derive from the engine-portable 56-bit md5 hash via
+  * the Kirsch-Mitzenmacher construction (bucket_r = (h1 + r h2) mod w,
+  * h1/h2 the low/high 28 bits), so a SQL oracle regenerates the exact
+  * grid — the q_countmin query pins cells AND estimates against DuckDB.
+  *
+  * Heavy-hitter candidates at scale come from the sharded two-phase
+  * exact top-k ([[Sampling.topKPerStratum]]); the sketch then serves
+  * point frequency estimates without a second corpus pass.
+  */
+object Sketches {
+
+  /** Count-min sketch over string items. `cells(r)(b)` is the number of
+    * item occurrences whose r-th bucket is b; `total` is the occurrence
+    * count (= sum of any row). */
+  final case class CountMin(depth: Int, width: Int, seed: Long,
+      total: Long, cells: Array[Array[Long]]) {
+
+    def estimate(item: String): Long = {
+      val (h1, h2) = CountMin.split(CountMin.hash56(seed, item))
+      (0 until depth).map(r => cells(r)(((h1 + r * h2) % width).toInt)).min
+    }
+
+    /** Sketches over disjoint corpus parts add exactly — the property
+      * that makes the structure shard-friendly at any scale. */
+    def merge(other: CountMin): CountMin = {
+      require(depth == other.depth && width == other.width &&
+        seed == other.seed, "sketch shapes/seeds differ")
+      val out = Array.tabulate(depth, width)((r, b) =>
+        cells(r)(b) + other.cells(r)(b))
+      CountMin(depth, width, seed, total + other.total, out)
+    }
+  }
+
+  object CountMin {
+    /** JVM twin of the SQL hash56: first 14 hex chars of md5 as a long,
+      * domain-separated per sketch seed. */
+    private[ext] def hash56(seed: Long, item: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cm:$seed:$item".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    private[ext] def split(h: Long): (Long, Long) =
+      (h % 268435456L, h >>> 28) // low / high 28 bits
+  }
+
+  /** Build a count-min sketch of whitespace tokens of `textCol` in ONE
+    * treeAggregate pass (the corpus never shuffles; partial grids merge
+    * pairwise). The input fans out first: token hashing is heavy
+    * per-row work and a single-file scan would otherwise run it on one
+    * task. */
+  def countMinTokens(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 512, seed: Long = 7L): CountMin = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    val toks = graft.prep.Prep.fanOut(
+      df.select(F.split(F.col(textCol), "\\s+").as("__toks__")))
+    val zero = new Array[Long](depth * width + 1) // grid ++ total
+    val acc = toks.rdd.treeAggregate(zero)(
+      seqOp = (buf, row) => {
+        val ts = row.getSeq[String](0)
+        var i = 0
+        while (i < ts.length) {
+          val t = ts(i)
+          if (t.nonEmpty) {
+            val (h1, h2) = CountMin.split(CountMin.hash56(seed, t))
+            var r = 0
+            while (r < depth) {
+              buf(r * width + ((h1 + r * h2) % width).toInt) += 1L
+              r += 1
+            }
+            buf(depth * width) += 1L
+          }
+          i += 1
+        }
+        buf
+      },
+      combOp = (a, b) => {
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      },
+      depth = 2)
+    CountMin(depth, width, seed, acc(depth * width),
+      Array.tabulate(depth, width)((r, b) => acc(r * width + b)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ext.Sketches
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: overcount-only estimates, exact mergeability over
+  * corpus shards, partition-independence, and the wide-grid exactness
+  * that makes the q_countmin oracle's estimates meaningful. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(seed: Long, n: Int) = {
+    val rng = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    (0 until n).map { i =>
+      (i.toLong, Seq.fill(3 + rng.nextInt(20))(
+        vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("estimates never undercount; wide grids are exact; totals add up") {
+    val df = corpus(3L, 300)
+    val exact = df.select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") =!= "").groupBy(col("t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val narrow = Sketches.countMinTokens(df, "text", depth = 3, width = 8)
+    exact.foreach { case (t, n) =>
+      assert(narrow.estimate(t) >= n, s"undercount for $t")
+    }
+    assert(narrow.total == exact.values.sum)
+    assert(narrow.cells.forall(_.sum == narrow.total))
+    // 10-token vocabulary in a 4096-wide grid: an all-rows collision
+    // would need the same partner in every row — estimates are exact
+    val wide = Sketches.countMinTokens(df, "text", depth = 4, width = 4096)
+    exact.foreach { case (t, n) => assert(wide.estimate(t) == n) }
+  }
+
+  test("sketches over disjoint shards merge to the whole-corpus sketch") {
+    val df = corpus(11L, 400)
+    val a = df.filter(col("doc_id") < 150)
+    val b = df.filter(col("doc_id") >= 150)
+    val whole = Sketches.countMinTokens(df, "text")
+    val merged = Sketches.countMinTokens(a, "text")
+      .merge(Sketches.countMinTokens(b, "text"))
+    assert(merged.total == whole.total)
+    (0 until whole.depth).foreach { r =>
+      assert(merged.cells(r).toSeq == whole.cells(r).toSeq, s"row $r")
+    }
+    // shape/seed mismatches refuse to merge
+    val other = Sketches.countMinTokens(df, "text", seed = 9L)
+    intercept[IllegalArgumentException] { whole.merge(other) }
+  }
+
+  test("the grid is identical on any partitioning (integer counts commute)") {
+    val df = corpus(29L, 250)
+    val one = Sketches.countMinTokens(df, "text")
+    val many = Sketches.countMinTokens(df.repartition(13), "text")
+    (0 until one.depth).foreach { r =>
+      assert(one.cells(r).toSeq == many.cells(r).toSeq)
+    }
+  }
+}
