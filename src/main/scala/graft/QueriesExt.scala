@@ -268,6 +268,30 @@ object QueriesExt {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
+    // linear-counting distinct-cardinality sketch, all language groups
+    // in one bitmap-lane treeAggregate; output pins occupied bits, the
+    // collision-corrected estimate AND the exact distinct count
+    "q_distinct_sketch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val counters = Sketches.linearCountTokens(docs, "text", "lang",
+        m = 4096, seed = 7L)
+      val exact = docs
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_exact"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = counters.toSeq.sortBy(_._1).map { case (lang, c) =>
+        Row(lang, c.occupied.toLong, Queries.r6d(c.estimate), exact(lang))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("lang", StringType),
+          StructField("occupied", LongType),
+          StructField("n_est", DoubleType),
+          StructField("n_exact", LongType)))).orderBy("lang")
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio; rows-only —
     // no SQL engine can replay a PNG codec). Payloads are deterministic
     // doc-derived PNGs (the environment ships no image corpus), so the
@@ -1129,6 +1153,22 @@ object QueriesExt {
     "q_jl_project" -> jlProjectSql,
 
     "q_countmin" -> countMinSql,
+
+    // linear counting: occupied = distinct occupied buckets; estimate
+    // m ln(m/empty) (ln agrees across engines well inside 6 decimals)
+    "q_distinct_sketch" ->
+      s"""WITH occ AS (
+         |  SELECT lang, tok, ${h56("'lc:7:' || tok")} % 4096 AS b
+         |  FROM (
+         |    SELECT lang, unnest(string_split_regex(text, '\\s+')) AS tok
+         |    FROM documents
+         |  ) WHERE tok <> ''
+         |)
+         |SELECT lang,
+         |  count(DISTINCT b) AS occupied,
+         |  round(4096 * ln(4096.0 / (4096 - count(DISTINCT b))), 6) AS n_est,
+         |  count(DISTINCT tok) AS n_exact
+         |FROM occ GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -55,6 +55,77 @@ object Sketches {
       (h % 268435456L, h >>> 28) // low / high 28 bits
   }
 
+  /** Linear-counting distinct-cardinality sketch: an m-bit bitmap with
+    * bit (hash56 mod m) set per occurrence; the estimate
+    * m ln(m / empty_bits) corrects for hash collisions. Mergeable by
+    * bitwise OR — shard bitmaps combine exactly, like [[CountMin]]
+    * grids. Size the bitmap well above the expected cardinality
+    * (load factors past ~12 saturate; [[estimate]] errors at 100%). */
+  final case class LinearCounter(m: Int, seed: Long, bits: Array[Long]) {
+    def occupied: Int = bits.map(java.lang.Long.bitCount).sum
+    def estimate: Double = {
+      val empty = m - occupied
+      require(empty > 0,
+        s"bitmap saturated ($m bits all set) — grow m past the cardinality")
+      m * math.log(m.toDouble / empty)
+    }
+    def merge(other: LinearCounter): LinearCounter = {
+      require(m == other.m && seed == other.seed, "sketch shapes/seeds differ")
+      LinearCounter(m, seed,
+        bits.zip(other.bits).map { case (a, b) => a | b })
+    }
+  }
+
+  private[ext] def lcHash(seed: Long, item: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"lc:$seed:$item".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(14), 16)
+  }
+
+  /** Per-group linear counters over whitespace tokens, ALL groups in
+    * ONE treeAggregate pass (per-group bitmap lanes — the GroupedOls
+    * pattern): a tiny distinct-levels job, then one scan folding each
+    * partition's (group, token) stream into |groups| bitmaps of m bits.
+    * Null groups are skipped. */
+  def linearCountTokens(df: DataFrame, textCol: String, groupCol: String,
+      m: Int = 4096, seed: Long = 7L): Map[String, LinearCounter] = {
+    require(m >= 64 && m % 64 == 0, "m must be a positive multiple of 64")
+    val levels = df.select(F.col(groupCol).cast("string"))
+      .na.drop().distinct().collect().map(_.getString(0)).sorted
+    val idx = levels.zipWithIndex.toMap
+    val words = m / 64
+    val toks = graft.prep.Prep.fanOut(
+      df.select(F.col(groupCol).cast("string"),
+        F.split(F.col(textCol), "\\s+").as("__toks__")))
+    val zero = new Array[Long](levels.length * words)
+    val acc = toks.rdd.treeAggregate(zero)(
+      seqOp = (buf, row) => {
+        if (!row.isNullAt(0)) {
+          val base = idx(row.getString(0)) * words
+          val ts = row.getSeq[String](1)
+          var i = 0
+          while (i < ts.length) {
+            val t = ts(i)
+            if (t.nonEmpty) {
+              val b = (lcHash(seed, t) % m).toInt
+              buf(base + (b >> 6)) |= 1L << (b & 63)
+            }
+            i += 1
+          }
+        }
+        buf
+      },
+      combOp = (a, b) => {
+        var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+      },
+      depth = 2)
+    levels.map { l =>
+      l -> LinearCounter(m, seed,
+        acc.slice(idx(l) * words, (idx(l) + 1) * words))
+    }.toMap
+  }
+
   /** Build a count-min sketch of whitespace tokens of `textCol` in ONE
     * treeAggregate pass (the corpus never shuffles; partial grids merge
     * pairwise). The input fans out first: token hashing is heavy

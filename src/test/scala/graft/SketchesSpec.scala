@@ -52,6 +52,45 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { whole.merge(other) }
   }
 
+  test("linear counter: estimate tracks exact cardinality; OR-merge; saturation errors") {
+    val rng = new scala.util.Random(41L)
+    val vocabA = (0 until 150).map(i => s"worda$i")
+    val vocabB = (0 until 150).map(i => s"wordb$i")
+    val df = (0 until 400).map { i =>
+      val vocab = if (i % 2 == 0) vocabA else vocabB
+      (i.toLong, if (i % 2 == 0) "A" else "B",
+        Seq.fill(12)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "g", "text")
+    val counters = Sketches.linearCountTokens(df, "text", "g", m = 4096)
+    val exact = df.select(col("g"),
+        explode(split(col("text"), "\\s+")).as("t"))
+      .groupBy(col("g")).agg(countDistinct(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      val est = counters(g).estimate
+      // load factor ~150/4096: linear counting is accurate to a few %
+      assert(math.abs(est - n) / n < 0.05, s"$g: est $est vs exact $n")
+      assert(counters(g).occupied <= n)
+    }
+    // partition-invariance (bitwise OR commutes)
+    val again = Sketches.linearCountTokens(df.repartition(9), "text", "g",
+      m = 4096)
+    counters.foreach { case (g, c) =>
+      assert(c.bits.toSeq == again(g).bits.toSeq)
+    }
+    // disjoint-shard OR-merge reproduces the whole-corpus bitmap: group
+    // "A" docs split across two frames
+    val a1 = df.filter(col("g") === "A" && col("doc_id") < 200)
+    val a2 = df.filter(col("g") === "A" && col("doc_id") >= 200)
+    val merged = Sketches.linearCountTokens(a1, "text", "g")("A")
+      .merge(Sketches.linearCountTokens(a2, "text", "g")("A"))
+    assert(merged.bits.toSeq ==
+      Sketches.linearCountTokens(df.filter(col("g") === "A"), "text", "g")("A").bits.toSeq)
+    // saturation: a fully-set bitmap has no empty bits to correct from
+    val full = Sketches.LinearCounter(64, 7L, Array(-1L))
+    intercept[IllegalArgumentException] { full.estimate }
+  }
+
   test("the grid is identical on any partitioning (integer counts commute)") {
     val df = corpus(29L, 250)
     val one = Sketches.countMinTokens(df, "text")
