@@ -45,7 +45,10 @@ object McpHttp {
       ratePerMin: Int = 60, maxBodyBytes: Int = 2 * 1024 * 1024,
       sseHoldMs: Long = 60000L, sseKeepAliveMs: Long = 15000L) {
     require(apiKey.nonEmpty, "API key is required for the HTTP transport")
-    private val sessions = new ConcurrentHashMap[String, Long]()
+    // values must be REFERENCE longs: with a Scala primitive value type
+    // remove()'s absent-key null unboxes to 0 and the 404 branch below
+    // could never fire
+    private val sessions = new ConcurrentHashMap[String, java.lang.Long]()
     private val bucket = new TokenBucket(ratePerMin)
     private val stopLatch = new CountDownLatch(1)
     private val pool = Executors.newFixedThreadPool(8)

@@ -80,6 +80,13 @@ class McpHttpSpec extends SparkSpec {
       val afterDel = post(port, rpc("ping"),
         Seq("x-api-key" -> Key, "Mcp-Session-Id" -> sid))
       assert(afterDel.statusCode == 401)
+      // deleting a session that does not exist is 404, not 200
+      val delBogus = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${port}/sse"))
+        .DELETE().header("x-api-key", Key)
+        .header("Mcp-Session-Id", "no-such-session")
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(delBogus.statusCode == 404)
     } finally s.stop()
   }
 
