@@ -292,6 +292,27 @@ object QueriesExt {
           StructField("n_exact", LongType)))).orderBy("lang")
     }),
 
+    // bloom prefilter (the decontam-at-scale pattern: when the exact
+    // benchmark shingle set is too big to broadcast, broadcast O(m)
+    // bloom bits instead and exact-verify only the candidates) — the
+    // membership test is a pure codegen column over literal bits; the
+    // oracle replays every probe's bit arithmetic
+    "q_bloom_prefilter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val benchShingles = Dedup.shingles(
+        docs.filter(col("doc_id") < 25), "doc_id", "text", n = 3)
+        .select(col("shingle")).distinct()
+      val bloom = Sketches.bloomOf(benchShingles, "shingle",
+        m = 65536, k = 4, seed = 7L)
+      Dedup.shingles(docs.filter(col("doc_id") >= 25 && col("doc_id") < 75),
+          "doc_id", "text", n = 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(bloom.mightContainCol(col("shingle")), 1L)
+            .otherwise(0L)).as("n_candidates"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio; rows-only —
     // no SQL engine can replay a PNG codec). Payloads are deterministic
     // doc-derived PNGs (the environment ships no image corpus), so the
@@ -716,6 +737,46 @@ object QueriesExt {
        |JOIN cells c ON c.r = r.r AND c.b = (k.h1 + r.r * k.h2) % 512
        |GROUP BY 1, 2
        |ORDER BY n_exact DESC, token""".stripMargin
+  }
+
+  /** `Sketches.bloomOf(m=65536, k=4, seed=7)` + `mightContainCol`
+    * replayed: the benchmark's occupied-bit SET from all (shingle,
+    * probe) pairs, then a corpus shingle passes iff NO probe lands
+    * outside it — identical Kirsch-Mitzenmacher arithmetic. */
+  private val bloomPrefilterSql = {
+    def sh(pred: String, alias: String): String =
+      s"""$alias AS (
+         |  SELECT DISTINCT doc_id, s AS shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+         |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+         |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+         |          FROM documents WHERE $pred)
+         |    WHERE len(tk) >= 3
+         |  ) WHERE s <> ''
+         |)""".stripMargin
+    val h = h56("'bf:7:' || shingle")
+    s"""WITH ${sh("doc_id < 25", "bsh")},
+       |${sh("doc_id >= 25 AND doc_id < 75", "csh")},
+       |bbits AS (
+       |  SELECT DISTINCT (h1 + r.r * h2) % 65536 AS b
+       |  FROM (SELECT DISTINCT $h % 268435456 AS h1, $h // 268435456 AS h2
+       |        FROM bsh), range(0, 4) r(r)
+       |),
+       |ckeys AS (
+       |  SELECT shingle, $h % 268435456 AS h1, $h // 268435456 AS h2
+       |  FROM (SELECT DISTINCT shingle FROM csh)
+       |),
+       |cpass AS (
+       |  SELECT shingle FROM ckeys k
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM range(0, 4) r(r)
+       |    WHERE (k.h1 + r.r * k.h2) % 65536 NOT IN (SELECT b FROM bbits)
+       |  )
+       |)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM cpass)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+       |FROM csh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private val simhashSql = {
@@ -1153,6 +1214,8 @@ object QueriesExt {
     "q_jl_project" -> jlProjectSql,
 
     "q_countmin" -> countMinSql,
+
+    "q_bloom_prefilter" -> bloomPrefilterSql,
 
     // linear counting: occupied = distinct occupied buckets; estimate
     // m ln(m/empty) (ln agrees across engines well inside 6 decimals)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Mergeable frequency sketches — the approximate-aggregation pattern
   * for corpora where exact per-token state is too big: each partition
@@ -124,6 +124,79 @@ object Sketches {
       l -> LinearCounter(m, seed,
         acc.slice(idx(l) * words, (idx(l) + 1) * words))
     }.toMap
+  }
+
+  /** Bloom filter over string items: m bits, k Kirsch-Mitzenmacher
+    * probes per item from the same portable 56-bit hash. No false
+    * negatives; false-positive rate ~(1 - e^{-kn/m})^k. Mergeable by
+    * bitwise OR. The at-scale prefilter pattern: when an exact set is
+    * too big to broadcast (e.g. a benchmark shingle set for
+    * [[Decontam]]-style screens), broadcast the bloom's O(m) bits and
+    * keep only candidate rows for the exact verify. */
+  final case class Bloom(m: Int, k: Int, seed: Long, bits: Array[Long]) {
+    def mightContain(item: String): Boolean = {
+      val (h1, h2) = CountMin.split(bfHash(seed, item))
+      (0 until k).forall { r =>
+        val b = ((h1 + r * h2) % m).toInt
+        (bits(b >> 6) & (1L << (b & 63))) != 0L
+      }
+    }
+
+    /** Membership test as a pure codegen column over the literal bit
+      * array — the distributed form: broadcast-by-literal, no join, no
+      * UDF. Null input yields null. */
+    def mightContainCol(item: Column): Column = {
+      val arr = F.array(bits.map(F.lit): _*)
+      val h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(s"bf:$seed:"), item.cast("string"))), 1, 14),
+        16, 10).cast("long")
+      val h1 = h % F.lit(268435456L)
+      val h2 = F.shiftrightunsigned(h, 28)
+      (0 until k).map { r =>
+        val b = (h1 + F.lit(r.toLong) * h2) % F.lit(m.toLong)
+        (F.element_at(arr, (b / 64).cast("int") + F.lit(1))
+          .bitwiseAND(F.call_function("shiftleft", F.lit(1L),
+            (b % 64).cast("int")))) =!= 0L
+      }.reduce(_ && _)
+    }
+
+    def merge(other: Bloom): Bloom = {
+      require(m == other.m && k == other.k && seed == other.seed,
+        "bloom shapes/seeds differ")
+      Bloom(m, k, seed, bits.zip(other.bits).map { case (a, b) => a | b })
+    }
+  }
+
+  private[ext] def bfHash(seed: Long, item: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"bf:$seed:$item".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(14), 16)
+  }
+
+  /** Bloom over the values of `itemCol` in ONE treeAggregate pass. */
+  def bloomOf(df: DataFrame, itemCol: String, m: Int = 4096, k: Int = 4,
+      seed: Long = 7L): Bloom = {
+    require(m >= 64 && m % 64 == 0, "m must be a positive multiple of 64")
+    require(k >= 1, "k must be >= 1")
+    val items = df.select(F.col(itemCol).cast("string")).na.drop()
+    val zero = new Array[Long](m / 64)
+    val acc = items.rdd.treeAggregate(zero)(
+      seqOp = (buf, row) => {
+        val (h1, h2) = CountMin.split(bfHash(seed, row.getString(0)))
+        var r = 0
+        while (r < k) {
+          val b = ((h1 + r * h2) % m).toInt
+          buf(b >> 6) |= 1L << (b & 63)
+          r += 1
+        }
+        buf
+      },
+      combOp = (a, b) => {
+        var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+      },
+      depth = 2)
+    Bloom(m, k, seed, acc)
   }
 
   /** Build a count-min sketch of whitespace tokens of `textCol` in ONE

@@ -91,6 +91,33 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { full.estimate }
   }
 
+  test("bloom: no false negatives; driver and column tests agree; FPR sane; OR-merge") {
+    val members = (0 until 300).map(i => s"member$i")
+    val nonMembers = (0 until 2000).map(i => s"other$i")
+    val bloom = Sketches.bloomOf(members.toDF("item"), "item",
+      m = 8192, k = 4)
+    // every inserted item tests positive (the defining guarantee)
+    members.foreach(x => assert(bloom.mightContain(x), x))
+    // FPR at this load (kn/m = 0.146): (1 - e^-0.146)^4 ~ 3.4e-4 —
+    // allow 100x headroom before calling it broken
+    val fp = nonMembers.count(bloom.mightContain)
+    assert(fp <= 60, s"$fp false positives of ${nonMembers.size}")
+    // the codegen column test agrees with the driver test, row by row
+    val all = (members ++ nonMembers).toDF("item")
+    val colHits = all.select(col("item"),
+        bloom.mightContainCol(col("item")).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (members ++ nonMembers).foreach { x =>
+      assert(colHits(x) == bloom.mightContain(x), x)
+    }
+    // disjoint inserts OR-merge to the union's bitmap
+    val m1 = Sketches.bloomOf(members.take(150).toDF("item"), "item",
+      m = 8192, k = 4)
+    val m2 = Sketches.bloomOf(members.drop(150).toDF("item"), "item",
+      m = 8192, k = 4)
+    assert(m1.merge(m2).bits.toSeq == bloom.bits.toSeq)
+  }
+
   test("the grid is identical on any partitioning (integer counts commute)") {
     val df = corpus(29L, 250)
     val one = Sketches.countMinTokens(df, "text")
