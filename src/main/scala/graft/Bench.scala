@@ -22,7 +22,19 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // the retained IVF fit lost its cached cell assignment to the two
+    // lines above; re-materialize it (untimed) so searches measure
+    // search, and q_ivf_build alone measures the build
+    QueriesExt.rematerializeIndexes()
   }
+
+  /** 1-minute system load average (or -1 where unsupported): recorded in
+    * the output so a contended machine is visible in the snapshot — the
+    * round-8 review burned an hour re-measuring numbers that were pure
+    * machine drift. */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,6 +42,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,8 +103,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.filter(_._2._1 >= 0).map(_._2._1).sum
     val totalMin = results.filter(_._2._2 >= 0).map(_._2._2).sum
+    // queries whose median/min diverge >2x: the workload is
+    // deterministic, so divergence that large is machine contention, not
+    // code — a non-empty list means the medians are suspect
+    val divergent = results
+      .filter { case (_, (m, mn)) => m > 0 && mn > 0 && m / mn > 2.0 }
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"failed":$failed,"reps":$reps,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"divergent":$divergent,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // stop Spark FIRST: its shutdown logging otherwise lands after our

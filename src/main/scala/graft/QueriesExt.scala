@@ -72,6 +72,18 @@ object QueriesExt {
     ivfCache.clear()
   }
 
+  /** Bench hook: re-materialize the cell assignment of every retained
+    * IVF index after the sweep's catalog.clearCache() dropped its data —
+    * so the timed search queries measure probe+join+re-rank against a
+    * LIVE index (the build-once-search-many contract), while the build
+    * itself is timed explicitly by q_ivf_build. */
+  def rematerializeIndexes(): Unit =
+    ivfCache.values.foreach { idx =>
+      idx.assigned.cache()
+      idx.assigned.count()
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "q_doc_stats" -> ((s, d) =>
@@ -169,6 +181,17 @@ object QueriesExt {
       Dedup.embeddingNearDupPairsFromIndex(ivfIndex(s, d), threshold = 0.4)
         .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // the IVF index BUILD, timed on its own (rows-only: KMeans has no
+    // SQL oracle; the search side is oracled by q_ann_ivf_grid): drops
+    // any cached fit first so every rep pays the full quantizer fit +
+    // cell assignment — the one-off cost the search queries amortize
+    "q_ivf_build" -> ((s, d) => {
+      clearSessionCaches()
+      ivfIndex(s, d).assigned
+        .groupBy(col("__cell__")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("__cell__"))
+    }),
 
     "q_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -340,6 +363,22 @@ object QueriesExt {
           col("n_frames"), r6(col("duration_sec")).as("duration_sec"),
           r6(col("rms")).as("rms"), r6(col("zcr")).as("zcr"),
           r6(col("peak")).as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
+    // real ISO-BMFF container parsing over synthesized MP4 payloads
+    // (rows-only like its siblings: box walking is byte arithmetic no
+    // SQL engine replays); the parser is golden-pinned in ExtSpec
+    "q_multimodal_video" -> ((s, d) => {
+      val media = Multimodal.synthesizeMp4(
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.videoMetadata(media)
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("parse_ok"), col("major_brand"), col("timescale"),
+          r6(col("duration_sec")).as("duration_sec"), col("n_tracks"),
+          concat_ws(",", col("track_types")).as("track_types"),
+          concat_ws(",", col("codecs")).as("codecs"),
+          col("width"), col("height"))
         .orderBy(col("media_id"))
     }),
 

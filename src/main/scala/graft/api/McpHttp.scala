@@ -15,8 +15,12 @@ import org.apache.spark.sql.SparkSession
   * (initialize mints a session id, returned via `Mcp-Session-Id`; any
   * other request must present a live id by header or `?sessionId=` —
   * 401 otherwise), then API-key auth (`x-api-key` or `Authorization`,
-  * exact or `Bearer <key>` — 401), with a 2 MB body cap (413). Protocol
-  * dispatch is [[McpServer.handle]] — the transport adds no semantics.
+  * exact or `Bearer <key>` — 401), with a 2 MB body cap (413). Unlike
+  * the reference, initialize only STORES its minted session once the
+  * key check passed (the error order is preserved; the map is not
+  * growable by unauthenticated spam), and sessions idle past
+  * `sessionTtlMs` are swept. Protocol dispatch is [[McpServer.handle]]
+  * — the transport adds no semantics.
   *
   * Built on the JDK's `com.sun.net.httpserver` (the environment pins
   * the dependency set); binds 127.0.0.1 only, like the reference.
@@ -43,7 +47,8 @@ object McpHttp {
 
   final class Server(spark: SparkSession, apiKey: String, port: Int = 0,
       ratePerMin: Int = 60, maxBodyBytes: Int = 2 * 1024 * 1024,
-      sseHoldMs: Long = 60000L, sseKeepAliveMs: Long = 15000L) {
+      sseHoldMs: Long = 60000L, sseKeepAliveMs: Long = 15000L,
+      sessionTtlMs: Long = 30 * 60 * 1000L) {
     require(apiKey.nonEmpty, "API key is required for the HTTP transport")
     // values must be REFERENCE longs: with a Scala primitive value type
     // remove()'s absent-key null unboxes to 0 and the 404 branch below
@@ -51,9 +56,24 @@ object McpHttp {
     private val sessions = new ConcurrentHashMap[String, java.lang.Long]()
     private val bucket = new TokenBucket(ratePerMin)
     private val stopLatch = new CountDownLatch(1)
-    private val pool = Executors.newFixedThreadPool(8)
+    // cached, not fixed-size: GET /sse parks a handler thread for up to
+    // sseHoldMs, so a fixed pool of 8 would let 8 concurrent streams
+    // starve all POST/DELETE traffic until a hold expires (the rate
+    // limit bounds concurrent streams, so growth is bounded too)
+    private val pool = Executors.newCachedThreadPool()
     private val http = HttpServer.create(
       new InetSocketAddress("127.0.0.1", port), 0)
+
+    /** Drop sessions idle past their TTL — without this only DELETE
+      * removes entries and a long-lived server's session map grows
+      * without bound (~ratePerMin/min worst case). Runs opportunistically
+      * on every request; the map is rate-limit-bounded, so the scan is
+      * trivially cheap. */
+    private def sweepSessions(): Unit = {
+      val cutoff = System.nanoTime() - sessionTtlMs * 1000000L
+      sessions.entrySet().removeIf(e => e.getValue < cutoff)
+      ()
+    }
 
     /** Bound port (useful with port = 0). */
     def boundPort: Int = http.getAddress.getPort
@@ -111,6 +131,7 @@ object McpHttp {
     private def handle(ex: HttpExchange, postOnly: Boolean = false): Unit =
       try {
         cors(ex)
+        sweepSessions()
         if (!bucket.tryAcquire())
           respond(ex, 429, "Rate limit exceeded")
         else ex.getRequestMethod match {
@@ -134,14 +155,13 @@ object McpHttp {
       val method = parsed.map(_ \ "method").collect { case JString(m) => m }
       val isInitialize = method.contains("initialize")
       val isNotification = parsed.exists(p => (p \ "id") == JNothing)
-      // reference order (`main.rs:309-378`): resolve the session FIRST
-      // (initialize mints one), then check the API key
+      // reference RESPONSE order (`main.rs:309-378`): the session error
+      // wins over the key error — but unlike the reference, nothing is
+      // STORED until the key check passes, so unauthenticated initialize
+      // spam cannot grow the session map
       val sessionId: Option[String] =
-        if (isInitialize) {
-          val id = java.util.UUID.randomUUID().toString
-          sessions.put(id, System.nanoTime())
-          Some(id)
-        } else
+        if (isInitialize) Some(java.util.UUID.randomUUID().toString)
+        else
           header(ex, "Mcp-Session-Id")
             .orElse(queryParam(ex, Seq("sessionId", "session_id")))
             .filter(sessions.containsKey(_))
@@ -149,6 +169,8 @@ object McpHttp {
         respond(ex, 401, "Missing or invalid Mcp-Session-Id header"); return
       }
       if (!authorized(ex)) { respond(ex, 401, "Invalid API Key"); return }
+      if (isInitialize)
+        sessionId.foreach(sessions.put(_, System.nanoTime()))
       val resp = McpServer.handle(spark, line)
       if (isNotification && resp.isEmpty) { respond(ex, 202, ""); return }
       sessionId.foreach(id => ex.getResponseHeaders.set("Mcp-Session-Id", id))

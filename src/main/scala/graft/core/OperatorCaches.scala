@@ -27,10 +27,25 @@ object OperatorCaches {
   private val registered = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Frees all frames registered by prior operator calls. Call once at
-    * operator entry, before registering this call's materializations. */
+    * operator entry, before registering this call's materializations.
+    * Logs what it frees (via the Spark logger, WARN on the
+    * `graft.core.OperatorCaches` category): a caller that interleaves
+    * two operator builds before consuming either triggers a silent
+    * full-corpus recompute — correct via lineage, but the log line is
+    * the only way to SEE the one-live-call constraint being violated. */
   def supersede(): Unit = {
     var df = registered.poll()
-    while (df != null) { df.unpersist(blocking = false); df = registered.poll() }
+    var n = 0
+    while (df != null) {
+      if (df.storageLevel != StorageLevel.NONE) n += 1
+      df.unpersist(blocking = false)
+      df = registered.poll()
+    }
+    if (n > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"superseding $n live operator materialization(s); a " +
+          "subsequent read of a prior operator's result will recompute " +
+          "its corpus pass")
   }
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for freeing by the

@@ -84,9 +84,9 @@ object Windows {
     * given taus, plus caller-supplied per-group aggregate lanes, WITHOUT
     * the exact `percentile` aggregate — that aggregate buffers every
     * value of a group inside one task, which dies at 100 TB. Shape:
-    * ONE rollup pass (per-group n + the extra lanes; the grand-total row
-    * carries the rank-pick's bucket boundaries as a coarse
-    * `percentile_approx` lane) + ONE grouped value-bucketed rank-pick
+    * ONE grouped stats pass (per-group n + the extra lanes, pure-codegen
+    * HashAggregate) + the rank-pick's own `approxQuantile` boundary
+    * probe + ONE grouped value-bucketed rank-pick
     * for the bracketing order statistics of every (group, tau), then
     * driver interpolation `(hi-pos)*vLo + (pos-lo)*vHi` — identical
     * arithmetic to Spark's `percentile` and DuckDB's `quantile_cont`.

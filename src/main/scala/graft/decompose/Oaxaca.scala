@@ -175,9 +175,16 @@ object Oaxaca {
         multinomialWeights(dummied, split, xCols, cfg)
       case _ => (dummied, Seq.empty[String])
     }
+    // key replicate draws on the row id when the caller attached one
+    // (Prep.withRowId): content keying would give exact-duplicate rows
+    // identical draws (correlated resampling, a documented O(1/n)
+    // approximation); the id column recovers per-row independence
+    val seedCols =
+      if (gramInput.columns.contains(Prep.RowIdCol)) Seq(Prep.RowIdCol)
+      else Seq.empty[String]
     val lanes = Gram.computeGrouped(gramInput, cfg.outcome, xCols, cfg.weights,
       Prep.laneOf(split, cfg.group), nLanes = 2, reps = cfg.bootstrapReps,
-      seed = cfg.seed, repWeightCols = repWeightCols)
+      seed = cfg.seed, repWeightCols = repWeightCols, seedCols = seedCols)
     val gramsA = lanes(0)
     val gramsB = lanes(1)
     if (gramsA(0).n == 0 || gramsB(0).n == 0)

@@ -4,7 +4,7 @@ import breeze.linalg.{cholesky, DenseMatrix}
 import graft.core._
 import graft.prep.Prep
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,11 +97,10 @@ object Matching {
       if (exact) treated.crossJoin(control).withColumn("__d2__", dist2)
       else {
         // LSH candidate generation, then exact re-rank of candidates
-        val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
         val tv = treated.withColumn("__feat__",
-          toVec(array(spaceCols.map(c => col(s"t_$c")): _*)))
+          array_to_vector(array(spaceCols.map(c => col(s"t_$c")): _*)))
         val cv = control.withColumn("__feat__",
-          toVec(array(spaceCols.map(c => col(s"c_$c")): _*)))
+          array_to_vector(array(spaceCols.map(c => col(s"c_$c")): _*)))
         val lsh = new BucketedRandomProjectionLSH()
           .setBucketLength(lshBucketLength).setNumHashTables(3)
           .setInputCol("__feat__").setOutputCol("__hashes__").setSeed(42L)

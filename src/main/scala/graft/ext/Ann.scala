@@ -1,8 +1,7 @@
 package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -113,14 +112,18 @@ object Ann {
     def unpersist(): Unit = { assigned.unpersist(false); () }
   }
 
-  /** Fit the coarse quantizer and assign every corpus vector to a cell. */
+  /** Fit the coarse quantizer and assign every corpus vector to a cell.
+    * `maxIter` caps the KMeans fit (the expensive, corpus-scan-per-
+    * iteration step): a coarse quantizer only has to partition the space
+    * roughly — probe order and the exact re-rank absorb residual cell
+    * imperfection — so a tight cap trades invisible recall for a
+    * several-scan cheaper build. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L): IvfIndex = {
-    val toVec = udf((xs: Seq[Float]) => Vectors.dense(xs.map(_.toDouble).toArray))
+      nCells: Int, seed: Long = 42L, maxIter: Int = 8): IvfIndex = {
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"),
-      toVec(col(vecCol)).as("__feat__"))
-    val km = new KMeans().setK(nCells).setSeed(seed)
+      array_to_vector(col(vecCol)).as("__feat__"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat__").setPredictionCol("__cell__")
     val model = km.fit(cv)
     val assigned = model.transform(cv).select(

@@ -239,11 +239,12 @@ object Multimodal {
             val v =
               if (bits == 16) {
                 val lo = buf(off) & 0xff
-                val hi = buf(off + 1) & 0xff
                 val raw =
                   if (fmt.isBigEndian) (buf(off) << 8) | (buf(off + 1) & 0xff)
                   else (buf(off + 1) << 8) | lo
-                (if (signed) raw.toShort.toInt else (((hi << 8) | lo) - 32768))
+                // unsigned reuses the endian-aware raw (a fixed (hi,lo)
+                // order would byte-swap big-endian unsigned PCM)
+                (if (signed) raw.toShort.toInt else (raw & 0xffff) - 32768)
                   .toDouble / 32768.0
               } else {
                 val raw = buf(off) & 0xff
@@ -341,6 +342,213 @@ object Multimodal {
             javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
           val payload = baos.toByteArray
           Row(id, payload, Row("audio/wav", payload.length.toLong, "synth"))
+        }
+      }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // VIDEO: real ISO-BMFF (MP4/MOV) container metadata. Decoding FRAMES
+  // needs a codec the JDK does not ship — but the container header is
+  // pure big-endian integer reads, so duration, track layout, codec
+  // fourccs, and display dimensions are all extractable for real.
+  // ---------------------------------------------------------------------
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** One level of ISO-BMFF box headers in payload[from, until): returns
+    * (type, bodyFrom, bodyUntil). Handles 32-bit, 64-bit (`size == 1`)
+    * and to-end (`size == 0`) sizes; stops at the first malformed header
+    * and caps the box count, so per-row work is bounded on adversarial
+    * payloads (the same discipline as [[decodeImage]]'s pixel cap). */
+  private def boxesIn(b: Array[Byte], from: Int, until: Int,
+      maxBoxes: Int = 64): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var o = from
+    while (o + 8 <= until && out.size < maxBoxes) {
+      val size32 = be32(b, o)
+      val typ = fourcc(b, o + 4)
+      val (header, size) =
+        if (size32 == 1L && o + 16 <= until) (16, be64(b, o + 8))
+        else if (size32 == 0L) (8, (until - o).toLong)
+        else (8, size32)
+      if (size < header || o + size > until) return out.toSeq // malformed: stop
+      out += ((typ, o + header, o + size.toInt))
+      o += size.toInt
+    }
+    out.toSeq
+  }
+
+  private def childBox(boxes: Seq[(String, Int, Int)], typ: String)
+      : Option[(Int, Int)] =
+    boxes.collectFirst { case (t, f, u) if t == typ => (f, u) }
+
+  /** Per-track container metadata: handler type (`vide`/`soun`/...),
+    * sample-entry codec fourcc, and tkhd display size (16.16 fixed). */
+  final case class TrackMeta(handler: String, codec: String,
+      width: Double, height: Double)
+
+  /** Container-level video metadata (no codec needed). */
+  final case class VideoMeta(majorBrand: String, timescale: Long,
+      durationSec: Double, tracks: Seq[TrackMeta])
+
+  /** Parse ISO-BMFF container metadata: `ftyp` major brand, `mvhd`
+    * timescale/duration, and per-`trak` handler + codec fourcc +
+    * display dimensions. Returns None when the payload has no parseable
+    * `moov/mvhd` (i.e. is not ISO-BMFF). Integer reads only — bounded
+    * per-row work regardless of payload size. */
+  def parseIsoBmff(payload: Array[Byte]): Option[VideoMeta] = {
+    if (payload == null || payload.length < 16) return None
+    try {
+      val top = boxesIn(payload, 0, payload.length)
+      val brand = childBox(top, "ftyp")
+        .filter { case (f, u) => u - f >= 4 }
+        .map { case (f, _) => fourcc(payload, f) }.getOrElse("")
+      val (moovF, moovU) = childBox(top, "moov").getOrElse(return None)
+      val moov = boxesIn(payload, moovF, moovU)
+      val (mvF, mvU) = childBox(moov, "mvhd").getOrElse(return None)
+      val v = payload(mvF) & 0xff
+      val (timescale, duration) =
+        if (v == 1 && mvU - mvF >= 32)
+          (be32(payload, mvF + 20), be64(payload, mvF + 24))
+        else if (v == 0 && mvU - mvF >= 20)
+          (be32(payload, mvF + 12), be32(payload, mvF + 16))
+        else return None
+      if (timescale <= 0) return None
+      val tracks = moov.collect { case ("trak", tf, tu) =>
+        val trak = boxesIn(payload, tf, tu)
+        val (w, h) = childBox(trak, "tkhd").map { case (f, u) =>
+          val tv = payload(f) & 0xff
+          val wOff = if (tv == 1) 84 else 76
+          if (u - f >= wOff + 8)
+            (be32(payload, f + wOff) / 65536.0,
+              be32(payload, f + wOff + 4) / 65536.0)
+          else (0.0, 0.0)
+        }.getOrElse((0.0, 0.0))
+        val mdia = childBox(trak, "mdia")
+          .map { case (f, u) => boxesIn(payload, f, u) }.getOrElse(Nil)
+        val handler = childBox(mdia, "hdlr")
+          .filter { case (f, u) => u - f >= 12 }
+          .map { case (f, _) => fourcc(payload, f + 8) }.getOrElse("")
+        val codec = (for {
+          (mf, mu) <- childBox(mdia, "minf")
+          (sf, su) <- childBox(boxesIn(payload, mf, mu), "stbl")
+          (df, du) <- childBox(boxesIn(payload, sf, su), "stsd")
+          if du - df >= 16 && be32(payload, df + 4) >= 1
+        } yield fourcc(payload, df + 12)).getOrElse("")
+        TrackMeta(handler, codec, w, h)
+      }
+      Some(VideoMeta(brand, timescale, duration.toDouble / timescale, tracks))
+    } catch { case _: Exception => None }
+  }
+
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("parse_ok", BooleanType, nullable = false),
+    StructField("major_brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("n_tracks", IntegerType),
+    StructField("track_types", ArrayType(StringType, containsNull = false)),
+    StructField("codecs", ArrayType(StringType, containsNull = false)),
+    StructField("width", DoubleType),
+    StructField("height", DoubleType)))
+
+  /** Partition-wise REAL video container metadata over a media table —
+    * the ISO-BMFF analog of [[imageFeatures]]/[[audioFeatures]].
+    * width/height report the first `vide` track (0 when none). Frame
+    * DECODE stays out of scope: the JDK ships no video codec; a real
+    * deployment bolts an ffmpeg bridge onto this same batch shape. */
+  def videoMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload"),
+        col("meta.mime"), col("meta.n_bytes")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          parseIsoBmff(r.getAs[Array[Byte]](1)) match {
+            case Some(m) =>
+              val vide = m.tracks.find(_.handler == "vide")
+              Row(r.getLong(0), r.getString(2), r.getLong(3), true,
+                m.majorBrand, m.timescale, m.durationSec, m.tracks.size,
+                m.tracks.map(_.handler), m.tracks.map(_.codec),
+                vide.map(_.width).getOrElse(0.0),
+                vide.map(_.height).getOrElse(0.0))
+            case None =>
+              Row(r.getLong(0), r.getString(2), r.getLong(3), false,
+                null, null, null, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, VideoMetaSchema)
+  }
+
+  private def boxBytes(typ: String, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + body.length)
+    val size = out.length.toLong
+    out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
+    out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
+    System.arraycopy(typ.getBytes("ISO-8859-1"), 0, out, 4, 4)
+    System.arraycopy(body, 0, out, 8, body.length)
+    out
+  }
+  private def beBytes32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Deterministic minimal-MP4 synthesis from a text column — the video
+    * counterpart of [[synthesizeWav]]: a structurally valid ISO-BMFF
+    * container (ftyp + moov/mvhd + one or two trak subtrees with real
+    * tkhd/hdlr/stsd boxes) whose timescale, duration, dimensions, and
+    * codec fourccs are exact functions of (id, text length). No media
+    * data — the synthesized corpus exercises the container parser, which
+    * is the part of the modality this environment can make real. */
+  def synthesizeMp4(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long"), col(textCol).cast("string")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val len = Option(r.getString(1)).getOrElse("").length
+          val timescale = 600L
+          val durUnits = timescale * (1L + id % 10)
+          val w = 16L * (1 + (id % 4))
+          val h = 16L * (1 + (len % 3))
+          def fullBoxBody(parts: Array[Byte]*): Array[Byte] =
+            (Array[Byte](0, 0, 0, 0) +: parts).reduce(_ ++ _)
+          val mvhd = boxBytes("mvhd", fullBoxBody(
+            beBytes32(0), beBytes32(0), beBytes32(timescale),
+            beBytes32(durUnits), beBytes32(0x00010000L), new Array[Byte](76)))
+          def trak(handler: String, codec: String, wv: Long, hv: Long) = {
+            val tkhd = boxBytes("tkhd", fullBoxBody(
+              beBytes32(0), beBytes32(0), beBytes32(1), beBytes32(0),
+              beBytes32(durUnits), new Array[Byte](52),
+              beBytes32(wv << 16), beBytes32(hv << 16)))
+            val hdlr = boxBytes("hdlr", fullBoxBody(beBytes32(0),
+              handler.getBytes("ISO-8859-1"), new Array[Byte](13)))
+            val entry = boxBytes(codec, new Array[Byte](8))
+            val stsd = boxBytes("stsd", fullBoxBody(beBytes32(1), entry))
+            val stbl = boxBytes("stbl", stsd)
+            val minf = boxBytes("minf", stbl)
+            val mdia = boxBytes("mdia", hdlr ++ minf)
+            boxBytes("trak", tkhd ++ mdia)
+          }
+          val traks =
+            if (id % 2 == 0) trak("vide", "avc1", w, h) ++
+              trak("soun", "mp4a", 0L, 0L)
+            else trak("vide", "avc1", w, h)
+          val payload = boxBytes("ftyp",
+            "isom".getBytes("ISO-8859-1") ++ beBytes32(0x200) ++
+              "isomiso2".getBytes("ISO-8859-1")) ++
+            boxBytes("moov", mvhd ++ traks)
+          Row(id, payload, Row("video/mp4", payload.length.toLong, "synth"))
         }
       }
     spark.createDataFrame(rdd, MediaSchema)

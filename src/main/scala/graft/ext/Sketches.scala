@@ -20,6 +20,29 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Sketches {
 
+  /** Shared hot-loop hash: the 56-bit engine-portable value (first 14
+    * hex chars of md5 = first 7 digest bytes, big-endian). The digest
+    * object is thread-local and the long is assembled straight from the
+    * digest bytes — no per-token allocation beyond the input copy, which
+    * matters on corpus-sized token streams where these run per
+    * occurrence. Bit-identical to `conv(substring(md5(x),1,14),16,10)`
+    * in SQL (the oracle twin) and pinned by the partition-invariance
+    * specs. */
+  private val tlMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private[ext] def md5Hash56(prefixed: String): Long = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(prefixed.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+      ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+      ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+  }
+
   /** Count-min sketch over string items. `cells(r)(b)` is the number of
     * item occurrences whose r-th bucket is b; `total` is the occurrence
     * count (= sum of any row). */
@@ -45,12 +68,8 @@ object Sketches {
   object CountMin {
     /** JVM twin of the SQL hash56: first 14 hex chars of md5 as a long,
       * domain-separated per sketch seed. */
-    private[ext] def hash56(seed: Long, item: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"cm:$seed:$item".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.take(14), 16)
-    }
+    private[ext] def hash56(seed: Long, item: String): Long =
+      md5Hash56(s"cm:$seed:$item")
     private[ext] def split(h: Long): (Long, Long) =
       (h % 268435456L, h >>> 28) // low / high 28 bits
   }
@@ -76,12 +95,8 @@ object Sketches {
     }
   }
 
-  private[ext] def lcHash(seed: Long, item: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"lc:$seed:$item".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.take(14), 16)
-  }
+  private[ext] def lcHash(seed: Long, item: String): Long =
+    md5Hash56(s"lc:$seed:$item")
 
   /** Per-group linear counters over whitespace tokens, ALL groups in
     * ONE treeAggregate pass (per-group bitmap lanes — the GroupedOls
@@ -167,12 +182,8 @@ object Sketches {
     }
   }
 
-  private[ext] def bfHash(seed: Long, item: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"bf:$seed:$item".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.take(14), 16)
-  }
+  private[ext] def bfHash(seed: Long, item: String): Long =
+    md5Hash56(s"bf:$seed:$item")
 
   /** Bloom over the values of `itemCol` in ONE treeAggregate pass. */
   def bloomOf(df: DataFrame, itemCol: String, m: Int = 4096, k: Int = 4,

@@ -10,6 +10,12 @@ object Prep {
 
   val InterceptCol = "__ob_intercept__"
 
+  /** Conventional name of the row-id column [[withRowId]] attaches.
+    * Bootstrap callers look for it to key replicate draws per-ROW
+    * instead of per-content (content keying gives duplicate rows
+    * correlated draws — see [[graft.core.Gram.computeGrouped]]). */
+  val RowIdCol = "__row_id__"
+
   /** Validate columns exist, then drop rows with nulls in any model
     * column. Mirrors `clean_dataframe`
     * (`oaxaca_blinder/src/builder.rs:760-784`). */
@@ -159,7 +165,7 @@ object Prep {
     * the table; each partition's sort only has to separate same-hash
     * groups, which are O(1)-sized. Prefer a naturally unique key column
     * when the data has one. */
-  def withRowId(df: DataFrame, idCol: String = "__row_id__"): DataFrame = {
+  def withRowId(df: DataFrame, idCol: String = RowIdCol): DataFrame = {
     val h = xxhash64(df.columns.map(col): _*)
     // tie-break only on orderable column types: a map column (unorderable
     // in Spark) would fail analysis, and dropping it from the ORDER only

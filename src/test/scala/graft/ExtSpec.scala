@@ -410,6 +410,84 @@ class ExtSpec extends SparkSpec {
     assert(mut(0L) != first(0L))
   }
 
+  test("ISO-BMFF parse: golden values on a hand-built MP4 container") {
+    // build a container with KNOWN numbers through the synthesizer
+    // (doc 2: odd id -> single video track; len("x" * 7) % 3 = 1)
+    val one = Seq((3L, "x" * 7)).toDF("doc_id", "text")
+    val payload = Multimodal.synthesizeMp4(one, "doc_id", "text")
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val m = Multimodal.parseIsoBmff(payload).get
+    assert(m.majorBrand == "isom")
+    assert(m.timescale == 600L)
+    // duration = 1 + id % 10 = 4 seconds
+    assert(math.abs(m.durationSec - 4.0) < 1e-12)
+    assert(m.tracks.size == 1)
+    assert(m.tracks(0).handler == "vide" && m.tracks(0).codec == "avc1")
+    // w = 16 * (1 + 3 % 4) = 64; h = 16 * (1 + 7 % 3) = 32
+    assert(m.tracks(0).width == 64.0 && m.tracks(0).height == 32.0)
+    // even id -> a second audio track
+    val two = Multimodal.synthesizeMp4(
+      Seq((2L, "ab")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val m2 = Multimodal.parseIsoBmff(two).get
+    assert(m2.tracks.map(_.handler) == Seq("vide", "soun"))
+    assert(m2.tracks.map(_.codec) == Seq("avc1", "mp4a"))
+    // 64-bit (size == 1 + largesize) moov header parses identically
+    val ftypLen = (((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
+      ((payload(2) & 0xff) << 8) | (payload(3) & 0xff))
+    val moovLen = payload.length - ftypLen
+    val wide = new Array[Byte](payload.length + 8)
+    System.arraycopy(payload, 0, wide, 0, ftypLen)
+    val o = ftypLen
+    wide(o + 3) = 1 // size32 == 1 -> largesize follows the type
+    System.arraycopy(payload, ftypLen + 4, wide, o + 4, 4) // "moov"
+    val large = (moovLen + 8).toLong
+    (0 until 8).foreach(i =>
+      wide(o + 8 + i) = ((large >> (8 * (7 - i))) & 0xff).toByte)
+    System.arraycopy(payload, ftypLen + 8, wide, o + 16, moovLen - 8)
+    val mWide = Multimodal.parseIsoBmff(wide).get
+    assert(mWide.timescale == 600L && mWide.tracks.size == 1)
+    // non-BMFF payloads refuse cleanly
+    assert(Multimodal.parseIsoBmff("not a movie at all!!".getBytes).isEmpty)
+    assert(Multimodal.parseIsoBmff(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseIsoBmff(null).isEmpty)
+    // truncated container (moov cut mid-box) refuses instead of throwing
+    assert(Multimodal.parseIsoBmff(
+      payload.take(payload.length / 2)).isEmpty)
+  }
+
+  test("videoMetadata: synthesized MP4s parse distributed, deterministic, content-sensitive") {
+    val media = Multimodal.synthesizeMp4(docs, "doc_id", "text")
+    val feats = Multimodal.videoMetadata(media).collect()
+    assert(feats.length == 6)
+    assert(feats.forall(_.getAs[Boolean]("parse_ok")))
+    val byId = feats.map(r => r.getLong(0) -> r).toMap
+    // even ids carry the audio track too
+    assert(byId(0L).getAs[Int]("n_tracks") == 2)
+    assert(byId(1L).getAs[Int]("n_tracks") == 1)
+    assert(byId(0L).getAs[collection.Seq[String]]("codecs")
+      .toSeq == Seq("avc1", "mp4a"))
+    // duration_sec = 1 + id % 10
+    assert(byId(5L).getAs[Double]("duration_sec") == 6.0)
+    // width keyed on id, height keyed on text length
+    assert(byId(1L).getAs[Double]("width") == 32.0)
+    // re-synthesis is bit-identical
+    val again = Multimodal.videoMetadata(
+      Multimodal.synthesizeMp4(docs, "doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("height")).toMap
+    assert(feats.map(r => r.getLong(0) -> r.getAs[Double]("height")).toMap
+      == again)
+    // text mutation (same id) moves the height
+    val mutated = docs.withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(" z")))
+    val mut = Multimodal.videoMetadata(
+      Multimodal.synthesizeMp4(mutated, "doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("height")).toMap
+    assert(mut != again)
+  }
+
   test("streaming windowed group gap equals the batch gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext

@@ -41,6 +41,10 @@ class McpHttpSpec extends SparkSpec {
       // because initialize mints its own session first)
       val noKey = post(port, rpc("initialize"), Seq())
       assert(noKey.statusCode == 401 && noKey.body.contains("Invalid API Key"))
+      // ...and the rejected initialize must NOT have stored a session
+      // (unauthenticated spam cannot grow the session map)
+      assert(s.sessionCount == 0,
+        "unauthenticated initialize left a session behind")
       // non-initialize with key but no session -> 401 session message
       val noSession = post(port, rpc("tools/list"), Seq("x-api-key" -> Key))
       assert(noSession.statusCode == 401 &&
@@ -175,5 +179,23 @@ class McpHttpSpec extends SparkSpec {
       val text = ((parsed \ "result" \ "content")(0) \ "text").extract[String]
       assert((JsonMethods.parse(text) \ "total_gap") != JNothing)
     } finally normal.stop()
+  }
+
+  test("idle sessions expire after the TTL") {
+    val s = new McpHttp.Server(spark, Key, port = 0, sseHoldMs = 300L,
+      sseKeepAliveMs = 100L, sessionTtlMs = 150L).start()
+    try {
+      val port = s.boundPort
+      val init = post(port, rpc("initialize"), Seq("x-api-key" -> Key))
+      assert(init.statusCode == 200)
+      val sid = init.headers.firstValue("Mcp-Session-Id").orElseThrow()
+      assert(s.sessionCount == 1)
+      Thread.sleep(300L)
+      // the sweep runs on the next request; the expired id is rejected
+      val stale = post(port, rpc("ping"),
+        Seq("x-api-key" -> Key, "Mcp-Session-Id" -> sid))
+      assert(stale.statusCode == 401, s"expired session still accepted")
+      assert(s.sessionCount == 0, "expired session not swept")
+    } finally s.stop()
   }
 }

@@ -218,4 +218,46 @@ class OaxacaSpec extends SparkSpec {
     assert(math.abs(unexp.estimate - 3.0) < 0.5)
     assert(unexp.pValue < 0.05)
   }
+
+  test("row-id seeding gives content-duplicate rows independent bootstrap draws") {
+    import org.apache.spark.sql.functions.lit
+    // 64 bit-identical rows: content keying hashes them all to ONE draw
+    // per replicate, so each replicate's total weight is n * Poisson(1)
+    // — always a multiple of n
+    val n = 64
+    val base = Seq.fill(n)((1.0, 2.0)).toDF("y", "x")
+    val df = Prep.withIntercept(base)
+    val reps = 30
+    val xs = Seq(Prep.InterceptCol, "x")
+    val content = Gram.computeGrouped(df, "y", xs, None, lit(0), 1, reps, 7L)(0)
+    (1 to reps).foreach { r =>
+      assert(content(r).sw % n.toDouble == 0.0,
+        s"content-keyed rep $r sw=${content(r).sw} is not a shared draw") }
+    // row-id keying recovers i.i.d. per-row draws: the replicate total is
+    // a sum of n independent Poisson(1)s — almost surely NOT n * k
+    val withId = Prep.withIntercept(Prep.withRowId(base))
+    val keyed = Gram.computeGrouped(withId, "y", xs, None, lit(0), 1, reps,
+      7L, seedCols = Seq(Prep.RowIdCol))(0)
+    assert((1 to reps).exists(r => keyed(r).sw % n.toDouble != 0.0),
+      "row-id-keyed replicates still share one draw per content class")
+    // the decomposition picks the row id up automatically: identical
+    // point estimate, but the bootstrap resampling (hence SE) decorrelates
+    // four row patterns, each duplicated n/4 times (two per group, so
+    // each group's design has x-variation and stays non-singular)
+    val dupHeavy = (0 until n).map { i => i % 4 match {
+      case 0 => (10.0, 1.0, "A")
+      case 1 => (20.0, 2.0, "B")
+      case 2 => (12.0, 3.0, "A")
+      case _ => (22.0, 4.0, "B")
+    }}.toDF("y", "x", "g")
+    val cfg = OaxacaConfig("y", "g", "B", predictors = Seq("x"),
+      bootstrapReps = 40, seed = 3L)
+    val plain = Oaxaca.run(dupHeavy, cfg)
+    val rid = Oaxaca.run(Prep.withRowId(dupHeavy), cfg)
+    val gapP = plain.twoFold.find(_.name == "unexplained").get
+    val gapR = rid.twoFold.find(_.name == "unexplained").get
+    assert(math.abs(gapP.estimate - gapR.estimate) < 1e-9)
+    assert(gapP.stdErr != gapR.stdErr,
+      "row-id path did not change the replicate draws")
+  }
 }

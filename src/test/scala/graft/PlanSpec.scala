@@ -273,6 +273,26 @@ class PlanSpec extends SparkSpec {
       s"scan reads pruned columns:\n$leaves")
   }
 
+  test("IVF search is codegen over the live index (no ScalaUDF)") {
+    // the BUILD necessarily carries the array_to_vector UDF (VectorUDT
+    // has no codegen constructor) — but that runs once; the per-query
+    // SEARCH path (probe ranking, cell join, cosine re-rank) must stay
+    // whole-stage-codegen with the index read from cache
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val idx = graft.ext.Ann.buildIvfIndex(emb, "vec_id", "embedding",
+      nCells = 4)
+    try {
+      idx.assigned.count() // materialize: search must hit the cache
+      val res = graft.ext.Ann.searchIvf(idx, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      res.collect()
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"search did not read the cached index:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"ScalaUDF in search plan:\n$plan")
+    } finally idx.unpersist()
+  }
+
   test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
     // the Heckman bootstrap weight column (and anything else) must not
     // introduce a ScalaUDF codegen fence into the scan pipeline
