@@ -56,7 +56,7 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // a failed query is reported with a NEGATIVE time (and listed in
+    // a failed query is reported with a `null` time (and listed in
     // "failed"); failures are EXCLUDED from the headline total so a
     // fast-failing query cannot make a run look faster than a clean one
     val results = selected.map { case (name, fn) =>
@@ -95,9 +95,13 @@ object Bench {
       val minT = if (good.nonEmpty) good.min else medianOf(times)
       name -> (medianOf(times), minT)
     }
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
+    // failed queries carry `null` timings (they are listed in "failed");
+    // a negative sentinel reads as a physical time and a naive consumer
+    // would sum it into the totals
+    def numOrNull(v: Double): String = if (v >= 0) v.toString else "null"
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + numOrNull(m) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + numOrNull(mn) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2._1 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")

@@ -16,15 +16,28 @@ object QueriesExt {
 
   import Queries.{r6, t}
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and convert (micro truncation — the
-    * synthetic data is µs-precision, so lossless). */
+  /** events.parquet has been generated with two `ts` encodings over
+    * time: TIMESTAMP(NANOS), which Spark's parquet reader can only read
+    * as a long (nanosAsLong), and plain timestamp[us], which it reads as
+    * a timestamp directly. Branch on the physical read schema so both
+    * vintages work (the driver regenerates the fixtures between rounds). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT floor(ts / 1000): the `/` is double division,
-    // and at ~1.7e15 µs a double's ulp is 0.25 — one in a few thousand
-    // values rounds up across the next microsecond before the floor
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long vintage: integer `div`, NOT floor(ts / 1000):
+        // the `/` is double division, and at ~1.7e15 µs a double's ulp
+        // is 0.25 — one in a few thousand values rounds up across the
+        // next microsecond before the floor
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // timestamp[us] vintage (TimestampType / TimestampNTZType):
+        // already the type every downstream event query expects. Cast
+        // NTZ→LTZ so window/range arithmetic and the DuckDB oracle
+        // (session-TZ-free) agree regardless of reader semantics.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private val EnStop = TextAnalysis.LangStopwords.head._2

@@ -40,11 +40,29 @@ object Akm {
     * jobs per iteration instead of 2 joins + a checkpoint each. The
     * observation table is only ever touched by three non-iterative
     * passes (edge aggregation, demeaned Gram, R^2). Larger graphs fall
-    * back to the fully distributed loops. The cap bounds driver memory
-    * the same way `MachadoMata`'s design collect does (~100 MB at the
-    * default with a handful of controls). `run` takes the cap as a
+    * back to the fully distributed loops. `run` takes the cap as a
     * parameter so tests can force the distributed path on small graphs. */
   val DriverEdgeCap: Long = 2000000L
+
+  /** BYTE budget for the collected edge table — the binding constraint,
+    * checked alongside [[DriverEdgeCap]]: an edge count says nothing
+    * about driver heap when the worker/firm keys are long strings
+    * (2M edges of 8-char ids is ~350 MB of boxed rows; of 200-char ids,
+    * ~1.7 GB). The estimate prices each collected `Row` at its JVM
+    * shape — two Strings (40 B header + 2 B/char), one boxed Long, one
+    * boxed Double per vector lane, row + object-array overhead — using
+    * exact per-key char sums from the same aggregate that counts the
+    * edges (no extra pass). Graphs over EITHER limit run distributed. */
+  val DriverEdgeByteBudget: Long = 256L << 20
+
+  /** Estimated driver-heap bytes for `nEdges` collected edge rows whose
+    * worker+firm keys total `sumKeyChars` characters, with `nv` vector
+    * lanes (outcome + controls): fixed ~136 B/row (Row + backing array
+    * + 2 String headers + boxed Long) + 16 B per boxed lane sum +
+    * 2 B/char of key text. */
+  private[graft] def edgeBytesEstimate(nEdges: Long, sumKeyChars: Long,
+      nv: Int): Long =
+    nEdges * (136L + 16L * nv) + 2L * sumKeyChars
 
   /** Shared observation projection for BOTH solve paths: string keys,
     * double-cast outcome and controls. Rows with a null in ANY model
@@ -205,9 +223,15 @@ object Akm {
     val obs = projectObs(df, outcome, workerCol, firmCol, controls)
       .localCheckpoint()
     val edges = obs.select(col("w"), col("f")).distinct().localCheckpoint()
-    val nEdges = edges.count()
+    // one aggregate sizes the graph in edges AND bytes: the byte side
+    // prices the driver collect at the keys' actual width, so a graph of
+    // long composite keys routes distributed even under the edge cap
+    val sz = edges.agg(count(lit(1)),
+      sum(length(col("w")) + length(col("f")))).head()
+    val nEdges = sz.getLong(0)
     if (nEdges == 0) throw InsufficientData("Empty graph")
-    if (nEdges <= driverEdgeCap)
+    val estBytes = edgeBytesEstimate(nEdges, sz.getLong(1), controls.size + 1)
+    if (nEdges <= driverEdgeCap && estBytes <= DriverEdgeByteBudget)
       return runDriver(obs, controls, tolerance, maxIters, workerCol, firmCol)
     val keepW = distributedComponentWorkers(edges, 200)
     val connected = semiJoinWorkers(obs, obs("w"), keepW)

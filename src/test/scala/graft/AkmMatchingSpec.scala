@@ -186,4 +186,23 @@ class AkmMatchingSpec extends SparkSpec {
     val agree = both.filter(col("we") === col("wl")).count()
     assert(agree >= 180, s"only $agree/200 weights agree")
   }
+
+  test("AKM edge-byte estimate prices key width, not just edge count") {
+    import graft.estimators.Akm
+    // 2M edges of 8-char ids (16 key chars/edge, nv=1) ~ 368 MB: over
+    // the 256 MB budget, so the historical 2M-edge default would have
+    // blown past a quarter-GB of driver heap on boxed rows alone
+    val short8 = Akm.edgeBytesEstimate(2000000L, 2000000L * 16, 1)
+    assert(short8 > Akm.DriverEdgeByteBudget)
+    // ~1M edges of 8-char ids ~ 184 MB: inside the budget
+    assert(Akm.edgeBytesEstimate(1000000L, 1000000L * 16, 1) <
+      Akm.DriverEdgeByteBudget)
+    // same edge count, 200-char composite keys: ~2.6x the bytes — the
+    // byte budget must dominate the edge cap for wide keys
+    val wide = Akm.edgeBytesEstimate(1000000L, 1000000L * 400, 1)
+    assert(wide > Akm.DriverEdgeByteBudget)
+    // each extra control lane adds exactly 16 boxed bytes per edge
+    assert(Akm.edgeBytesEstimate(100L, 0L, 3) -
+      Akm.edgeBytesEstimate(100L, 0L, 1) == 100L * 32)
+  }
 }
