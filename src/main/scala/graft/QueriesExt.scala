@@ -884,8 +884,11 @@ object QueriesExt {
   /** MinHash+LSH SQL generated from the same constants (16 hashes, 8
     * bands of 2). */
   private val minhashSql = {
+    // Carter-Wegman family, mirroring Dedup.minhashSignatures exactly:
+    // two md5-derived bases per shingle, affine combinations mod 2^56
     val mins = (0 until 16).map(j =>
-      s"min(${h56(s"'$j:' || shingle")}) AS mh_$j").mkString(",\n    ")
+      s"min((h1 + $j * h2) % ${Dedup.MinhashMod}) AS mh_$j")
+      .mkString(",\n    ")
     val bandRows = (0 until 8).map { b =>
       val ks = Seq(2 * b, 2 * b + 1).map(r => s"mh_$r").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('_', $ks)) AS bkey FROM sigs"
@@ -893,7 +896,9 @@ object QueriesExt {
     s"""$jaccardCte, sigs AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM sh GROUP BY doc_id
+       |  FROM (SELECT doc_id, ${h56("'a:' || shingle")} AS h1,
+       |          ${h56("'b:' || shingle")} AS h2 FROM sh)
+       |  GROUP BY doc_id
        |), banded AS (
        |  $bandRows
        |), cand AS (

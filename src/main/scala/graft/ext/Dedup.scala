@@ -128,12 +128,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for hash j in 0..numHashes-1,
-    * sig_j = min over shingles of hash56(j || ':' || shingle). */
+  /** Modulus of the Carter-Wegman MinHash family: 2^56, matching the
+    * range of [[TextAnalysis.hash56]]. */
+  val MinhashMod: Long = 1L << 56
+
+  /** MinHash signatures via a 2-universal Carter-Wegman family: two base
+    * hashes per shingle, h1 = hash56('a:' || shingle) and
+    * h2 = hash56('b:' || shingle), then
+    * sig_j = min over shingles of (h1 + j * h2) mod 2^56.
+    *
+    * The affine combination replaces the old one-md5-PER-HASH family
+    * (hash56(j || ':' || shingle)): per shingle row the md5 count drops
+    * from numHashes to 2 and the remaining per-hash work is two integer
+    * ops — at corpus scale MinHash signatures ARE the dedup cost, and
+    * md5-of-string dominated the profile. No overflow: h1, h2 < 2^56 and
+    * j <= numHashes - 1 keeps h1 + j * h2 < 2^63 for numHashes <= 64.
+    * Still engine-portable — the DuckDB oracle replays the identical
+    * arithmetic on the same two md5-derived bases. */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    require(numHashes <= 64, "numHashes > 64 would overflow h1 + j*h2")
+    val based = sh.select(col(idCol),
+      TextAnalysis.hash56(concat(lit("a:"), col("shingle"))).as("__h1__"),
+      TextAnalysis.hash56(concat(lit("b:"), col("shingle"))).as("__h2__"))
     val aggs = (0 until numHashes).map(j =>
-      min(TextAnalysis.hash56(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(pmod(col("__h1__") + lit(j.toLong) * col("__h2__"),
+        lit(MinhashMod))).as(s"mh_$j"))
+    based.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH-banded MinHash near-dup candidates, verified with exact Jaccard.
