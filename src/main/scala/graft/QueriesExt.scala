@@ -73,8 +73,12 @@ object QueriesExt {
     scala.collection.concurrent.TrieMap.empty[(Int, String), Ann.IvfIndex]
   private def ivfIndex(s: SparkSession, d: String): Ann.IvfIndex =
     ivfCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      val idx = Ann.buildIvfIndex(t(s, d, "embeddings"), "vec_id",
-        "embedding", nCells = 8)
+      val emb = t(s, d, "embeddings")
+      // cell count sized to the corpus (8 at sf<=0.1, 40 at sf1, ...):
+      // a fixed count makes within-cell pair work quadratic in n and
+      // caps the pair join's parallelism at nCells tasks
+      val idx = Ann.buildIvfIndex(emb, "vec_id", "embedding",
+        nCells = Ann.defaultNCells(emb.count()))
       idx.assigned.count() // materialize the cell assignment now
       idx
     })

@@ -112,6 +112,24 @@ object Ann {
     def unpersist(): Unit = { assigned.unpersist(false); () }
   }
 
+  /** Corpus-sized cell count: n / targetCellSize, floored at `minCells`.
+    * A FIXED nCells is a scale bug twice over for within-cell pair work:
+    * per-cell cost is (n/c)^2 * c = n^2/c (holding c constant while the
+    * corpus grows 10x makes near-dup screening up to 100x slower —
+    * measured 28.9x on the 8-cell q_embed_neardup_ivf), and c is also
+    * the JOIN KEY CARDINALITY, so c below the executor-core count caps
+    * the pair join's parallelism at c tasks. Scaling c with n keeps
+    * cells at a constant population: within-cell pair work is then
+    * n * targetCellSize, linear in the corpus, over n/targetCellSize
+    * parallel keys. The single-level KMeans quantizer is the right tool
+    * up to ~10^5 cells; beyond that (10^8+ vectors) swap in a two-level
+    * coarse quantizer (cluster a sample into sqrt(c) super-cells, then
+    * sub-cluster within) — the cell-count FORMULA stays the same. */
+  def defaultNCells(n: Long, targetCellSize: Long = 500L,
+      minCells: Int = 8): Int =
+    math.max(minCells.toLong, n / targetCellSize)
+      .min(Int.MaxValue.toLong).toInt
+
   /** Fit the coarse quantizer and assign every corpus vector to a cell.
     * `maxIter` caps the KMeans fit (the expensive, corpus-scan-per-
     * iteration step): a coarse quantizer only has to partition the space
