@@ -196,39 +196,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash from token hashes: bit b of the signature is set iff
-    * sum over distinct tokens of (2 * bit_b(hash) - 1) > 0. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash from token hashes: bit b of the signature is set iff
+    * sum over distinct tokens of (2 * bit_b(hash) - 1) > 0.
+    *
+    * `bits` (default 16, the oracle-pinned width) sizes the signature;
+    * up to 56 bits come from the one hash56 per token. Width is a SCALE
+    * knob, not just precision: the pigeonhole banding in [[simhashPairs]]
+    * joins on (chunk, chunk-value) keys whose cardinality is
+    * ~2^(bits/(maxHamming+1)) — at 16 bits and maxHamming=1 that is 256
+    * values per chunk, so a billion-doc corpus would pile ~n/256 docs on
+    * every join key (hot-key shuffle + n^2/256 candidate pairs). At
+    * bits=56, chunks carry 28 bits and candidates stay near the true
+    * near-dup count. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 56, "bits must be in [1, 56] (hash56)")
     val toks = df.select(col(idCol),
         explode(array_distinct(split(col(textCol), "\\s+"))).as("__tok__"))
       .filter(col("__tok__") =!= "")
       .withColumn("__h__", TextAnalysis.hash56(col("__tok__")))
-    val bitSums = (0 until 16).map(b =>
+    val bitSums = (0 until bits).map(b =>
       sum(shiftright(col("__h__"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b"))
     val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 16).map(b =>
+    val sig = (0 until bits).map(b =>
       when(col(s"s_$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
     agg.select(col(idCol), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, via
-    * pigeonhole banding: the 16-bit signature is split into
+    * pigeonhole banding: the `bits`-wide signature is split into
     * `maxHamming + 1` contiguous chunks, so any pair within the Hamming
     * budget agrees EXACTLY on at least one chunk (pigeonhole). Candidates
     * come from an equi-join on (chunk index, chunk value) — a plain
     * shuffled hash join that scales like LSH banding, not the O(n^2)
     * broadcast-nested-loop of a `id_a < id_b` theta join — and are then
-    * verified with the exact bit_count. Lossless for maxHamming <= 15
-    * (maxHamming >= 16 on a 16-bit signature means "all pairs"). */
+    * verified with the exact bit_count. Lossless for maxHamming < bits
+    * (maxHamming >= bits means "all pairs"). At corpus scale pass
+    * bits=56: see [[simhash]] on chunk-key cardinality. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      "maxHamming must be in [0, 15] for a 16-bit signature")
-    val s = simhash(df, idCol, textCol)
+      maxHamming: Int, bits: Int = 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, ${bits - 1}] for a $bits-bit signature")
+    val s = simhash(df, idCol, textCol, bits)
     val nChunks = maxHamming + 1
     val banded = (0 until nChunks).map { c =>
-      val lo = 16 * c / nChunks
-      val hi = 16 * (c + 1) / nChunks
+      val lo = bits * c / nChunks
+      val hi = bits * (c + 1) / nChunks
       val mask = (1L << (hi - lo)) - 1L
       s.select(col(idCol), col("simhash"), lit(c).as("chunk"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("ckey"))

@@ -65,6 +65,25 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("56-bit SimHash (the corpus-scale width) stays pigeonhole-lossless") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 20, bits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sig = Dedup.simhash(docs, "doc_id", "text", bits = 56).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the wide signature still nails the exact duplicate and the 16-bit
+    // prefix of every signature equals the 16-bit signature
+    assert(pairs((0L, 4L)) == 0)
+    val sig16 = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.forall { case (id, s) => (s & 0xFFFFL) == sig16(id) })
+    val exact = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 20
+    } yield (a, b) -> h).toMap
+    assert(pairs == exact)
+  }
+
   test("hot-shingle cap keeps Jaccard exact while pruning the hot key") {
     // every doc shares the same 3-token opener (a "stopword shingle");
     // docs 0/1 are near-dups through their OTHER shingles
