@@ -182,6 +182,26 @@ object Sketches {
     }
   }
 
+  object Bloom {
+    /** Standard Bloom sizing for `n` expected members at `fpRate`:
+      * m = ceil(-n ln p / (ln 2)^2) rounded up to a multiple of 64
+      * (the word size the bit array is stored in), k = round(m/n ln 2),
+      * clamped to [1, 16]. The m <= Int.MaxValue ceiling bounds a
+      * SINGLE filter at ~256 MB of driver/broadcast bits (~150M members
+      * at 1% FP); shard the key space and [[Bloom.merge]]-or-probe per
+      * shard beyond that. */
+    def sizeFor(n: Long, fpRate: Double): (Int, Int) = {
+      require(n > 0 && fpRate > 0.0 && fpRate < 1.0,
+        "need n > 0 and fpRate in (0, 1)")
+      val ln2 = math.log(2.0)
+      val mRaw = math.ceil(-n * math.log(fpRate) / (ln2 * ln2)).toLong
+      val m = (((mRaw max 64L) + 63L) / 64L * 64L)
+        .min(Int.MaxValue.toLong - 63L).toInt
+      val k = math.round(m.toDouble / n * ln2).toInt.max(1).min(16)
+      (m, k)
+    }
+  }
+
   private[ext] def bfHash(seed: Long, item: String): Long =
     md5Hash56(s"bf:$seed:$item")
 

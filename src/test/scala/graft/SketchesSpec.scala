@@ -126,4 +126,24 @@ class SketchesSpec extends SparkSpec {
       assert(one.cells(r).toSeq == many.cells(r).toSeq)
     }
   }
+
+  test("Bloom.sizeFor hits the target false-positive rate") {
+    import graft.ext.Sketches
+    // textbook check: 1000 members at 1% -> m ~ 9585 bits, k ~ 7
+    val (m, k) = Sketches.Bloom.sizeFor(1000L, 0.01)
+    assert(m % 64 == 0 && m >= 9585 && m <= 9664, s"m=$m")
+    assert(k == 7, s"k=$k")
+    // measured FP on disjoint probes stays near the target
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bloom = Sketches.bloomOf(
+      (0 until 1000).map(i => s"member-$i").toDF("item"), "item", m, k)
+    val fp = (0 until 2000).count(i => bloom.mightContain(s"probe-$i"))
+    assert(fp <= 60, s"fp=$fp of 2000 (expected ~20 at 1%)")
+    // members always pass
+    assert((0 until 1000).forall(i => bloom.mightContain(s"member-$i")))
+    // monotone: tighter rate -> bigger filter, never below one word
+    assert(Sketches.Bloom.sizeFor(1000L, 0.001)._1 > m)
+    assert(Sketches.Bloom.sizeFor(1L, 0.5)._1 == 64)
+  }
 }
