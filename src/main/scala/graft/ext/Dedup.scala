@@ -159,8 +159,8 @@ object Dedup {
   /** LSH-banded MinHash near-dup candidates, verified with exact Jaccard.
     * bands * rowsPerBand must equal numHashes. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
