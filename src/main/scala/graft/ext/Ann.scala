@@ -135,15 +135,40 @@ object Ann {
     * iteration step): a coarse quantizer only has to partition the space
     * roughly — probe order and the exact re-rank absorb residual cell
     * imperfection — so a tight cap trades invisible recall for a
-    * several-scan cheaper build. */
+    * several-scan cheaper build.
+    *
+    * The fit trains on a SAMPLE once the corpus exceeds
+    * `fitPointsPerCell * nCells` vectors (the FAISS-style regime:
+    * centroid quality saturates around ~100-250 training points per cell,
+    * while fit cost is points * nCells * iters — training on all of a
+    * 10^9-vector corpus would be quadratic-ish as nCells scales with n).
+    * The sample is CONTENT-KEYED (md5 of the id, same family as the
+    * dedup hashes), not `df.sample`: Spark's sample draws per-partition,
+    * so its membership would change with partition layout and break the
+    * cross-thread-count determinism audit. Cell ASSIGNMENT still covers
+    * every vector. `fitPointsPerCell <= 0` disables sampling. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L, maxIter: Int = 8): IvfIndex = {
+      nCells: Int, seed: Long = 42L, maxIter: Int = 8,
+      fitPointsPerCell: Int = 200): IvfIndex = {
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"),
       array_to_vector(col(vecCol)).as("__feat__"))
+    val train =
+      if (fitPointsPerCell <= 0) cv
+      else {
+        val want = fitPointsPerCell.toLong * nCells
+        val n = cv.count()
+        if (n <= want) cv
+        else {
+          // keep ~want rows: id hashed into n/want strata, stratum 0 kept
+          val strata = math.max(2L, n / want)
+          cv.filter(pmod(graft.ext.TextAnalysis.hash56(
+            col("neighbor_id").cast("string")), lit(strata)) === 0L)
+        }
+      }
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat__").setPredictionCol("__cell__")
-    val model = km.fit(cv)
+    val model = km.fit(train)
     val assigned = model.transform(cv).select(
       col("neighbor_id"), col("cv"), col("__cell__")).cache()
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
