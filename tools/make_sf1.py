@@ -98,21 +98,44 @@ scale("events",
 # documents: coprime-stride word permutation per copy (identical
 # permutation within a copy -> near-dup pairs survive; different
 # permutations across copies -> 3-gram shingle overlap collapses)
-STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37]  # stride for copy i
+#
+# One DISTINCT odd prime stride per copy, generated for any FACTOR: a
+# fixed 10-entry list reused modulo its length gives copies i and i+10
+# IDENTICAL permutations (exact cross-copy duplicates), and running this
+# tool on its own output composes strides multiplicatively, so repeated
+# products (s_i * s_j == s_j * s_i) silently collapse copies — the
+# first sf10 attempt produced 1.44M exact-dup pairs instead of ~28k.
+# Scale DIRECTLY from the driver's sf0.1 with the factor you want.
+
+
+def _primes(count, start=7):
+    out, c = [], start
+    while len(out) < count:
+        if all(c % q for q in range(3, int(c ** 0.5) + 1, 2)):
+            out.append(c)
+        c += 2
+    return out
+
+
+STRIDES = [1] + _primes(max(FACTOR, 16))  # stride for copy i (copy 0 = 1)
 doc_parts = []
 for i in range(FACTOR):
     if i == 0:
         doc_parts.append(f"SELECT * FROM {src('documents')}")
     else:
-        s = STRIDES[i % len(STRIDES)]
-        # permute word list by j -> (j * s) % n (bijective when
+        s = STRIDES[i]
+        # permute word list by j -> (j * s + i) % n (bijective when
         # gcd(s, n) = 1; duckdb lists are 1-based). Non-coprime n just
-        # repeats some words — fine for a synthetic corpus.
+        # repeats some words — fine for a synthetic corpus. The + i
+        # ROTATION matters: docs are only ~50 words, so distinct prime
+        # strides still collide mod n (47 = 7 mod 40 -> identical
+        # permutation -> exact cross-copy duplicates); two copies only
+        # collide if BOTH s and i coincide mod n.
         doc_parts.append(f"""
           SELECT doc_id + {i} * {MAXD} AS doc_id,
                  array_to_string(
                    list_transform(range(0, len(w)),
-                     j -> w[1 + (j * {s}) % len(w)]), ' ') AS text,
+                     j -> w[1 + (j * {s} + {i}) % len(w)]), ' ') AS text,
                  lang, source, n_chars
           FROM (SELECT doc_id, string_split(text, ' ') AS w, lang, source,
                        n_chars
@@ -134,7 +157,7 @@ for i in range(FACTOR):
     if i == 0:
         emb_parts.append(f"SELECT * FROM {src('embeddings')}")
     else:
-        s = STRIDES[(i + 3) % len(STRIDES)]
+        s = STRIDES[i] if i < len(STRIDES) else STRIDES[-1]
         emb_parts.append(f"""
           SELECT vec_id + {i} * {MAXV} AS vec_id,
                  list_transform(range(0, {dim}),
