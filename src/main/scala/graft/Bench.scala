@@ -97,8 +97,11 @@ object Bench {
     }
     // failed queries carry `null` timings (they are listed in "failed");
     // a negative sentinel reads as a physical time and a naive consumer
-    // would sum it into the totals
-    def numOrNull(v: Double): String = if (v >= 0) v.toString else "null"
+    // would sum it into the totals. Timings are rounded to 0.1 ms —
+    // sub-ms digits are pure noise, and the shorter line helps the
+    // driver's bounded stdout capture hold the whole JSON object.
+    def numOrNull(v: Double): String =
+      if (v >= 0) (math.rint(v * 10000) / 10000).toString else "null"
     val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + numOrNull(m) }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + numOrNull(mn) }
@@ -113,8 +116,9 @@ object Bench {
     val divergent = results
       .filter { case (_, (m, mn)) => m > 0 && mn > 0 && m / mn > 2.0 }
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"failed":$failed,"reps":$reps,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"divergent":$divergent,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // stop Spark FIRST: its shutdown logging otherwise lands after our

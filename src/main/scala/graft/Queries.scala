@@ -694,7 +694,7 @@ object Queries {
     "q_fair_wages" -> ((s, d) => {
       val li = liWithRowId(s, d)
       val res = Equity.optimize(li, equityCfg, "row_id")
-      res.adjustments
+      res.adjustmentsUnsorted
         .select(col("row_id"), r6(col("fair_wage")).as("fair_wage"),
           r6(col("fair_wage_lower_bound")).as("fair_lower"),
           r6(col("fair_wage_upper_bound")).as("fair_upper"),
@@ -705,7 +705,7 @@ object Queries {
     "q_equity_optimize" -> ((s, d) => {
       val li = liWithRowId(s, d)
       val res = Equity.optimize(li, equityCfg.copy(budget = 500000.0), "row_id")
-      res.adjustments.filter(col("adjustment") > 1e-9)
+      res.adjustmentsUnsorted.filter(col("adjustment") > 1e-9)
         .select(col("row_id"), r6(col("adjustment")).as("adjustment"),
           r6(col("new_wage")).as("new_wage"))
         .orderBy(col("row_id"))

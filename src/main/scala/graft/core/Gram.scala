@@ -160,7 +160,7 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
 
 object Gram {
 
-  private val oneRep = Array(1.0)
+  private[core] val oneRep = Array(1.0)
 
   /** One Gram pass over all rows: df must contain numeric columns yCol,
     * xCols (and wCol). Nulls must already be dropped (prep.Cleaner). */

@@ -45,7 +45,12 @@ object NormalDist {
   }
 
   private val Sqrt2 = math.sqrt(2.0)
-  private val InvSqrt2Pi = 1.0 / math.sqrt(2.0 * math.Pi)
+  private[graft] val InvSqrt2Pi = 1.0 / math.sqrt(2.0 * math.Pi)
+
+  /** φ(z) in the exact association order of [[pdfCol]]'s codegen
+    * (`exp((z*z)*-0.5)` — [[pdf]] computes `exp(-0.5*z*z)`, which can
+    * differ in the last ulp): for scalar replays of Column plans. */
+  def pdfColOrder(z: Double): Double = InvSqrt2Pi * math.exp(z * z * -0.5)
 
   /** Φ(z) as a Column. */
   def cdfCol(spark: SparkSession, z: Column): Column =

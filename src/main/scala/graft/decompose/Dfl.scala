@@ -60,26 +60,28 @@ object Dfl {
     val fit = Logit.fit(withTarget, "__dfl_target__", xCols,
       maxIter = logitMaxIter, tol = logitTol)
 
-    // one pass: group counts + outcome range (previously two)
+    // group counts, outcome range AND both groups' Silverman stats in
+    // ONE grouped pass + ONE grouped rank-pick (previously a global
+    // aggregate plus a per-group stats aggregate + rank-pick each)
     val y = col(outcome).cast("double")
-    val sums = df.agg(
-      sum(when(g === lit(levelA), 1L).otherwise(0L)).as("na"),
-      sum(when(g === lit(reference), 1L).otherwise(0L)).as("nb"),
-      min(y).as("mn"), max(y).as("mx")).head()
-    val nA = sums.getLong(0).toDouble
-    val nB = sums.getLong(1).toDouble
+    val (bws, extras) = Kde.silvermanGrouped(df, outcome, g,
+      extraAggs = Seq(count(lit(1)), min(y), max(y)))
+    val nA = extras(levelA)(0).asInstanceOf[Long].toDouble
+    val nB = extras(reference)(0).asInstanceOf[Long].toDouble
     val ratioMarginal = nB / nA
-    val minVal = sums.getDouble(2)
-    val maxVal = sums.getDouble(3)
+    // global outcome range = fold of the per-group ranges (every row
+    // belongs to exactly one group key, null level included)
+    val mins = extras.values.map(_(1)).collect { case d: java.lang.Double => d.doubleValue }
+    val maxs = extras.values.map(_(2)).collect { case d: java.lang.Double => d.doubleValue }
+    val minVal = mins.min
+    val maxVal = maxs.max
     val step = (maxVal - minVal) / GridSize.toDouble
     val grid = Array.tabulate(GridSize)(i => minVal + i * step)
 
-    val dfA = df.filter(g === lit(levelA))
-    val dfB = df.filter(g === lit(reference))
     val p = least(greatest(fit.probCol(xCols), lit(1e-4)), lit(0.9999))
 
-    val bwA = Kde.silverman(dfA, outcome)
-    val bwB = Kde.silverman(dfB, outcome)
+    val bwA = bws(levelA)
+    val bwB = bws(reference)
 
     // all three densities in ONE scan: per-density weight columns that
     // are 0 outside the density's subset

@@ -96,9 +96,17 @@ final case class OptimizeMetrics(
     modelCoefficients: Seq[(String, Double)])
 
 final case class OptimizeResult(
-    adjustments: DataFrame,
+    /** The allocation without the output contract's global `ORDER BY id`
+      * — the G3/G5 compositions join these rows straight into a
+      * broadcast, where a range-shuffle sort is pure waste. */
+    adjustmentsUnsorted: DataFrame,
     metrics: OptimizeMetrics,
-    model: FairModel)
+    model: FairModel,
+    idCol: String) {
+  /** Output contract (`engine/src/analysis.rs:309-869`): the allocation
+    * ordered by row id. */
+  lazy val adjustments: DataFrame = adjustmentsUnsorted.orderBy(col(idCol))
+}
 
 object Equity {
 
@@ -270,8 +278,9 @@ object Equity {
     }
 
     // lazy: every caller consumes the allocation exactly once, so its
-    // sort+window executes once at the caller's action (the internal
-    // aggregates above all read the cached `annotated`)
+    // window (and, for the sorted view, the sort) executes once at the
+    // caller's action (the internal aggregates above all read the
+    // cached `annotated`)
     val adjustments = paid.select(
       col(idCol),
       g.as("group_level"),
@@ -283,7 +292,6 @@ object Equity {
       col("__upper__").as("fair_wage_upper_bound"),
       col("__diff__").as("diff"),
       col("__eligible__").as("is_eligible"))
-      .orderBy(col(idCol))
 
     // both strategies pay out exactly min(budget, total need) by
     // construction — no second pass over the allocation needed
@@ -297,7 +305,7 @@ object Equity {
     OptimizeResult(adjustments,
       OptimizeMetrics(totalCost, originalGap, newGap, origUnexp, newUnexp,
         totalNeed, names.zipWithIndex.map { case (n, i) => n -> model.beta(i) }),
-      model)
+      model, idCol)
     } finally { annotated.unpersist(blocking = false); () }
   }
 
@@ -351,7 +359,7 @@ object Equity {
     try {
       val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
         cfg, idCol)
-      val adj = opt.adjustments.filter(col("adjustment") > minPay)
+      val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
         .select(col(idCol), col("adjustment"))
       (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
     } finally { p.dummied.unpersist(blocking = false); () }
@@ -443,7 +451,7 @@ object Equity {
     try {
       val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
         cfg, idCol)
-      val adj = opt.adjustments.filter(col("adjustment") > minPay)
+      val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
         .select(col(idCol), col("adjustment"))
       val model =
         if (cfg.target == OptimizationTarget.Reference) opt.model

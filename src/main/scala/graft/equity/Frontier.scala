@@ -77,7 +77,7 @@ object Frontier {
       case Some(sc) => round(col("adjustment"), sc)
       case None => col("adjustment")
     }
-    val payments = opt.adjustments
+    val payments = opt.adjustmentsUnsorted
       .filter(col("adjustment") > 0.0)
       .select(col(idCol), payAmount.as("adjustment"))
     val joined = dummied.join(broadcast(payments), Seq(idCol), "inner")

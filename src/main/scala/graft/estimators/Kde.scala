@@ -83,6 +83,49 @@ object Kde {
     0.9 * a * math.pow(n.toDouble, -0.2)
   }
 
+  /** Per-group Silverman bandwidths — same arithmetic as [[silverman]]
+    * per group, but ALL groups share ONE grouped stats pass and ONE
+    * grouped rank-pick instead of paying a stats aggregate plus a
+    * rank-pick (≈4 jobs) per group. `extraAggs` lanes ride the stats
+    * pass for free (the DFL caller folds its group counts and the
+    * global outcome range in, erasing its own separate pass). Returns
+    * (group → bandwidth, group → extra lane values); groups with no
+    * non-null value are omitted from the bandwidth map but still carry
+    * their extras. */
+  def silvermanGrouped(df: DataFrame, valueCol: String, group: Column,
+      extraAggs: Seq[Column] = Nil)
+      : (Map[String, Double], Map[String, Seq[Any]]) = {
+    val v = col(valueCol).cast("double")
+    val base = df.withColumn("__g__", group.cast("string"))
+    val lanes = Seq(count(v).as("__n__"), var_samp(v).as("__var__")) ++
+      extraAggs.zipWithIndex.map { case (c, i) => c.as(s"__x${i}__") }
+    val rows = base.groupBy(col("__g__")).agg(lanes.head, lanes.tail: _*)
+      .collect()
+    // key extras by group INCLUDING a null group level (original callers'
+    // whole-frame aggregates saw those rows too); bandwidths only for
+    // real levels with data
+    val stats = rows.map { r =>
+      val g = if (r.isNullAt(0)) null else r.getString(0)
+      g -> ((r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+        extraAggs.indices.map(i => r.get(3 + i))))
+    }.toMap
+    val ranks = stats.collect { case (g, (n, _, _)) if g != null && n > 0 =>
+      g -> Set(math.max((n * 0.25).toLong, 0L),
+        math.max((n * 0.75).toLong, 0L))
+    }
+    val picked = graft.core.Windows.valuesAtRanksGrouped(base, col("__g__"),
+      v, ranks)
+    val bws = stats.collect { case (g, (n, vr, _)) if g != null && n > 0 =>
+      val std = math.sqrt(vr)
+      val i1 = math.max((n * 0.25).toLong, 0L)
+      val i3 = math.max((n * 0.75).toLong, 0L)
+      val qs = picked(g)
+      val a = math.min(std, (qs(i3) - qs(i1)) / 1.34)
+      g -> 0.9 * a * math.pow(n.toDouble, -0.2)
+    }
+    (bws, stats.map { case (g, (_, _, ex)) => g -> ex })
+  }
+
   /** 0-based elements of the sorted column at the given ranks, via the
     * value-bucketed prefix-count rank pick (no global sort; nulls are
     * dropped first so ranks align with count(v)). */

@@ -34,31 +34,33 @@ final case class LogitFit(
 object Logit {
 
   /** `targetCol` must be numeric 0/1; xCols should include the intercept
-    * column. */
+    * column.
+    *
+    * Each iteration is one [[IrlsDesign.gram]] closure over the cached
+    * primitive design — no per-iteration Catalyst planning (the beta
+    * literals would make every iteration's plan new; see [[IrlsDesign]]).
+    * The scalar working-response arithmetic below mirrors the Column
+    * expressions it replaced in the same association order, so fits are
+    * bit-identical to the per-iteration DataFrame route. */
   def fit(df: DataFrame, targetCol: String, xCols: Seq[String],
       maxIter: Int = 100, tol: Double = 1e-6,
       wCol: Option[String] = None): LogitFit = {
     val k = xCols.size
-    val proj = df.select((col(targetCol).cast("double").as(targetCol) +:
-      xCols.map(c => col(c).cast("double").as(c))) ++
-      wCol.map(c => col(c).cast("double").as(c)): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val design = new IrlsDesign(df, targetCol, xCols, wCol)
     try {
       var beta = DenseVector.zeros[Double](k)
       var converged = false
       var iters = 0
       while (iters < maxIter && !converged) {
         iters += 1
-        val xb = Ols.predictionCol(xCols, beta)
-        val p0 = lit(1.0) / (lit(1.0) + exp(-xb))
-        val p = least(greatest(p0, lit(1e-10)), lit(1.0 - 1e-10))
-        val w0 = p * (lit(1.0) - p)
-        // base sample weight multiplies the IRLS weight (WLS-style logit)
-        val w = wCol.map(c => w0 * col(c)).getOrElse(w0)
-        val z = xb + (col(targetCol) - p) / w0
-        val g = Gram.compute(
-          proj.withColumn("__z__", z).withColumn("__w__", w),
-          "__z__", xCols, Some("__w__"))
+        // z = xb + (y - p)/w0, w = w0 * base weight (WLS-style logit)
+        val g = design.gram(beta.toArray) { (y, wBase, xb, out) =>
+          val p0 = 1.0 / (1.0 + math.exp(-xb))
+          val p = math.min(math.max(p0, 1e-10), 1.0 - 1e-10)
+          val w0 = p * (1.0 - p)
+          out(0) = xb + (y - p) / w0
+          out(1) = w0 * wBase
+        }
         val newBeta =
           try LinAlg.cholSolve(g.xtx, g.xty)
           catch {
@@ -71,7 +73,7 @@ object Logit {
       }
       LogitFit(xCols, beta, converged, iters)
     } finally {
-      proj.unpersist()
+      design.unpersist()
     }
   }
 }

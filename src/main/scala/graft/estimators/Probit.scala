@@ -96,12 +96,13 @@ object Probit {
   def fit(df: DataFrame, targetCol: String, xCols: Seq[String],
       maxIter: Int = 100, tol: Double = 1e-6,
       wCol: Option[String] = None): ProbitFit = {
-    val spark = df.sparkSession
     val k = xCols.size
-    val proj = df.select((col(targetCol).cast("double").as(targetCol) +:
-      xCols.map(c => col(c).cast("double").as(c))) ++
-      wCol.map(c => col(c).cast("double").as(c)): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // fixed-plan iterations (see IrlsDesign): the scalar working-response
+    // arithmetic mirrors the former Column expressions in the same
+    // association order (pdf as exp((z*z)*-0.5), cdf via the same
+    // commons-math3 erf the codegen'd graft_erf calls), so fits are
+    // bit-identical to the per-iteration DataFrame route
+    val design = new IrlsDesign(df, targetCol, xCols, wCol)
     try {
       var beta = DenseVector.zeros[Double](k)
       var converged = false
@@ -109,19 +110,16 @@ object Probit {
       var lastGram: GramResult = null
       while (iters < maxIter && !converged) {
         iters += 1
-        val z = Ols.predictionCol(xCols, beta)
-        val phi = NormalDist.pdfCol(z)
-        val bigPhi0 = NormalDist.cdfCol(spark, z)
-        val bigPhi = least(greatest(bigPhi0, lit(1e-10)), lit(1.0 - 1e-10))
-        val y = col(targetCol)
-        val lambda = when(y > 0.5, phi / bigPhi)
-          .otherwise(-phi / (lit(1.0) - bigPhi))
-        val w0 = (phi * phi) / (bigPhi * (lit(1.0) - bigPhi))
-        val w = wCol.map(c => w0 * col(c)).getOrElse(w0)
-        val zWork = z + when(w0 > 0.0, lambda / w0).otherwise(0.0)
-        val g = Gram.compute(
-          proj.withColumn("__z__", zWork).withColumn("__w__", w),
-          "__z__", xCols, Some("__w__"))
+        val g = design.gram(beta.toArray) { (y, wBase, z, out) =>
+          val phi = NormalDist.pdfColOrder(z)
+          val bigPhi =
+            math.min(math.max(NormalDist.cdf(z), 1e-10), 1.0 - 1e-10)
+          val lambda =
+            if (y > 0.5) phi / bigPhi else -phi / (1.0 - bigPhi)
+          val w0 = (phi * phi) / (bigPhi * (1.0 - bigPhi))
+          out(0) = z + (if (w0 > 0.0) lambda / w0 else 0.0)
+          out(1) = w0 * wBase
+        }
         lastGram = g
         // (X'WX + rI) b' = X'Wz + r b  (identical to the reference's
         // ridged Newton step, see scaladoc)
@@ -148,7 +146,7 @@ object Probit {
       while (i < k) { info(i, i) += Ridge; i += 1 }
       ProbitFit(xCols, beta, LinAlg.symInverse(info), converged, iters)
     } finally {
-      proj.unpersist()
+      design.unpersist()
     }
   }
 }

@@ -150,18 +150,25 @@ object QuantileReg {
         }
       val done = Array.fill(nT)(false)
       val prevObj = Array.fill(nT)(Double.NaN)
+      // fixed-plan iterations (see IrlsDesign): the per-tau reweighting
+      // runs as a closure over the cached design instead of fresh
+      // weight-column plans per iteration; w = c / max(|y - xb|, Eps)
+      // mirrors the former Column expression's association order
+      val design = new IrlsDesign(proj, yCol, xCols, None)
+      try {
       var iter = 0
       while (iter < maxIter && done.contains(false)) {
         iter += 1
         val active = (0 until nT).filter(i => !done(i))
-        var work = proj
-        val systems = active.map { i =>
-          val r = col(yCol) - Ols.predictionCol(xCols, betas(i))
-          val c = when(r > 0.0, taus(i)).otherwise(1.0 - taus(i))
-          work = work.withColumn(s"__qw_$i", c / greatest(abs(r), lit(Eps)))
-          Gram.MultiSystem(yCol, s"__qw_$i")
+        val activeTaus = active.map(taus).toArray
+        val grams = design.gramMulti(
+          active.map(i => betas(i).toArray).toArray) {
+          (y, _, xb, s, out) =>
+            val r = y - xb
+            val c = if (r > 0.0) activeTaus(s) else 1.0 - activeTaus(s)
+            out(0) = y
+            out(1) = c / math.max(math.abs(r), Eps)
         }
-        val grams = Gram.computeMulti(work, xCols, systems, lit(0), 1)(0)
         active.zipWithIndex.foreach { case (i, si) =>
           val g = grams(si)
           val b = betas(i)
@@ -180,6 +187,7 @@ object QuantileReg {
           betas(i) = nb
         }
       }
+      } finally { design.unpersist() }
       betas.toSeq
     } finally { proj.unpersist() }
   }
