@@ -32,23 +32,30 @@ final class IrlsDesign(df: DataFrame, yCol: String, xCols: Seq[String],
 
   val k: Int = xCols.size
 
-  /** Row layout: [y, wBase, x_0 .. x_{k-1}]. */
+  /** ONE flat row-major chunk per partition, stride 2 + k per row
+    * ([y, wBase, x_0 .. x_{k-1}]): exact 8 B/value with no per-row
+    * object headers or pointer chasing — a fraction of the footprint
+    * (and GC pressure) of one small array per row, and the iteration
+    * loops run over contiguous memory. */
   private val rows: RDD[Array[Double]] = {
     val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     val proj = df.select(
       (col(yCol).cast("double") +: w +:
         xCols.map(c => col(c).cast("double"))): _*)
     val kk = k
-    proj.queryExecution.toRdd.map { r =>
-      if (r.anyNull)
-        throw InvalidArgument(
-          "IRLS design read a null model value; drop null rows first")
-      val a = new Array[Double](2 + kk)
-      a(0) = r.getDouble(0)
-      a(1) = r.getDouble(1)
-      var i = 0
-      while (i < kk) { a(2 + i) = r.getDouble(2 + i); i += 1 }
-      a
+    proj.queryExecution.toRdd.mapPartitions { it =>
+      val ab = scala.collection.mutable.ArrayBuilder.make[Double]
+      while (it.hasNext) {
+        val r = it.next()
+        if (r.anyNull)
+          throw InvalidArgument(
+            "IRLS design read a null model value; drop null rows first")
+        ab += r.getDouble(0)
+        ab += r.getDouble(1)
+        var i = 0
+        while (i < kk) { ab += r.getDouble(2 + i); i += 1 }
+      }
+      Iterator.single(ab.result())
     }.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -62,14 +69,19 @@ final class IrlsDesign(df: DataFrame, yCol: String, xCols: Seq[String],
   def gram(beta: Array[Double])(
       working: (Double, Double, Double, Array[Double]) => Unit): GramResult = {
     val kk = k
-    val res = rows.treeAggregate(new Buf(kk, 1))(
-      seqOp = (buf, a) => {
-        var xb = 0.0
-        var i = 0
-        while (i < kk) { xb += a(2 + i) * beta(i); i += 1 }
-        working(a(0), a(1), xb, buf.zw)
-        System.arraycopy(a, 2, buf.gb.xRow, 0, kk)
-        buf.gb.add(0, buf.zw(0), buf.zw(1), buf.gb.xRow, Gram.oneRep)
+    val stride = 2 + kk
+    val res = rows.treeAggregate(new Buf(kk, 1, 1))(
+      seqOp = (buf, chunk) => {
+        var off = 0
+        while (off < chunk.length) {
+          var xb = 0.0
+          var i = 0
+          while (i < kk) { xb += chunk(off + 2 + i) * beta(i); i += 1 }
+          working(chunk(off), chunk(off + 1), xb, buf.zw)
+          System.arraycopy(chunk, off + 2, buf.gb.xRow, 0, kk)
+          buf.gb.add(0, buf.zw(0), buf.zw(1), buf.gb.xRow, Gram.oneRep)
+          off += stride
+        }
         buf
       },
       combOp = (x, y) => x.merge(y),
@@ -86,22 +98,27 @@ final class IrlsDesign(df: DataFrame, yCol: String, xCols: Seq[String],
       working: (Double, Double, Double, Int, Array[Double]) => Unit)
       : Array[GramResult] = {
     val kk = k
+    val stride = 2 + kk
     val nSys = betas.length
-    val res = rows.treeAggregate(new Buf(kk, nSys))(
-      seqOp = (buf, a) => {
-        System.arraycopy(a, 2, buf.gb.xRow, 0, kk)
-        var s = 0
-        while (s < nSys) {
-          val b = betas(s)
-          var xb = 0.0
-          var i = 0
-          while (i < kk) { xb += a(2 + i) * b(i); i += 1 }
-          working(a(0), a(1), xb, s, buf.zw)
-          if (buf.zw(1) != 0.0)
-            buf.gb.addOne(0, s, buf.zw(0), buf.zw(1), buf.gb.xRow)
-          s += 1
+    val res = rows.treeAggregate(new Buf(kk, 1, nSys))(
+      seqOp = (buf, chunk) => {
+        var off = 0
+        while (off < chunk.length) {
+          System.arraycopy(chunk, off + 2, buf.gb.xRow, 0, kk)
+          var s = 0
+          while (s < nSys) {
+            val b = betas(s)
+            var xb = 0.0
+            var i = 0
+            while (i < kk) { xb += chunk(off + 2 + i) * b(i); i += 1 }
+            working(chunk(off), chunk(off + 1), xb, s, buf.zw)
+            if (buf.zw(1) != 0.0)
+              buf.gb.addOne(0, s, buf.zw(0), buf.zw(1), buf.gb.xRow)
+            s += 1
+          }
+          buf.gb.bumpLane(0)
+          off += stride
         }
-        buf.gb.bumpLane(0)
         buf
       },
       combOp = (x, y) => x.merge(y),
@@ -117,9 +134,107 @@ object IrlsDesign {
     * treeAggregate applies seqOp serially per partition buffer). A
     * top-level class so closures never capture the design (and its
     * DataFrame) itself. */
-  private final class Buf(kk: Int, nSys: Int) extends Serializable {
-    val gb = new GramBuffer(kk, 1, nSys)
+  private[core] final class Buf(kk: Int, lanes: Int, nSys: Int)
+      extends Serializable {
+    val gb = new GramBuffer(kk, lanes, nSys)
     val zw = new Array[Double](2)
     def merge(o: Buf): Buf = { gb.merge(o.gb); this }
   }
+}
+
+/** Lane-aware, multi-base-weight variant of [[IrlsDesign]] for batched
+  * grouped fits (e.g. [[graft.estimators.Probit.fitManyGrouped]]'s
+  * bootstrap-replicate probits): each row carries a lane index and one
+  * base weight PER SYSTEM (replicate), and every iteration advances all
+  * (lane, system) fits in one closure pass. The former DataFrame route
+  * built one `z`/`w` Column pair per system per iteration — with
+  * hundreds of bootstrap replicates that is a giant NEW plan (and one
+  * whole-stage-codegen compile) every iteration. Row layout per chunk:
+  * [lane, y, w_0 .. w_{nW-1}, x_0 .. x_{k-1}]; rows whose lane is null
+  * or outside [0, nLanes) are dropped at build time, exactly the rows
+  * [[Gram.computeMulti]] skipped. */
+final class IrlsDesignLanes(df: DataFrame, yCol: String,
+    xCols: Seq[String], wCols: Seq[String], laneOf: org.apache.spark.sql.Column,
+    nLanes: Int) {
+
+  val k: Int = xCols.size
+  private val nW = wCols.size
+  private val strideV = 2 + nW + k
+
+  private val rows: RDD[Array[Double]] = {
+    val proj0 = df.select(
+      (laneOf.cast("int").as("__lane__") +: col(yCol).cast("double") +:
+        (wCols.map(c => col(c).cast("double")) ++
+          xCols.map(c => col(c).cast("double")))): _*)
+    // same fixed fan-out guard as Gram.computeMulti, decided ONCE at
+    // build: a replicate-heavy pass does ~nSys * stride flops per row,
+    // and a single-file scan would run all of it on one task
+    val proj =
+      if (nW >= 16 && proj0.queryExecution.toRdd.getNumPartitions < 16)
+        proj0.repartition(64)
+      else proj0
+    val kk = k
+    val nw = nW
+    val nl = nLanes
+    proj.queryExecution.toRdd.mapPartitions { it =>
+      val ab = scala.collection.mutable.ArrayBuilder.make[Double]
+      while (it.hasNext) {
+        val r = it.next()
+        val lane = if (r.isNullAt(0)) -1 else r.getInt(0)
+        if (lane >= 0 && lane < nl) {
+          if (r.anyNull)
+            throw InvalidArgument(
+              "IRLS design read a null model value; drop null rows first")
+          ab += lane.toDouble
+          var i = 0
+          while (i < 1 + nw + kk) { ab += r.getDouble(1 + i); i += 1 }
+        }
+      }
+      Iterator.single(ab.result())
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One pass advancing `nSys` active systems across all lanes:
+    * `betas(s)(lane)` is system s's current beta for that lane,
+    * `wIdx(s)` its base-weight slot, `working(y, wBase, xb, s, out)`
+    * its working response. Returns [lane][system]. Accumulates via
+    * [[GramBuffer.addOne]] + per-row `bumpLane`, the exact shape of
+    * [[Gram.computeMulti]]. */
+  def gramMulti(betas: Array[Array[Array[Double]]], wIdx: Array[Int])(
+      working: (Double, Double, Double, Int, Array[Double]) => Unit)
+      : Array[Array[GramResult]] = {
+    val kk = k
+    val nw = nW
+    val stride = strideV
+    val nSys = betas.length
+    val res = rows.treeAggregate(new IrlsDesign.Buf(kk, nLanes, nSys))(
+      seqOp = (buf, chunk) => {
+        var off = 0
+        while (off < chunk.length) {
+          val lane = chunk(off).toInt
+          val y = chunk(off + 1)
+          System.arraycopy(chunk, off + 2 + nw, buf.gb.xRow, 0, kk)
+          var s = 0
+          while (s < nSys) {
+            val b = betas(s)(lane)
+            var xb = 0.0
+            var i = 0
+            while (i < kk) { xb += chunk(off + 2 + nw + i) * b(i); i += 1 }
+            working(y, chunk(off + 2 + wIdx(s)), xb, s, buf.zw)
+            if (buf.zw(1) != 0.0)
+              buf.gb.addOne(lane, s, buf.zw(0), buf.zw(1), buf.gb.xRow)
+            s += 1
+          }
+          buf.gb.bumpLane(lane)
+          off += stride
+        }
+        buf
+      },
+      combOp = (x, y) => x.merge(y),
+      depth = 2)
+    Array.tabulate(nLanes)(l =>
+      Array.tabulate(nSys)(s => res.gb.result(l, s)))
+  }
+
+  def unpersist(): Unit = { rows.unpersist(blocking = false); () }
 }

@@ -38,56 +38,56 @@ object Probit {
       baseWCols: Seq[String], laneOf: org.apache.spark.sql.Column,
       nLanes: Int, maxIter: Int = 100,
       tol: Double = 1e-6): Array[Array[(DenseVector[Double], Boolean)]] = {
-    val spark = df.sparkSession
     val k = xCols.size
     val nSys = baseWCols.size
     val betas = Array.fill(nLanes, nSys)(DenseVector.zeros[Double](k))
     val converged = Array.fill(nLanes, nSys)(false)
     val failed = Array.fill(nLanes, nSys)(false)
-    val y = col(targetCol).cast("double")
-    var iter = 0
-    var allDone = false
-    while (iter < maxIter && !allDone) {
-      iter += 1
-      // only systems with at least one unconverged lane pay for columns
-      val active = (0 until nSys).filter(s =>
-        (0 until nLanes).exists(l => !converged(l)(s) && !failed(l)(s)))
-      var work = df
-      val systems = active.map { s =>
-        // per-lane linear predictor selected by the lane expression
-        val z = (0 until nLanes).foldLeft(lit(0.0)) { (acc, l) =>
-          when(laneOf === l, Ols.predictionCol(xCols, betas(l)(s))).otherwise(acc)
+    // fixed-plan iterations (see IrlsDesignLanes): the former route built
+    // one z/w Column pair PER SYSTEM per iteration — with hundreds of
+    // bootstrap replicates, a giant new plan + codegen compile every
+    // scan. The scalar probit working response matches Probit.fit's.
+    val design = new IrlsDesignLanes(df, targetCol, xCols, baseWCols,
+      laneOf, nLanes)
+    try {
+      var iter = 0
+      var allDone = false
+      while (iter < maxIter && !allDone) {
+        iter += 1
+        // only systems with at least one unconverged lane pay for work
+        val active = (0 until nSys).filter(s =>
+          (0 until nLanes).exists(l => !converged(l)(s) && !failed(l)(s)))
+        val activeBetas = active.map(s =>
+          Array.tabulate(nLanes)(l => betas(l)(s).toArray)).toArray
+        val grams = design.gramMulti(activeBetas, active.toArray) {
+          (y, wBase, z, _, out) =>
+            val phi = NormalDist.pdfColOrder(z)
+            val bigPhi =
+              math.min(math.max(NormalDist.cdf(z), 1e-10), 1.0 - 1e-10)
+            val lambda =
+              if (y > 0.5) phi / bigPhi else -phi / (1.0 - bigPhi)
+            val w0 = (phi * phi) / (bigPhi * (1.0 - bigPhi))
+            out(0) = z + (if (w0 > 0.0) lambda / w0 else 0.0)
+            out(1) = w0 * wBase
         }
-        val phi = NormalDist.pdfCol(z)
-        val bigPhi = least(greatest(NormalDist.cdfCol(spark, z), lit(1e-10)),
-          lit(1.0 - 1e-10))
-        val lambda = when(y > 0.5, phi / bigPhi)
-          .otherwise(-phi / (lit(1.0) - bigPhi))
-        val w0 = (phi * phi) / (bigPhi * (lit(1.0) - bigPhi))
-        val zWork = z + when(w0 > 0.0, lambda / w0).otherwise(0.0)
-        work = work
-          .withColumn(s"__pz_$s", zWork)
-          .withColumn(s"__pw_$s", w0 * col(baseWCols(s)).cast("double"))
-        Gram.MultiSystem(s"__pz_$s", s"__pw_$s")
-      }
-      val grams = Gram.computeMulti(work, xCols, systems, laneOf, nLanes)
-      allDone = true
-      for (l <- 0 until nLanes; (s, si) <- active.zipWithIndex
-           if !converged(l)(s) && !failed(l)(s)) {
-        val g = grams(l)(si)
-        try {
-          val rhs = g.xty + (betas(l)(s) * Ridge)
-          val nb = LinAlg.ridgeSolve(g.xtx, rhs, Ridge)
-          val step = nb - betas(l)(s)
-          betas(l)(s) = nb
-          if (norm(step) < tol) converged(l)(s) = true else allDone = false
-        } catch {
-          case _: SingularMatrix => failed(l)(s) = true
+        allDone = true
+        for (l <- 0 until nLanes; (s, si) <- active.zipWithIndex
+             if !converged(l)(s) && !failed(l)(s)) {
+          val g = grams(l)(si)
+          try {
+            val rhs = g.xty + (betas(l)(s) * Ridge)
+            val nb = LinAlg.ridgeSolve(g.xtx, rhs, Ridge)
+            val step = nb - betas(l)(s)
+            betas(l)(s) = nb
+            if (norm(step) < tol) converged(l)(s) = true else allDone = false
+          } catch {
+            case _: SingularMatrix => failed(l)(s) = true
+          }
         }
       }
-    }
-    Array.tabulate(nLanes)(l => Array.tabulate(nSys)(s =>
-      (betas(l)(s), converged(l)(s) && !failed(l)(s))))
+      Array.tabulate(nLanes)(l => Array.tabulate(nSys)(s =>
+        (betas(l)(s), converged(l)(s) && !failed(l)(s))))
+    } finally design.unpersist()
   }
 
   /** `targetCol` numeric 0/1; `xCols` should include the intercept.
