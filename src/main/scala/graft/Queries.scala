@@ -53,7 +53,14 @@ object Queries {
     val tieBreaks = Seq("l_linenumber", "l_extendedprice",
       "l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
       "l_shipdate").map(col)
-    val out = graft.core.Windows.exclusivePrefixSum(df, col("l_orderkey"),
+    // The persist boundary blocks Catalyst's column pruning, so project
+    // BEFORE the sort: the id is a function of the 9 ordering columns
+    // alone, and every equity consumer reads a subset of them — carrying
+    // the other lineitem columns (l_comment above all) through the scan,
+    // the range shuffle AND the cache write roughly doubled this
+    // materialization's cost.
+    val slim = df.select((col("l_orderkey") +: tieBreaks): _*)
+    val out = graft.core.Windows.exclusivePrefixSum(slim, col("l_orderkey"),
         ascending = true, tieBreaks, lit(1.0), "__rk__")
       .withColumn("row_id", (col("__rk__") + 1).cast(LongType)).drop("__rk__")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -359,9 +359,17 @@ object Equity {
     try {
       val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
         cfg, idCol)
+      // materialize the adjustment set once: the verification
+      // decomposition executes the mutated frame more than once (Gram
+      // pass + any bootstrap lanes), and each execution would otherwise
+      // re-run the whole allocation plan from scratch
       val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
         .select(col(idCol), col("adjustment"))
-      (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adj.count()
+      try {
+        (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
+      } finally { adj.unpersist(blocking = false); () }
     } finally { p.dummied.unpersist(blocking = false); () }
   }
 

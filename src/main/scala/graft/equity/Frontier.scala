@@ -77,9 +77,19 @@ object Frontier {
       case Some(sc) => round(col("adjustment"), sc)
       case None => col("adjustment")
     }
+    // materialize the payment set ONCE: the prefix-sum machinery and the
+    // sweep aggregate below execute this frame three times (boundary
+    // probe, bucket totals, treeAggregate), and each execution would
+    // otherwise re-run the whole allocation plan — annotated-frame
+    // arithmetic + the allocation window — from scratch, since the
+    // optimizer's internal cache is released when optimizePrepared
+    // returns. The payment set is only the paid rows × 2 columns.
     val payments = opt.adjustmentsUnsorted
       .filter(col("adjustment") > 0.0)
       .select(col(idCol), payAmount.as("adjustment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    payments.count()
+    try {
     val joined = dummied.join(broadcast(payments), Seq(idCol), "inner")
     val prefixed = Windows.exclusivePrefixSum(joined,
       col("adjustment"), ascending = false, Seq(col(idCol)),
@@ -143,6 +153,7 @@ object Frontier {
       val (ts, p, sig) = statAt(xty, yy)
       FrontierPoint(budget, ts, p, sig)
     }
+    } finally { payments.unpersist(blocking = false); () }
     } finally { dummied.unpersist(); () }
   }
 }
