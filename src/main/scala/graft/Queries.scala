@@ -296,13 +296,12 @@ object Queries {
     // ---- RIF / KDE / DFL / logit (E2, E7-E9, D11, D14) ----
     "q_rif" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      val (out, info) = Rif.transformPerGroup(li, "l_extendedprice",
+      val (_, info) = Rif.transformPerGroup(li, "l_extendedprice",
         "l_linestatus", 0.5)
-      val avgs = out.groupBy(col("l_linestatus").cast("string").as("g"))
-        .agg(avg(col("__rif__")).as("avg_rif")).collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // mean(RIF) = q + (tau - count(y<=q)/n) / f is closed-form from the
+      // transform's own scalars — no fourth scan for the averages
       val rows = info.map(i => Row(i.level, r6d(i.qTau), r6d(i.bandwidth),
-        r6d(i.density), r6d(avgs(i.level))))
+        r6d(i.density), r6d(i.meanRif(0.5))))
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
         StructField("l_linestatus", StringType),
         StructField("q_tau", DoubleType),

@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Rif {
 
-  /** Per-group scalar inputs of the transform. */
+  /** Per-group scalar inputs of the transform. `countLeQ` (rows with
+    * y <= q_tau) rides the density pass for free and makes the group
+    * RIF mean closed-form: mean(RIF) = q + (tau - countLeQ/n) / f —
+    * consumers that only need the mean skip a whole extra scan. */
   final case class GroupRif(level: String, n: Long, qTau: Double,
-      bandwidth: Double, density: Double)
+      bandwidth: Double, density: Double, countLeQ: Long) {
+    def meanRif(tau: Double): Double =
+      qTau + (tau - countLeQ.toDouble / n.toDouble) / density
+  }
 
   /** Compute RIF of `outcome` separately within each level of
     * `groupCol`, appending it as `outCol`. Three aggregate passes total
@@ -34,7 +40,7 @@ object Rif {
     // unpersist is safe)
     val narrow = df.select(g.as("__g__"), y.as("__y__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (stats, bandwidths, densities) = try {
+    val (stats, bandwidths, densities, countsLe) = try {
       // pass 1: n and sample stddev per group — pure codegen aggregates.
       // The type-7 quantile is NOT computed here: the exact `percentile`
       // aggregate buffers every distinct value and dominated this pass;
@@ -120,21 +126,25 @@ object Rif {
         }
       }
 
-      // pass 3: one-point density at q_tau per group
+      // pass 3: one-point density at q_tau per group, with a
+      // count(y <= q) lane riding along — it makes the group RIF mean
+      // closed-form on the driver (see [[GroupRif.meanRif]])
       val qOfN = caseOver(col("__g__"), stats.map { case (l, (_, _, q)) => l -> q })
       val hOfN = caseOver(col("__g__"), bandwidths.toSeq)
-      val densities = narrow
+      val densityRows = narrow
         .select(col("__g__").as("g"),
-          Kde.gaussianCol((qOfN - col("__y__")) / hOfN).as("k"))
-        .groupBy(col("g")).agg(sum(col("k")).as("sk"))
+          Kde.gaussianCol((qOfN - col("__y__")) / hOfN).as("k"),
+          when(col("__y__") <= qOfN, 1L).otherwise(0L).as("le"))
+        .groupBy(col("g")).agg(sum(col("k")).as("sk"), sum(col("le")).as("nle"))
         .collect()
-        .map { r =>
-          val lvl = r.getString(0)
-          val (n, _, _) = stats(lvl)
-          val d = r.getDouble(1) / (n.toDouble * bandwidths(lvl))
-          lvl -> math.max(d, 1e-8)
-        }.toMap
-      (stats, bandwidths, densities)
+      val densities = densityRows.map { r =>
+        val lvl = r.getString(0)
+        val (n, _, _) = stats(lvl)
+        val d = r.getDouble(1) / (n.toDouble * bandwidths(lvl))
+        lvl -> math.max(d, 1e-8)
+      }.toMap
+      val countsLe = densityRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+      (stats, bandwidths, densities, countsLe)
     } finally narrow.unpersist(blocking = false)
 
     val qOf = caseOver(g, stats.map { case (l, (_, _, q)) => l -> q })
@@ -148,7 +158,8 @@ object Rif {
       when(g.isin(small: _*), y).otherwise(rif)
 
     val info = stats.toSeq.sortBy(_._1).map { case (l, (n, _, q)) =>
-      GroupRif(l, n, q, bandwidths(l), densities(l))
+      GroupRif(l, n, q, bandwidths(l), densities(l),
+        countsLe.getOrElse(l, 0L))
     }
     (df.withColumn(outCol, rifFinal), info)
   }
