@@ -150,23 +150,28 @@ object Ann {
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long = 42L, maxIter: Int = 8,
       fitPointsPerCell: Int = 200): IvfIndex = {
-    val cv0 = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"),
-      array_to_vector(col(vecCol)).as("__feat__"))
     // The fit iterations and the full-corpus cell assignment are
     // CPU-dense vector arithmetic; when the source arrives in fewer
     // partitions than the cluster has cores (one parquet file at test
     // scale; a coalesced upstream at any scale), every build job runs
     // nearly serial. One up-front fan-out shuffle buys parallelism for
     // every downstream pass (fit iterations, assignment, searches over
-    // the cached index). The fan-out count is FIXED (not
+    // the cached index). The shuffle moves the RAW (id, float-vector)
+    // rows — repartitioning after the double/ml-vector conversions
+    // would push twice the bytes through the exchange and serialize the
+    // conversion work itself. The fan-out count is FIXED (not
     // defaultParallelism): KMeans centers depend on the partition
     // layout, and a thread-count-dependent layout would break the
     // cross-parallelism determinism audit — round-robin from the same
     // source layout to the same count is deterministic.
     val FanOut = 64
-    val cv = if (cv0.rdd.getNumPartitions < FanOut) cv0.repartition(FanOut)
-      else cv0
+    val raw0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__vec__"))
+    val raw = if (raw0.rdd.getNumPartitions < FanOut) raw0.repartition(FanOut)
+      else raw0
+    val cv = raw.select(col("neighbor_id"),
+      transform(col("__vec__"), x => x.cast("double")).as("cv"),
+      array_to_vector(col("__vec__")).as("__feat__"))
     val train =
       if (fitPointsPerCell <= 0) cv
       else {

@@ -293,6 +293,22 @@ class PlanSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("IVF index fans out a narrow source so searches parallelize") {
+    // the quantizer fit, the cell assignment, and every search over the
+    // cached index inherit the cached frame's partitioning — a one-file
+    // source (1-2 scan partitions) would serialize all of them onto one
+    // task; buildIvfIndex must fan the corpus out to a fixed count first
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val idx = graft.ext.Ann.buildIvfIndex(emb, "vec_id", "embedding",
+      nCells = 4)
+    try {
+      idx.assigned.count() // materialize the cache (AQE finalizes layout)
+      assert(idx.assigned.rdd.getNumPartitions >= 16,
+        s"cached IVF index has ${idx.assigned.rdd.getNumPartitions} " +
+          "partitions; searches over it would serialize")
+    } finally idx.unpersist()
+  }
+
   test("Poisson bootstrap weights are codegen expressions, not ScalaUDFs") {
     // the Heckman bootstrap weight column (and anything else) must not
     // introduce a ScalaUDF codegen fence into the scan pipeline
