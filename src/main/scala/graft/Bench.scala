@@ -121,14 +121,33 @@ object Bench {
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // a JSON line out of them; the full 94-query object is ~5 KB, so it
+    // arrived truncated mid-object and recorded `parsed: null` (round-9
+    // BENCH artifact). Emit a COMPACT line that fits the capture window
+    // — the top slowest queries (they carry the perf signal) at 2
+    // decimals plus an explicit omitted-count/sum so the totals stay
+    // self-consistent; the full-fidelity object (all queries, min
+    // channel, 4 decimals) is always in bench_out.json.
+    val TopN = 50
+    val ok = results.filter(_._2._1 >= 0)
+    val bySlowest = ok.sortBy(-_._2._1)
+    val top = bySlowest.take(TopN)
+    val omittedAfterTop = bySlowest.drop(TopN)
+    def r2(v: Double): Double = math.rint(v * 100) / 100
+    val qsTop = top.sortBy(_._1)
+      .map { case (k, (m, _)) => "\"" + k + "\":" + r2(m) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${omittedAfterTop.size},"omitted_sum":${r2(omittedAfterTop.map(_._2._1).sum)},"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"full":"bench_out.json","sf":"$sfDir"}"""
     // stop Spark FIRST: its shutdown logging otherwise lands after our
     // line, and sbt's [info] logger mangles anything mid-run — the bare
     // JSON must be the very last stdout line (and goes to stderr too) so
     // the driver's parser gets a clean shot
     spark.stop()
-    System.err.println(json)
+    System.err.println(compact)
     System.err.flush()
-    println(json)
+    println(compact)
     Console.out.flush()
   }
 }
