@@ -169,9 +169,14 @@ object Ann {
       col(vecCol).as("__vec__"))
     val raw = if (raw0.rdd.getNumPartitions < FanOut) raw0.repartition(FanOut)
       else raw0
+    // `__nv__`: the vector norm, computed ONCE at build — every search
+    // and pair screening over the index then pays one dot product per
+    // candidate instead of three
     val cv = raw.select(col("neighbor_id"),
       transform(col("__vec__"), x => x.cast("double")).as("cv"),
       array_to_vector(col("__vec__")).as("__feat__"))
+      .withColumn("__nv__",
+        sqrt(graft.functions.DotProduct(col("cv"), col("cv"))))
     val train =
       if (fitPointsPerCell <= 0) cv
       else {
@@ -189,7 +194,7 @@ object Ann {
       .setFeaturesCol("__feat__").setPredictionCol("__cell__")
     val model = km.fit(train)
     val assigned = model.transform(cv).select(
-      col("neighbor_id"), col("cv"), col("__cell__")).cache()
+      col("neighbor_id"), col("cv"), col("__nv__"), col("__cell__")).cache()
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
@@ -203,19 +208,25 @@ object Ann {
     * construction. */
   def searchIvf(index: IvfIndex, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    // query norm computed ONCE per query row, reused across every probe
+    // ranking and every candidate in the re-rank
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("__qn__",
+        sqrt(graft.functions.DotProduct(col("qv"), col("qv"))))
     // nprobe closest cells per query (centers table is tiny)
     val qCells = q.crossJoin(broadcast(index.centers))
-      .withColumn("cdist", Dedup.cosineCol(col("qv"), col("center")))
+      .withColumn("cdist", graft.functions.DotProduct(col("qv"), col("center"))
+        / (col("__qn__") * sqrt(graft.functions.DotProduct(col("center"), col("center")))))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("__cell__"))))
       .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("__cell__"))
+      .select(col("query_id"), col("qv"), col("__qn__"), col("__cell__"))
 
     qCells.join(index.assigned, "__cell__")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Dedup.cosineCol(col("qv"), col("cv")))
+      .withColumn("cosine", Dedup.cosineWithNormsCol(
+        col("qv"), col("cv"), col("__qn__"), col("__nv__")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))

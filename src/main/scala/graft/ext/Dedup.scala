@@ -260,11 +260,21 @@ object Dedup {
   /** Cosine similarity of two double-array columns (codegen higher-order
     * functions, no UDF). */
   def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    // native fused-loop dot product (graft.functions.DotProduct): the
+    // zip_with/aggregate chain allocates an intermediate array per row,
+    // which dominates on multi-million-pair joins
+    val dot = graft.functions.DotProduct(a, b)
+    val na = sqrt(graft.functions.DotProduct(a, a))
+    val nb = sqrt(graft.functions.DotProduct(b, b))
     dot / (na * nb)
   }
+
+  /** [[cosineCol]] with both norms already materialized (e.g. stored in
+    * an IVF index at build time) — one dot product per pair instead of
+    * three. */
+  def cosineWithNormsCol(a: Column, b: Column, na: Column,
+      nb: Column): Column =
+    graft.functions.DotProduct(a, b) / (na * nb)
 
   /** Embedding near-duplicate pairs: EXACT pairwise cosine >= threshold,
     * as a distributed block-pair kernel. The corpus is split into
@@ -331,13 +341,18 @@ object Dedup {
     * index — build once, re-screen at many thresholds. */
   def embeddingNearDupPairsFromIndex(index: Ann.IvfIndex,
       threshold: Double): DataFrame = {
+    // norms come from the index (computed once at build): one fused dot
+    // product per candidate pair instead of three array aggregations
     val x = index.assigned.select(col("__cell__"),
-      col("neighbor_id").as("id_a"), col("cv").as("va"))
+      col("neighbor_id").as("id_a"), col("cv").as("va"),
+      col("__nv__").as("na"))
     val y = index.assigned.select(col("__cell__"),
-      col("neighbor_id").as("id_b"), col("cv").as("vb"))
+      col("neighbor_id").as("id_b"), col("cv").as("vb"),
+      col("__nv__").as("nb"))
     x.join(y, Seq("__cell__"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineCol(col("va"), col("vb")))
+      .withColumn("cosine",
+        cosineWithNormsCol(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
