@@ -162,13 +162,14 @@ object Embeddings {
   }
 
   /** Centered projection onto component `c` as a pure column expression:
-    * sum_i (x_i - mean_i) * q_i — codegen zip_with/aggregate, no UDF. */
+    * sum_i (x_i - mean_i) * q_i — ONE fused codegen loop
+    * ([[graft.functions.CenteredDot]]); the zip_with/aggregate chain it
+    * replaces allocated two intermediate arrays per (row, component).
+    * Same left-to-right FP association, so values are bit-identical. */
   def projectionCol(model: PcaModel, vecCol: Column, c: Int): Column = {
     val mu = array(model.mean.map(lit): _*)
     val q = array(model.components(c).map(lit): _*)
-    val centered = zip_with(vecCol, mu, (x, m) => x.cast("double") - m)
-    aggregate(zip_with(centered, q, (x, w) => x * w),
-      lit(0.0), (acc, y) => acc + y)
+    graft.functions.CenteredDot(vecCol, mu, q)
   }
 
   /** Appends top-k centered projections `outPrefix_0 .. outPrefix_{k-1}`. */
@@ -216,9 +217,10 @@ object Embeddings {
     val scale = 1.0 / math.sqrt(k.toDouble)
     (0 until k).foldLeft(df) { (acc, j) =>
       val s = array(signs(j).map(lit): _*)
+      // fused dot-product loop (float elements widen in-loop) — the
+      // zip_with/aggregate chain allocated an array per (row, output dim)
       acc.withColumn(s"${outPrefix}_$j",
-        aggregate(zip_with(col(vecCol), s, (x, w) => x.cast("double") * w),
-          lit(0.0), (a, y) => a + y) * lit(scale))
+        graft.functions.DotProduct(col(vecCol), s) * lit(scale))
     }
   }
 }
