@@ -53,25 +53,33 @@ object Heckman {
     val bigPhi = NormalDist.cdfCol(spark, zg)
     val imr = when(bigPhi < 1e-10, 0.0).otherwise(phi / bigPhi)
 
+    val deltaCol = "__ob_delta__"
     val selected = df
       .filter(col(selectionOutcome).cast("double") === 1.0)
       .withColumn(ImrCol, imr)
+      .withColumn(deltaCol, -col(ImrCol) * (col(ImrCol) + zg))
 
+    // ONE Gram pass serves the outcome OLS AND every selected-row
+    // aggregate: with the intercept first, X'X row 0 is the weighted
+    // column-sum vector, so appending the per-row delta term
+    // -imr*(imr + z'g) as one extra design column makes its sum (and
+    // the means, sw, n) fall out of the same pass the OLS needs anyway
+    // — the former dedicated means/delta aggregation was a second full
+    // scan of the selected rows.
     val augCols = xCols :+ ImrCol
-    val fit = Ols.fit(selected, outcome, augCols, wCol)
+    val kA = augCols.size
+    val gramFull = Gram.compute(selected, outcome, augCols :+ deltaCol, wCol)
+    val gramA = GramResult(kA,
+      breeze.linalg.DenseMatrix.tabulate(kA, kA)((i, j) => gramFull.xtx(i, j)),
+      DenseVector.tabulate(kA)(i => gramFull.xty(i)),
+      gramFull.sw, gramFull.swy, gramFull.swyy, gramFull.n, gramFull.minW)
+    val fit = Ols.fromGram(gramA, augCols)
+    val swSel = gramFull.sw
+    val xMeans = gramA.xMeans
+    val imrDelta = gramFull.xtx(0, kA) / swSel
+    val nSel = gramFull.n
 
-    // one pass for all the means/delta aggregates on the selected rows
     val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
-    val aggs =
-      (xCols :+ ImrCol).map(c => sum(col(c).cast("double") * w).as(s"m_$c")) ++
-      Seq(sum(-col(ImrCol) * (col(ImrCol) + zg) * w).as("delta_sum"),
-        sum(w).as("sw"), count(lit(1)).as("n_sel"))
-    val selRow = selected.agg(aggs.head, aggs.tail: _*).head()
-    val swSel = selRow.getDouble(augCols.size + 1)
-    val xMeans = DenseVector.tabulate(augCols.size)(i => selRow.getDouble(i) / swSel)
-    val imrDelta = selRow.getDouble(augCols.size) / swSel
-    val nSel = selRow.getLong(augCols.size + 2)
-
     val zAggs = selXCols.map(c => sum(col(c).cast("double") * w).as(s"m_$c")) ++
       Seq(sum(w).as("sw"), count(lit(1)).as("n"))
     val zRow = df.agg(zAggs.head, zAggs.tail: _*).head()
