@@ -70,8 +70,20 @@ object Cluster {
     * root-distance, so 30 rounds covers any graph with < 2^30 nodes per
     * component — hitting the cap means the input violates the edge
     * contract, not that more rounds are needed). */
+  /** Edge count below which the fixpoint runs as a driver union-find
+    * instead of the distributed star rounds: 2M (u, v) longs is ~32 MB
+    * plus map overhead — the same bounded-driver-fast-path precedent as
+    * AKM's `DriverEdgeCap`. The RESULT is identical either way (min
+    * reachable id is algorithm-independent); only the route differs.
+    * At test scale the star loop is ~6 rounds x ~6 fixed-cost jobs over
+    * a few thousand edges — pure scheduling overhead the fast path
+    * removes; above the cap the O(log n) distributed loop is the only
+    * thing that survives 100 TB. */
+  val DriverEdgeCap = 2000000L
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
+      idB: String = "id_b", maxRounds: Int = 30,
+      driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // localCheckpoint pins its RDD in the block manager for the session;
     // O(log n) rounds x |edges| would accumulate, so each superseded
@@ -91,6 +103,37 @@ object Cluster {
         least(col("x"), col("y")).as("v"))
       .distinct())
     var sig = signature(edges)
+
+    if (sig._1 <= driverEdgeCap) {
+      // bounded driver fast path: union-find with path compression over
+      // the deduped edge list (already materialized by the checkpoint)
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      free(ckptIds)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          // always attach the larger root under the smaller so every
+          // root IS the component minimum (matching the star fixpoint)
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val nodes = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toArray.distinct
+      val rows = nodes.map(n => (n, find(n)))
+      import pairs.sparkSession.implicits._
+      return rows.toSeq.toDF("id", "component")
+    }
+
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

@@ -57,6 +57,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ccMap(edges) == want)
   }
 
+  test("connectedComponents: distributed star rounds match the driver fast path") {
+    // small inputs route through the bounded driver union-find; force
+    // the large-star/small-star loop (driverEdgeCap = 0) and assert the
+    // two routes reach the identical fixpoint — the at-scale path must
+    // stay correct even though test-sized inputs never take it
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b } ++ Seq((200L, 201L))
+    val df = edges.toDF("id_a", "id_b")
+    val fast = Cluster.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Cluster.connectedComponents(df, driverEdgeCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == fast)
+  }
+
   test("assignClusters: canonical per component, singletons kept") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((2L, 5L), (5L, 6L)).toDF("id_a", "id_b")
