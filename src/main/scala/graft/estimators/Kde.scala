@@ -36,24 +36,50 @@ object Kde {
     val stride = m + 1 // grid sums ++ sum(w), per density
     val zero = new Array[Double](stride * nL)
     val bw = bandwidths.toArray
+    // lanes sharing a bandwidth share the kernel value: the exp() per
+    // (row, grid point) is computed once per DISTINCT bandwidth, not
+    // once per lane — DFL's density-B and counterfactual lanes use the
+    // same Silverman bandwidth, so this removes a third of the grid
+    // pass's exp() calls
+    val bwGroups: Array[(Double, Array[Int])] =
+      bw.zipWithIndex.groupBy(_._1).iterator
+        .map { case (h, arr) => (h, arr.map(_._2)) }.toArray.sortBy(_._2.head)
     val acc = proj.rdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
         val x = row.getDouble(0)
-        var l = 0
-        while (l < nL) {
-          val wv = row.getDouble(1 + l)
-          if (wv != 0.0) {
-            val h = bw(l)
-            val base = l * stride
+        var g = 0
+        while (g < bwGroups.length) {
+          val h = bwGroups(g)._1
+          val lanes = bwGroups(g)._2
+          var any = false
+          var j = 0
+          while (j < lanes.length) {
+            if (row.getDouble(1 + lanes(j)) != 0.0) any = true
+            j += 1
+          }
+          if (any) {
             var i = 0
             while (i < m) {
               val u = (grid(i) - x) / h
-              buf(base + i) += wv * InvSqrt2Pi * math.exp(-0.5 * u * u)
+              val k = InvSqrt2Pi * math.exp(-0.5 * u * u)
+              j = 0
+              while (j < lanes.length) {
+                val l = lanes(j)
+                val wv = row.getDouble(1 + l)
+                if (wv != 0.0) buf(l * stride + i) += wv * k
+                j += 1
+              }
               i += 1
             }
-            buf(base + m) += wv
+            j = 0
+            while (j < lanes.length) {
+              val l = lanes(j)
+              val wv = row.getDouble(1 + l)
+              if (wv != 0.0) buf(l * stride + m) += wv
+              j += 1
+            }
           }
-          l += 1
+          g += 1
         }
         buf
       },
