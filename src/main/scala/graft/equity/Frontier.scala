@@ -90,16 +90,25 @@ object Frontier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     payments.count()
     try {
+    // narrow + persist: the prefix-sum machinery executes this frame
+    // three times (boundary probe, bucket totals, the sweep aggregate's
+    // window input) — cache the joined projection once instead of
+    // re-running the broadcast join per consumer
+    val g = col(cfg.group).cast("string")
+    val dummyCol = when(g =!= lit(cfg.reference), 1.0).otherwise(0.0)
     val joined = dummied.join(broadcast(payments), Seq(idCol), "inner")
+      .select((col(idCol) +: col("adjustment").cast("double").as("adjustment") +:
+        col(cfg.outcome).cast("double").as("__y__") +: dummyCol.as("__dummy__") +:
+        xCols.tail.map(c => col(c).cast("double").as(c))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val prefixed = Windows.exclusivePrefixSum(joined,
       col("adjustment"), ascending = false, Seq(col(idCol)),
       col("adjustment"), "__prefix__")
-    val g = col(cfg.group).cast("string")
-    val dummyCol = when(g =!= lit(cfg.reference), 1.0).otherwise(0.0)
     val proj = prefixed.select(
-      (col("adjustment").cast("double") +: col("__prefix__").cast("double") +:
-        col(cfg.outcome).cast("double") +: lit(1.0) +: dummyCol +:
-        xCols.tail.map(c => col(c).cast("double"))): _*)
+      (col("adjustment") +: col("__prefix__").cast("double") +:
+        col("__y__") +: lit(1.0) +: col("__dummy__") +:
+        xCols.tail.map(col)): _*)
 
     // one pass: per step, sum(pay * x_j) and sum(2 y pay + pay^2)
     val stride = k + 1
@@ -153,6 +162,7 @@ object Frontier {
       val (ts, p, sig) = statAt(xty, yy)
       FrontierPoint(budget, ts, p, sig)
     }
+    } finally { joined.unpersist(blocking = false); () }
     } finally { payments.unpersist(blocking = false); () }
     } finally { dummied.unpersist(); () }
   }
