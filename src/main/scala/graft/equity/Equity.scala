@@ -102,7 +102,13 @@ final case class OptimizeResult(
     adjustmentsUnsorted: DataFrame,
     metrics: OptimizeMetrics,
     model: FairModel,
-    idCol: String) {
+    idCol: String,
+    /** Releases the optimizer's internal annotated-frame cache when the
+      * call was made with `keepAnnotated = true` (compositions hold it
+      * until they have materialized the allocation, so the allocation
+      * plan executes against the cache instead of recomputing). No-op
+      * otherwise. */
+    releaseCache: () => Unit = () => ()) {
   /** Output contract (`engine/src/analysis.rs:309-869`): the allocation
     * ordered by row id. */
   lazy val adjustments: DataFrame = adjustmentsUnsorted.orderBy(col(idCol))
@@ -186,7 +192,7 @@ object Equity {
   private[graft] def optimizePrepared(dummied: DataFrame, xCols: Seq[String],
       names: Seq[String], split: Prep.GroupSplit,
       lanes: Array[Array[GramResult]], cfg: EquityConfig,
-      idCol: String): OptimizeResult = {
+      idCol: String, keepAnnotated: Boolean = false): OptimizeResult = {
     val gTarget = lanes(0)(0) // non-reference = target group
     val gRef = lanes(1)(0)
     val model = fitFairModel(gTarget, gRef, xCols, names, cfg)
@@ -305,8 +311,20 @@ object Equity {
     OptimizeResult(adjustments,
       OptimizeMetrics(totalCost, originalGap, newGap, origUnexp, newUnexp,
         totalNeed, names.zipWithIndex.map { case (n, i) => n -> model.beta(i) }),
-      model, idCol)
-    } finally { annotated.unpersist(blocking = false); () }
+      model, idCol,
+      releaseCache =
+        if (keepAnnotated) () => { annotated.unpersist(blocking = false); () }
+        else () => ())
+    } catch {
+      // never leak the cache on failure, keepAnnotated or not
+      case t: Throwable => annotated.unpersist(blocking = false); throw t
+    } finally {
+      // compositions that pass keepAnnotated materialize the allocation
+      // against the cache and release it via releaseCache(); the plain
+      // path releases here (its caller consumes the allocation exactly
+      // once and the recompute reads the narrow upstream cache)
+      if (!keepAnnotated) { annotated.unpersist(blocking = false); () }
+    }
   }
 
   /** Per-feature contribution columns x_j * beta_j (`analysis.rs:723-742`). */
@@ -358,15 +376,18 @@ object Equity {
     val (p, lanes) = prepareAndGram(df, cfg)
     try {
       val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
-        cfg, idCol)
+        cfg, idCol, keepAnnotated = true)
       // materialize the adjustment set once: the verification
       // decomposition executes the mutated frame more than once (Gram
       // pass + any bootstrap lanes), and each execution would otherwise
-      // re-run the whole allocation plan from scratch
+      // re-run the whole allocation plan from scratch. keepAnnotated
+      // holds the optimizer's cache until this count so the allocation
+      // executes against it instead of recomputing.
       val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
         .select(col(idCol), col("adjustment"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       adj.count()
+      opt.releaseCache()
       try {
         (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
       } finally { adj.unpersist(blocking = false); () }
@@ -458,7 +479,7 @@ object Equity {
     val (p, lanes) = prepareAndGram(df, cfg)
     try {
       val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
-        cfg, idCol)
+        cfg, idCol, keepAnnotated = true)
       val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
         .select(col(idCol), col("adjustment"))
       val model =
@@ -468,7 +489,11 @@ object Equity {
       val judged = checkDefensibilityPrepared(p, model, adj, idCol,
           "adjustment", cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // judged.count() broadcasts adj, which executes the allocation —
+      // keepAnnotated holds the optimizer's cache through that single
+      // execution, released right after
       judged.count()
+      opt.releaseCache()
       (opt, judged)
     } finally { p.dummied.unpersist(blocking = false); () }
   }

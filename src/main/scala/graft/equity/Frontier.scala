@@ -41,7 +41,8 @@ object Frontier {
 
     // payments = greedy full-need allocation (budget = 0 -> auto)
     val opt = Equity.optimizePrepared(dummied, xCols, p.names, p.split, lanes,
-      cfg.copy(budget = 0.0, strategy = AllocationStrategy.Greedy), idCol)
+      cfg.copy(budget = 0.0, strategy = AllocationStrategy.Greedy), idCol,
+      keepAnnotated = true)
     val totalNeed = opt.metrics.requiredBudget
     val maxB = maxBudget.getOrElse(totalNeed * 1.1)
     val safeMax = if (maxB < 1e-9) 1000.0 else maxB
@@ -89,6 +90,9 @@ object Frontier {
       .select(col(idCol), payAmount.as("adjustment"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     payments.count()
+    // the count above executed the allocation against the optimizer's
+    // cache (keepAnnotated); nothing downstream reads it again
+    opt.releaseCache()
     try {
     // narrow + persist: the prefix-sum machinery executes this frame
     // three times (boundary probe, bucket totals, the sweep aggregate's
