@@ -164,10 +164,14 @@ object Ann {
     // layout, and a thread-count-dependent layout would break the
     // cross-parallelism determinism audit — round-robin from the same
     // source layout to the same count is deterministic.
-    val FanOut = 64
+    // corpus-sized (via nCells = n / targetCellSize), clamped to [8, 64]:
+    // a tiny corpus must not shatter into 64 partitions of task overhead,
+    // and the count stays a pure function of the DATA (never of the
+    // thread count), keeping the audit green
+    val fanOut = math.min(64, math.max(8, nCells))
     val raw0 = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__vec__"))
-    val raw = if (raw0.rdd.getNumPartitions < FanOut) raw0.repartition(FanOut)
+    val raw = if (raw0.rdd.getNumPartitions < fanOut) raw0.repartition(fanOut)
       else raw0
     // `__nv__`: the vector norm, computed ONCE at build — every search
     // and pair screening over the index then pays one dot product per

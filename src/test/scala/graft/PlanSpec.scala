@@ -303,7 +303,7 @@ class PlanSpec extends SparkSpec {
       nCells = 4)
     try {
       idx.assigned.count() // materialize the cache (AQE finalizes layout)
-      assert(idx.assigned.rdd.getNumPartitions >= 16,
+      assert(idx.assigned.rdd.getNumPartitions >= 8,
         s"cached IVF index has ${idx.assigned.rdd.getNumPartitions} " +
           "partitions; searches over it would serialize")
     } finally idx.unpersist()
