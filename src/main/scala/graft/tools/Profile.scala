@@ -39,11 +39,38 @@ object Profile {
         out.unpersist(blocking = true)
         dt
       }
-      build(slim = true); build(slim = false) // warm JIT both paths
-      val full = (1 to 5).map(_ => build(slim = false))
+      def buildHash(): Double = {
+        val raw = spark.read.parquet(s"$d/lineitem.parquet")
+        val in = raw.select((col("l_orderkey") +: tieBreaks): _*)
+        val t0 = System.nanoTime()
+        val canon = concat_ws(":",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          round(col("l_extendedprice") * 100, 0).cast("long").cast("string"),
+          col("l_quantity").cast("long").cast("string"),
+          round(col("l_discount") * 100, 0).cast("long").cast("string"),
+          round(col("l_tax") * 100, 0).cast("long").cast("string"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("string"))
+        val h = graft.ext.TextAnalysis.hash56(canon)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h__"))
+          .orderBy((col("l_orderkey") +: tieBreaks): _*)
+        val out = in.withColumn("__h__", h)
+          .withColumn("row_id",
+            concat(col("__h__").cast("string"), lit("-"),
+              row_number().over(w).cast("string")))
+          .drop("__h__")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        out.unpersist(blocking = true)
+        dt
+      }
+      build(slim = true); buildHash() // warm JIT both paths
       val slim = (1 to 5).map(_ => build(slim = true))
-      println(f"[profile] rowid full min=${full.min}%.3f all=${full.map(x => f"$x%.2f").mkString(",")}")
+      val hsh = (1 to 5).map(_ => buildHash())
       println(f"[profile] rowid slim min=${slim.min}%.3f all=${slim.map(x => f"$x%.2f").mkString(",")}")
+      println(f"[profile] rowid hash min=${hsh.min}%.3f all=${hsh.map(x => f"$x%.2f").mkString(",")}")
     } else if (args.headOption.contains("phases")) {
       import graft.equity._
       import org.apache.spark.sql.functions._
