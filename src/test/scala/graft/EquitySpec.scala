@@ -164,6 +164,41 @@ class EquitySpec extends SparkSpec {
     assert(tf.interactionGap.isDefined && tf.interactionPercentage.isDefined)
   }
 
+  test("frontier: a corpus with no underpaid target rows yields the zero frontier") {
+    // every target-group wage is ABOVE its fair prediction -> the greedy
+    // allocation is empty, totalNeed = 0, and the sweep must fall back to
+    // the safe default budget axis without dividing by zero or failing
+    // on an empty payment set
+    val df = Seq(
+      (0L, 10.0, 1.0, "B"), (1L, 12.0, 2.0, "B"), (2L, 14.0, 3.0, "B"),
+      (3L, 99.0, 1.0, "A"), (4L, 99.0, 2.0, "A"), (5L, 99.0, 3.0, "A")
+    ).toDF("id", "wage", "education", "group")
+    val cfg = EquityConfig("wage", "group", "B", Seq("education"))
+    val pts = Frontier.compute(df, cfg, "id", steps = 3)
+    assert(pts.size == 4)
+    assert(pts.head.budget == 0.0)
+    // with zero payments every step's statistic equals the unadjusted one
+    assert(pts.map(_.tStatistic).distinct.size == 1)
+  }
+
+  test("optimizeAndVerify releases its caches and verifies on the mutated frame") {
+    val df = f4
+    // reference = A (the higher-paid group): B's rows sit below the fair
+    // model, so the greedy allocation actually pays out
+    val cfg = EquityConfig("wage", "group", "A", Seq("education"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (opt, res) = Equity.optimizeAndVerify(df, cfg, "id")
+    assert(opt.metrics.totalCost > 0.0)
+    // verification ran on wage + adjustment: the new gap must shrink
+    // toward zero relative to the unadjusted decomposition
+    assert(math.abs(res.totalGap) < math.abs(opt.metrics.originalGap))
+    // the composition must not leak persisted RDDs (annotated frame,
+    // adjustment set) once it returns
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"leaked ${after - before} persisted RDDs")
+  }
+
   test("defensibility: funded adjustments are defensible") {
     val res = Equity.optimize(f11, f11cfg, "id")
     val out = Equity.checkDefensibility(f11,
