@@ -18,6 +18,30 @@ class ExtSpec extends SparkSpec {
     (5L, "completely different words about spark engines and data", "en", "c")
   ).toDF("doc_id", "text", "lang", "source")
 
+  test("degenerate inputs: empty pair list, short docs, oversized k") {
+    // connected components of an empty pair list: empty result with the
+    // right schema, and assignClusters leaves every doc a singleton
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(noPairs)
+    assert(cc.columns.toSeq == Seq("id", "component") && cc.count() == 0)
+    val assigned = Cluster.assignClusters(docs, "doc_id", noPairs)
+    assert(assigned.filter(col("is_canonical")).count() == docs.count())
+
+    // docs shorter than the shingle width produce no shingles and no
+    // pairs — not a crash
+    val tiny = Seq((0L, "a b"), (1L, "c")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text",
+      n = 5, threshold = 0.1).count() == 0)
+
+    // k larger than the corpus: every other vector is returned, ranked,
+    // and nothing fails
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val topk = Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 10)
+    assert(topk.groupBy(col("query_id")).count().collect()
+      .forall(_.getLong(1) == 2))
+  }
+
   test("exact dedup finds the duplicate group and keeps the min id") {
     val groups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
     assert(groups.length == 1)
