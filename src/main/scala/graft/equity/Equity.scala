@@ -382,15 +382,21 @@ object Equity {
       // pass + any bootstrap lanes), and each execution would otherwise
       // re-run the whole allocation plan from scratch. keepAnnotated
       // holds the optimizer's cache until this count so the allocation
-      // executes against it instead of recomputing.
-      val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
-        .select(col(idCol), col("adjustment"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      adj.count()
-      opt.releaseCache()
+      // executes against it instead of recomputing. The count + early
+      // release sit INSIDE the try: a failure mid-count must still drop
+      // both the adj persist and the optimizer's annotated cache
+      // (releaseCache/unpersist are idempotent, so the outer finally's
+      // second release on the happy path is a free no-op).
       try {
-        (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
-      } finally { adj.unpersist(blocking = false); () }
+        val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
+          .select(col(idCol), col("adjustment"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          adj.count()
+          opt.releaseCache()
+          (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
+        } finally { adj.unpersist(blocking = false); () }
+      } finally { opt.releaseCache() }
     } finally { p.dummied.unpersist(blocking = false); () }
   }
 
@@ -491,10 +497,15 @@ object Equity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // judged.count() broadcasts adj, which executes the allocation —
       // keepAnnotated holds the optimizer's cache through that single
-      // execution, released right after
-      judged.count()
-      opt.releaseCache()
-      (opt, judged)
+      // execution, released right after. On failure the judged persist
+      // must go too (it is only handed to the caller on success); the
+      // finally's releaseCache is an idempotent no-op on the happy path.
+      try {
+        judged.count()
+        (opt, judged)
+      } catch {
+        case t: Throwable => judged.unpersist(blocking = false); throw t
+      } finally { opt.releaseCache() }
     } finally { p.dummied.unpersist(blocking = false); () }
   }
 

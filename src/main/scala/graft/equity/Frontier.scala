@@ -89,11 +89,15 @@ object Frontier {
       .filter(col("adjustment") > 0.0)
       .select(col(idCol), payAmount.as("adjustment"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     payments.count()
     // the count above executed the allocation against the optimizer's
-    // cache (keepAnnotated); nothing downstream reads it again
+    // cache (keepAnnotated); nothing downstream reads it again. The
+    // count sits inside the try so a mid-count failure still drops both
+    // the payments persist and (via the finally below) the optimizer's
+    // cache — releaseCache is idempotent, so this early happy-path
+    // release makes the finally's a no-op.
     opt.releaseCache()
-    try {
     // narrow + persist: the prefix-sum machinery executes this frame
     // three times (boundary probe, bucket totals, the sweep aggregate's
     // window input) — cache the joined projection once instead of
@@ -167,7 +171,10 @@ object Frontier {
       FrontierPoint(budget, ts, p, sig)
     }
     } finally { joined.unpersist(blocking = false); () }
-    } finally { payments.unpersist(blocking = false); () }
-    } finally { dummied.unpersist(); () }
+    } finally {
+      payments.unpersist(blocking = false)
+      opt.releaseCache()
+    }
+    } finally { dummied.unpersist(blocking = false); () }
   }
 }

@@ -61,12 +61,16 @@ object Kde {
             var i = 0
             while (i < m) {
               val u = (grid(i) - x) / h
-              val k = InvSqrt2Pi * math.exp(-0.5 * u * u)
+              // only the exp() is shared across lanes; the accumulated
+              // term stays left-associated (wv * InvSqrt2Pi) * e — the
+              // exact FP association of the original per-lane loop, so
+              // sharing the kernel can never flip a rounded oracle value
+              val e = math.exp(-0.5 * u * u)
               j = 0
               while (j < lanes.length) {
                 val l = lanes(j)
                 val wv = row.getDouble(1 + l)
-                if (wv != 0.0) buf(l * stride + i) += wv * k
+                if (wv != 0.0) buf(l * stride + i) += wv * InvSqrt2Pi * e
                 j += 1
               }
               i += 1

@@ -15,11 +15,19 @@ object Rif {
   /** Per-group scalar inputs of the transform. `countLeQ` (rows with
     * y <= q_tau) rides the density pass for free and makes the group
     * RIF mean closed-form: mean(RIF) = q + (tau - countLeQ/n) / f —
-    * consumers that only need the mean skip a whole extra scan. */
+    * consumers that only need the mean skip a whole extra scan.
+    *
+    * `density` is the FLOORED estimate (>= 1e-8, see transformPerGroup
+    * pass 3), so the closed form is only valid where the transform
+    * actually applied it: for n < 2 the transform passes y through
+    * unchanged, so the group mean of the output is the single value
+    * itself (= qTau when n == 1; qTau is the 0.0 fallback when n == 0,
+    * where the mean is vacuous anyway). */
   final case class GroupRif(level: String, n: Long, qTau: Double,
       bandwidth: Double, density: Double, countLeQ: Long) {
     def meanRif(tau: Double): Double =
-      qTau + (tau - countLeQ.toDouble / n.toDouble) / density
+      if (n < 2) qTau
+      else qTau + (tau - countLeQ.toDouble / n.toDouble) / density
   }
 
   /** Compute RIF of `outcome` separately within each level of

@@ -131,7 +131,13 @@ object Cluster {
         .toArray.distinct
       val rows = nodes.map(n => (n, find(n)))
       import pairs.sparkSession.implicits._
-      return rows.toSeq.toDF("id", "component")
+      // parallelize, NOT toDF: a LocalRelation would embed the full
+      // component map inside the logical plan, and downstream joins
+      // (assignClusters) would carry those megabytes through every
+      // plan copy/optimization; as an RDD scan the map lives once in
+      // the block manager and the plan stays O(1)
+      return pairs.sparkSession.sparkContext
+        .parallelize(rows.toIndexedSeq).toDF("id", "component")
     }
 
     var round = 0

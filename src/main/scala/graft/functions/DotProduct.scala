@@ -39,10 +39,13 @@ private[functions] object ArrayKernel {
   * This expression is one allocation-free fused loop over the two
   * `ArrayData`, inlined into whole-stage codegen.
   *
-  * Semantics: sum over the common prefix length of a(i) * b(i), left to
-  * right (the same FP association as the chain it replaces); a null
-  * ELEMENT on either side makes the result null. Norms need no second
-  * kernel: |a| = sqrt(dot(a, a)). */
+  * Semantics: sum over a(i) * b(i), left to right (the same FP
+  * association as the chain it replaces); a null ELEMENT on either side
+  * makes the result null, and so does a LENGTH mismatch — `zip_with`
+  * pads the shorter array with nulls, so the chain this replaces
+  * returned null for dimension-mismatched embeddings rather than a
+  * plausible-looking prefix cosine that would mask corrupt data. Norms
+  * need no second kernel: |a| = sqrt(dot(a, a)). */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -68,7 +71,8 @@ case class DotProductExpr(left: Expression, right: Expression)
     if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -87,9 +91,10 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += ${ArrayKernel.genGet(left.dataType, a, s"$i")} *
          |    ${ArrayKernel.genGet(right.dataType, b, s"$i")};
@@ -135,8 +140,9 @@ case class CenteredDotExpr(first: Expression, second: Expression,
     val x = xv.asInstanceOf[ArrayData]
     val m = mv.asInstanceOf[ArrayData]
     val q = qv.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(),
-      math.min(m.numElements(), q.numElements()))
+    val n = x.numElements()
+    // zip_with semantics: mismatched lengths pad with null => null result
+    if (n != m.numElements() || n != q.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -156,10 +162,11 @@ case class CenteredDotExpr(first: Expression, second: Expression,
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(),
-         |  java.lang.Math.min($m.numElements(), $q.numElements()));
+         |int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $m.numElements() || $n != $q.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $m.isNullAt($i) || $q.isNullAt($i)) {
          |    ${ev.isNull} = true; break;
          |  }

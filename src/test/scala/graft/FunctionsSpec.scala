@@ -40,6 +40,37 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("mismatched array lengths yield null (zip_with pad semantics)") {
+    // zip_with pads the shorter side with nulls, so the higher-order
+    // chains these kernels replaced returned null for dimension-
+    // mismatched embeddings — a prefix dot would silently mask corrupt
+    // data. Interpreted AND codegen paths must agree.
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0)),
+      (Array(1.0), Array.empty[Double])
+    ).toDF("a", "b")
+    val fused = df.select(
+      DotProduct(col("a"), col("b")).as("d"),
+      CenteredDot(col("a"), col("b"), col("a")).as("c"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), _ + _).as("hof")).collect()
+    fused.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+      assert(r.isNullAt(2), "zip_with reference semantics changed?")
+    }
+    // interpreted path (eval): same verdict
+    import graft.functions.DotProductExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit2 = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0)),
+      ArrayType(DoubleType))
+    val lit3 = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayType(DoubleType))
+    assert(DotProductExpr(lit2, lit3).eval(null) == null)
+    assert(DotProductExpr(lit2, lit2).eval(null) == 5.0)
+  }
+
   test("CenteredDot equals the centered zip_with chain bit-for-bit") {
     val mu = Array(0.5, -1.5, 2.0)
     val q = Array(0.25, 4.0, -3.5)

@@ -3,6 +3,7 @@ package graft
 import graft.decompose._
 import graft.estimators.{Kde, Logit, Rif}
 import graft.prep.Prep
+import org.apache.spark.sql.functions.{avg, col}
 
 /** RIF quantile decomposition, DFL and logit: mirrors
   * `oaxaca_blinder/tests/rif_test.rs`, `features_test.rs:74-89` and the
@@ -65,6 +66,28 @@ class QuantileSpec extends SparkSpec {
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(math.abs(rifs(3.0) - (5.0 + (0.5 - 1.0) / dens)) < 1e-9)
     assert(math.abs(rifs(9.0) - (5.0 + 0.5 / dens)) < 1e-9)
+  }
+
+  test("RIF singleton/tiny groups: passthrough and closed-form mean agree") {
+    // n < 2 groups take the y-passthrough in the output column; meanRif
+    // must report the same thing (qTau = the single value), NOT the
+    // closed form over the floored density (which would be wildly off).
+    val df = Seq((7.25, "solo"), (1.0, "big"), (2.0, "big"), (3.0, "big"),
+      (4.0, "big"), (5.0, "big")).toDF("y", "g")
+    val (out, info) = Rif.transformPerGroup(df, "y", "g", 0.5)
+    val solo = info.find(_.level == "solo").get
+    assert(solo.n == 1L)
+    assert(solo.qTau == 7.25)
+    assert(solo.meanRif(0.5) == 7.25) // == the passthrough group mean
+    val soloOut = out.filter(col("g") === "solo")
+      .select("__rif__").head().getDouble(0)
+    assert(soloOut == 7.25, "n=1 passthrough changed")
+    // and for a real group the closed form still equals avg(__rif__)
+    val big = info.find(_.level == "big").get
+    val avgRif = out.filter(col("g") === "big")
+      .agg(avg(col("__rif__"))).head().getDouble(0)
+    assert(math.abs(big.meanRif(0.5) - avgRif) < 1e-9,
+      s"closed form ${big.meanRif(0.5)} vs avg $avgRif")
   }
 
   test("DFL produces 100-point grid and three densities (features_test.rs)") {
