@@ -22,10 +22,58 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // Spark's ContextCleaner only reaps shuffle files / broadcast blocks
+    // when the driver GC collects their ShuffleDependency references —
+    // with a 128 GiB heap a 94-query suite can run end to end without a
+    // single full GC, so shuffle state from EVERY prior query stays on
+    // disk and in the block manager maps, inflating late-suite timings
+    // ~1.5x (the round-10 in-suite vs focused divergence). One explicit
+    // GC per sweep keeps the session's footprint flat; it costs ~10s
+    // total across the suite and is untimed (outside the t0 window).
+    System.gc()
     // the retained IVF fit lost its cached cell assignment to the two
     // lines above; re-materialize it (untimed) so searches measure
     // search, and q_ivf_build alone measures the build
     QueriesExt.rematerializeIndexes()
+  }
+
+  /** Fixture manifest of the bench input dir: per-table byte size +
+    * mtime + a cheap content hash of the parquet FOOTER (last 64 KiB —
+    * row counts, schema, column stats all live there, so regenerated
+    * data changes it even at identical byte size). Two BENCH snapshots
+    * are cross-round comparable iff their digests match: the r9/r10
+    * "regressions" were the driver regenerating /root/testdata between
+    * rounds, which this field now makes self-declaring. */
+  private def fixtureManifest(sfDir: String)
+      : (Seq[(String, Long, Long, String)], String) = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(sfDir)
+    val tables =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+        .map { p =>
+          val size = Files.size(p)
+          val mtime = Files.getLastModifiedTime(p).toMillis
+          val tail = new Array[Byte](math.min(size, 65536L).toInt)
+          val ch = java.nio.channels.FileChannel.open(p)
+          try {
+            ch.position(size - tail.length)
+            val bb = java.nio.ByteBuffer.wrap(tail)
+            while (bb.hasRemaining && ch.read(bb) >= 0) {}
+          } finally ch.close()
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.update(tail)
+          val fh = md.digest().take(4).map("%02x".format(_)).mkString
+          (p.getFileName.toString.stripSuffix(".parquet"), size, mtime, fh)
+        }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    tables.foreach { case (n, s, _, fh) => // mtime excluded: a byte-
+      // identical copy (same footer, same size) IS the same vintage
+      md.update(s"$n:$s:$fh;".getBytes(StandardCharsets.UTF_8))
+    }
+    (tables, md.digest().take(4).map("%02x".format(_)).mkString)
   }
 
   /** 1-minute system load average (or -1 where unsupported): recorded in
@@ -117,8 +165,12 @@ object Bench {
       .filter { case (_, (m, mn)) => m > 0 && mn > 0 && m / mn > 2.0 }
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    val (fixtures, fixturesDigest) = fixtureManifest(sfDir)
+    val fixturesJson = fixtures.map { case (n, s, m, fh) =>
+      s""""$n":{"bytes":$s,"mtime_ms":$m,"footer":"$fh"}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"fixtures_digest":"$fixturesDigest","fixtures":$fixturesJson,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The driver captures only the LAST ~2000 chars of stdout and parses
@@ -139,7 +191,7 @@ object Bench {
       .map { case (k, (m, _)) => "\"" + k + "\":" + r2(m) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${omittedAfterTop.size},"omitted_sum":${r2(omittedAfterTop.map(_._2._1).sum)},"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${omittedAfterTop.size},"omitted_sum":${r2(omittedAfterTop.map(_._2._1).sum)},"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"fixtures_digest":"$fixturesDigest","full":"bench_out.json","sf":"$sfDir"}"""
     // stop Spark FIRST: its shutdown logging otherwise lands after our
     // line, and sbt's [info] logger mangles anything mid-run — the bare
     // JSON must be the very last stdout line (and goes to stderr too) so

@@ -17,20 +17,51 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** Interleaved point/range bucket id over frozen boundary literals:
+    * boundary VALUES get their own exact-match (odd) buckets, strict
+    * ranges between them the even buckets. `approxQuantile` boundaries
+    * are actual data values, so when the probe collapses (tie-dense /
+    * near-constant keys) the mass sits ON the surviving boundaries —
+    * point buckets capture exactly those heavy tie runs, and every
+    * range bucket is bounded by the probe spacing (more mass between
+    * two adjacent distinct boundaries would have yielded another
+    * distinct boundary). Monotone in `v` by construction: v strictly
+    * between b_{j-1} and b_j -> 2j, v == b_j -> 2j + 1. */
+  private def pointRangeBucket(v: Column, boundaries: Array[Double]): Column =
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(v > lit(b), 2).when(v === lit(b), 1).otherwise(0)
+    }
+
   /** Adds `outCol` = sum of `value` over all rows strictly before the
     * current row in the global ordering (exclusive prefix sum).
+    *
+    * Tie-dense keys (e.g. a uniform adjustment amount, an outcome
+    * dominated by one value) collapse the boundary probe's distinct set,
+    * which would funnel ALL tied rows into one bucket = one window task
+    * at scale — exactly the failure this machinery exists to prevent.
+    * The point/range bucket split isolates each heavy tied value in its
+    * own (odd) bucket, and point buckets are then SUB-bucketed on
+    * quantile boundaries of the first tie-break: within a point bucket
+    * the key is constant, and the sub id is monotone in the tie-break,
+    * so ordering by (bucket, sub, key, ties) IS the global (key, ties)
+    * order and every prefix stays bit-identical — no tie run ever sorts
+    * in a single task. The tie probe is only paid when the key probe
+    * actually collapsed (and skipped when no tie-break is castable).
     *
     * @param keyCol    numeric primary ordering column
     * @param ascending ordering direction of keyCol
     * @param tieBreaks extra columns making the ordering total
     */
-  def exclusivePrefixSum(df: DataFrame, keyCol: Column, ascending: Boolean,
-      tieBreaks: Seq[Column], value: Column, outCol: String,
+  /** The bucketed front half of [[exclusivePrefixSum]] — split out so
+    * specs can assert the effective (bucket, sub) split on tie-dense
+    * keys, not just the plan shape. */
+  private[graft] def prefixBucketed(df: DataFrame, keyCol: Column,
+      ascending: Boolean, tieBreaks: Seq[Column], value: Column,
       numBuckets: Int = 0): DataFrame = {
     val buckets = if (numBuckets > 0) numBuckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // monotone bucket id: count of frozen boundaries <= key (negated for
-    // descending order so bucket order == global order)
+    // monotone bucket id (negated key for descending order so bucket
+    // order == global order)
     val signedKey = if (ascending) keyCol.cast("double")
       else -keyCol.cast("double")
     val keyed = df.withColumn("__pfx_key__", signedKey)
@@ -39,32 +70,65 @@ object Windows {
       if (probes.isEmpty) Array.empty[Double]
       else keyed.stat.approxQuantile("__pfx_key__", probes, 0.001)
         .distinct.sorted
-    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__pfx_key__") > lit(b), 1).otherwise(0)
-    }
+    val bucket = pointRangeBucket(col("__pfx_key__"), boundaries)
+    // sub-split point buckets when the key probe collapsed: distinct
+    // boundaries < min(8, buckets/4) means ONE tied value may hold an
+    // O(n) share of the rows
+    val collapsed = probes.nonEmpty &&
+      boundaries.length < math.min(8, math.max(buckets / 4, 2))
+    val tieBoundaries: Array[Double] =
+      if (!collapsed || tieBreaks.isEmpty) Array.empty
+      else {
+        // a non-numeric tie-break casts to all-null -> no usable probe;
+        // fall back to unsplit point buckets (correct, just coarser)
+        val t = keyed.withColumn("__pfx_tie__",
+          tieBreaks.head.cast("double"))
+        scala.util.Try(
+          t.stat.approxQuantile("__pfx_tie__", probes, 0.001)
+            .filterNot(_.isNaN).distinct.sorted
+        ).getOrElse(Array.empty)
+      }
+    val sub =
+      if (tieBoundaries.isEmpty) lit(0)
+      else when(bucket % 2 === 1, // point buckets only; ranges keep 0
+        tieBoundaries.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(tieBreaks.head.cast("double") > lit(b), 1).otherwise(0)
+        }).otherwise(lit(0))
+    keyed.withColumn("__bucket__", bucket)
+      .withColumn("__sub__", sub)
+      .withColumn("__val__", value)
+  }
+
+  def exclusivePrefixSum(df: DataFrame, keyCol: Column, ascending: Boolean,
+      tieBreaks: Seq[Column], value: Column, outCol: String,
+      numBuckets: Int = 0): DataFrame = {
     val ordering = (if (ascending) keyCol.asc else keyCol.desc) +:
       tieBreaks.map(_.asc)
-    val bucketed = keyed.withColumn("__bucket__", bucket)
-      .withColumn("__val__", value)
-    val local = Window.partitionBy(col("__bucket__")).orderBy(ordering: _*)
+    val bucketed = prefixBucketed(df, keyCol, ascending, tieBreaks, value,
+      numBuckets)
+    val local = Window.partitionBy(col("__bucket__"), col("__sub__"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = bucketed.withColumn("__local_prefix__",
       coalesce(sum(col("__val__")).over(local), lit(0.0)))
-    // bucket totals: <= numBuckets rows; deterministic (value-derived)
-    val totals = bucketed.groupBy(col("__bucket__"))
+    // (bucket, sub) totals: <= ~3 * numBuckets rows; deterministic
+    // (value-derived), so re-executions stay self-consistent
+    val totals = bucketed.groupBy(col("__bucket__"), col("__sub__"))
       .agg(sum(col("__val__")).as("__tot__"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    var offsets = Map.empty[Int, Double]
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    var offsets = Map.empty[(Int, Int), Double]
     var acc = 0.0
-    totals.keys.toSeq.sorted.foreach { b =>
-      offsets += b -> acc
-      acc += totals(b)
+    totals.keys.toSeq.sorted.foreach { k =>
+      offsets += k -> acc
+      acc += totals(k)
     }
-    val offCol = offsets.foldLeft(lit(0.0)) { case (c, (b, off)) =>
-      when(col("__bucket__") === lit(b), lit(off)).otherwise(c)
+    val offCol = offsets.foldLeft(lit(0.0)) { case (c, ((b, s), off)) =>
+      when(col("__bucket__") === lit(b) && col("__sub__") === lit(s),
+        lit(off)).otherwise(c)
     }
     withLocal.withColumn(outCol, col("__local_prefix__") + offCol)
-      .drop("__pfx_key__", "__bucket__", "__val__", "__local_prefix__")
+      .drop("__pfx_key__", "__bucket__", "__sub__", "__val__",
+        "__local_prefix__")
   }
 
   /** Values of `value` (nulls dropped) at the given 0-based global sort
@@ -171,9 +235,15 @@ object Windows {
         if (probes.isEmpty) Array.empty[Double]
         else vals.stat.approxQuantile("__v__", probes, 0.01).distinct.sorted
     }
-    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__v__") > lit(b), 1).otherwise(0)
-    }
+    // interleaved point/range buckets (see pointRangeBucket): a rank
+    // that falls inside a POINT bucket needs no sort at all — every row
+    // there shares the boundary value, so the answer IS that value,
+    // resolved on the driver below. Only thin RANGE buckets (bounded by
+    // the probe spacing) ever reach the window, so a (near-)constant
+    // value column — which collapses the probe's distinct set — can no
+    // longer funnel all rows into one single-task sort: its heavy tied
+    // values short-circuit driver-side instead.
+    val bucket = pointRangeBucket(col("__v__"), boundaries)
     val bucketed = vals.withColumn("__bucket__", bucket)
     // per-(group, bucket) counts: <= groups * buckets rows, deterministic
     // (value-derived buckets), so re-executions stay self-consistent
@@ -189,15 +259,28 @@ object Windows {
           entry
         }
       }
-    // prune to the buckets whose [offset, offset + n) range holds a
-    // requested rank for SOME group — everything else never needs
-    // sorting. The prune predicate references __bucket__ exactly once
-    // (a plain isin): a per-(group, bucket) OR-chain here re-inlines the
-    // bucket when-fold once per term below the exchange and measured
+    // resolve ranks landing in point buckets straight from the boundary
+    // value; only the rest need the distributed rank-pick
+    val pointHits: Map[String, Map[Long, Double]] = offsets.toSeq.collect {
+      case ((g, b), off) if b % 2 == 1 =>
+        want(g).filter(r => r >= off && r < off + totals((g, b)))
+          .map(r => (g, r, boundaries((b - 1) / 2)))
+    }.flatten.groupBy(_._1)
+      .map { case (g, hs) => g -> hs.map(h => h._2 -> h._3).toMap }
+    val remaining: Map[String, Set[Long]] = want.map { case (g, rs) =>
+      g -> (rs -- pointHits.getOrElse(g, Map.empty).keySet)
+    }.filter(_._2.nonEmpty)
+    if (remaining.isEmpty) return pointHits
+    // prune to the RANGE buckets whose [offset, offset + n) range holds
+    // a still-unresolved rank for SOME group — everything else never
+    // needs sorting. The prune predicate references __bucket__ exactly
+    // once (a plain isin): a per-(group, bucket) OR-chain here re-inlines
+    // the bucket when-fold once per term below the exchange and measured
     // ~10x slower than the whole window it guards.
     val keptBuckets = offsets.collect {
       case ((g, b), off)
-        if want(g).exists(r => r >= off && r < off + totals((g, b))) => b
+        if b % 2 == 0 && remaining.getOrElse(g, Set.empty)
+          .exists(r => r >= off && r < off + totals((g, b))) => b
     }.toSet
     val keepBucket =
       col("__bucket__").isin(keptBuckets.toSeq.map(_.asInstanceOf[Any]): _*)
@@ -221,15 +304,20 @@ object Windows {
       .join(broadcast(offDf), Seq("__g__", "__bucket__"))
       .withColumn("__rk__",
         coalesce(sum(lit(1.0)).over(local), lit(0.0)) + col("__off__"))
-    val wantDf = want.iterator
+    val wantDf = remaining.iterator
       .flatMap { case (g, rs) => rs.map(r => (g, r.toDouble)) }
       .toSeq.toDF("__g__", "__rk__")
-    ranked.join(broadcast(wantDf), Seq("__g__", "__rk__"))
+    val windowed = ranked.join(broadcast(wantDf), Seq("__g__", "__rk__"))
       .select(col("__g__"), col("__rk__"), col("__v__"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (g, rows) =>
         g -> rows.map(r => r.getDouble(1).toLong -> r.getDouble(2)).toMap
       }
+    // merge driver-resolved point-bucket answers with the windowed ones
+    (windowed.keySet ++ pointHits.keySet).iterator.map { g =>
+      g -> (windowed.getOrElse(g, Map.empty) ++
+        pointHits.getOrElse(g, Map.empty))
+    }.toMap
   }
 }
