@@ -26,7 +26,13 @@ Setup: start PySpark with the graft jar on the driver classpath::
 from pyspark.sql import DataFrame
 
 __all__ = ["OaxacaBlinder", "OaxacaResults", "BudgetResult", "DflResult",
-           "AkmResult", "run_dfl", "estimate_akm", "match_units"]
+           "AkmResult", "run_dfl", "estimate_akm", "match_units",
+           # LLM-pipeline extension operators
+           "exact_duplicates", "drop_exact_duplicates", "minhash_lsh_pairs",
+           "simhash_pairs", "jaccard_pairs", "embedding_neardup_pairs",
+           "assign_clusters", "ann_topk", "ann_ivf_topk",
+           "stratified_sample", "topk_by_score", "token_budget_sample",
+           "seq_pack", "flag_contaminated", "remove_contaminated"]
 
 
 class OaxacaResults:
@@ -206,6 +212,141 @@ def match_units(dataframe, treatment_col, covariates, k, method, id_col):
         dataframe._jdf, treatment_col, list(covariates), int(k), method,
         id_col)
     return DataFrame(jdf, spark)
+
+
+def _api(dataframe):
+    return dataframe.sparkSession._jvm.graft.api.PyApi
+
+
+def _wrap(dataframe, jdf):
+    return DataFrame(jdf, dataframe.sparkSession)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension operators: dedup, ANN, sampling, packing, decontam.
+# Each takes/returns pyspark DataFrames; shapes match the Scala ext/ API.
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(dataframe, id_col, text_col):
+    """Exact duplicate groups: one row per duplicated content hash with
+    the member ids."""
+    return _wrap(dataframe, _api(dataframe).exactDuplicates(
+        dataframe._jdf, id_col, text_col))
+
+
+def drop_exact_duplicates(dataframe, id_col, text_col):
+    """The corpus minus exact duplicates (smallest id per content kept)."""
+    return _wrap(dataframe, _api(dataframe).dropExactDuplicates(
+        dataframe._jdf, id_col, text_col))
+
+
+def minhash_lsh_pairs(dataframe, id_col, text_col, shingle_n=3,
+                      num_hashes=16, bands=8, threshold=0.8):
+    """MinHash-LSH near-duplicate candidate pairs, verified with exact
+    Jaccard at ``threshold``."""
+    return _wrap(dataframe, _api(dataframe).minhashLshPairs(
+        dataframe._jdf, id_col, text_col, int(shingle_n), int(num_hashes),
+        int(bands), float(threshold)))
+
+
+def simhash_pairs(dataframe, id_col, text_col, max_hamming=3, bits=16):
+    """SimHash near-dup pairs within ``max_hamming`` bits (pigeonhole
+    banding; lossless). Use bits=56 at corpus scale."""
+    return _wrap(dataframe, _api(dataframe).simhashPairs(
+        dataframe._jdf, id_col, text_col, int(max_hamming), int(bits)))
+
+
+def jaccard_pairs(dataframe, id_col, text_col, n=3, threshold=0.5,
+                  max_shingle_df=None):
+    """Exact n-gram Jaccard similarity pairs above ``threshold``;
+    ``max_shingle_df`` caps hot-shingle fan-out at scale (None = no cap)."""
+    return _wrap(dataframe, _api(dataframe).jaccardPairs(
+        dataframe._jdf, id_col, text_col, int(n), float(threshold),
+        int(max_shingle_df or 0)))
+
+
+def embedding_neardup_pairs(dataframe, id_col, vec_col, threshold=0.95,
+                            n_blocks=16):
+    """Exact embedding-cosine near-dup pairs above ``threshold``."""
+    return _wrap(dataframe, _api(dataframe).embeddingNearDupPairs(
+        dataframe._jdf, id_col, vec_col, float(threshold), int(n_blocks)))
+
+
+def assign_clusters(docs, id_col, pairs):
+    """Join every doc with its near-dup cluster (connected components of
+    ``pairs``): appends ``cluster_id`` (min member id) and
+    ``is_canonical`` (the kept row per cluster)."""
+    return _wrap(docs, _api(docs).assignClusters(
+        docs._jdf, id_col, pairs._jdf))
+
+
+def ann_topk(queries, corpus, id_col, vec_col, k=10):
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, cosine,
+    rank) rows. ``id_col`` must be unique on both sides."""
+    return _wrap(queries, _api(queries).annTopK(
+        queries._jdf, corpus._jdf, id_col, vec_col, int(k)))
+
+
+def ann_ivf_topk(queries, corpus, id_col, vec_col, k=10, n_cells=0,
+                 n_probe=4, seed=42):
+    """IVF (KMeans-cell) approximate top-k; ``n_cells=0`` sizes the cell
+    count from the corpus. Recall < 1 by construction."""
+    return _wrap(queries, _api(queries).annIvfTopK(
+        queries._jdf, corpus._jdf, id_col, vec_col, int(k), int(n_cells),
+        int(n_probe), int(seed)))
+
+
+def stratified_sample(dataframe, id_col, strata_col, fractions=None,
+                      default_fraction=0.1, salt="graft"):
+    """Deterministic per-stratum Bernoulli sampling by id hash — a pure
+    scan filter (no shuffle, no RNG state)."""
+    jm = dataframe.sparkSession._jvm.java.util.HashMap()
+    for k, v in (fractions or {}).items():
+        jm.put(k, float(v))
+    return _wrap(dataframe, _api(dataframe).stratifiedSample(
+        dataframe._jdf, id_col, strata_col, jm, float(default_fraction),
+        salt))
+
+
+def topk_by_score(dataframe, id_col, strata_col, score_col, k,
+                  shards=1):
+    """The ``k`` best rows per stratum by ``score_col`` (ties by id);
+    ``shards > 1`` two-phases the rank so no stratum sorts in one task."""
+    return _wrap(dataframe, _api(dataframe).topKByScore(
+        dataframe._jdf, id_col, strata_col, score_col, int(k), int(shards)))
+
+
+def token_budget_sample(dataframe, id_col, strata_col, text_col, budget,
+                        buckets=32):
+    """Keep documents in hash order until each stratum's token budget is
+    spent (first doc crossing the line is kept)."""
+    return _wrap(dataframe, _api(dataframe).tokenBudgetSample(
+        dataframe._jdf, id_col, strata_col, text_col, int(budget),
+        int(buckets)))
+
+
+def seq_pack(dataframe, id_col, text_col, max_tokens, num_shards=32):
+    """Greedy sequence packing: one row per (document, training sequence
+    it overlaps) with the doc-relative token span."""
+    return _wrap(dataframe, _api(dataframe).seqPack(
+        dataframe._jdf, id_col, text_col, int(max_tokens), int(num_shards)))
+
+
+def flag_contaminated(corpus, id_col, text_col, bench, bench_id_col,
+                      bench_text_col, n=8):
+    """Docs sharing an n-gram shingle with a (small, broadcast) benchmark
+    set: (id, n_hits, n_bench_docs, first_bench_doc)."""
+    return _wrap(corpus, _api(corpus).flagContaminated(
+        corpus._jdf, id_col, text_col, bench._jdf, bench_id_col,
+        bench_text_col, int(n)))
+
+
+def remove_contaminated(corpus, id_col, text_col, bench, bench_id_col,
+                        bench_text_col, n=8):
+    """The corpus minus benchmark-contaminated documents."""
+    return _wrap(corpus, _api(corpus).removeContaminated(
+        corpus._jdf, id_col, text_col, bench._jdf, bench_id_col,
+        bench_text_col, int(n)))
 
 
 class OaxacaBlinder:

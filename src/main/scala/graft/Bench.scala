@@ -134,8 +134,14 @@ object Bench {
       var times = (1 to reps).map(_ => timed())
       // slow queries get extra reps: machine-level drift between runs can
       // move a multi-second query by 1.5-2x, so a 3-rep median still
-      // cries wolf — 2 more samples tighten both the median and the min
-      if (medianOf(times) > 2.0) times ++= (1 to 2).map(_ => timed())
+      // cries wolf — 2 more samples tighten both the median and the min.
+      // SPARK_GRAFT_BENCH_NO_EXTRA=1 disables this (the scale sweeps
+      // take min-over-batches across fresh JVMs instead, where 5
+      // in-process reps of a 100 s sf10 query would cost more than they
+      // inform)
+      if (medianOf(times) > 2.0 &&
+          !sys.env.get("SPARK_GRAFT_BENCH_NO_EXTRA").contains("1"))
+        times ++= (1 to 2).map(_ => timed())
       val good = times.filter(_ >= 0)
       // the workload is deterministic, so the MIN over reps is the
       // drift-robust statistic (reported alongside the headline median

@@ -110,6 +110,112 @@ object PyApi {
         predictors = predictors.asScala.toSeq,
         categorical = categorical.asScala.toSeq,
         budget = budget), idCol))
+
+  // ----- LLM-pipeline extension operators (python: module functions) -----
+  // The ext/ package is the engine's first-class extension mandate; these
+  // flat py4j adapters make dedup / ANN / sampling / packing / decontam
+  // reachable from `python/graft.py` with the same shapes the Scala API
+  // returns (pair lists, cluster maps, filtered corpora).
+
+  /** Exact duplicate groups (python: `exact_duplicates`). */
+  def exactDuplicates(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ext.Dedup.exactDuplicates(df, idCol, textCol)
+
+  /** Corpus minus exact duplicates, keeping the smallest id per content
+    * (python: `drop_exact_duplicates`). */
+  def dropExactDuplicates(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ext.Dedup.dropExactDuplicates(df, idCol, textCol)
+
+  /** MinHash-LSH near-dup candidate pairs verified with exact Jaccard
+    * (python: `minhash_lsh_pairs`). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame =
+    graft.ext.Dedup.minhashLshPairs(df, idCol, textCol, shingleN,
+      numHashes, bands, threshold)
+
+  /** SimHash pairs within a Hamming budget (python: `simhash_pairs`). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int): DataFrame =
+    graft.ext.Dedup.simhashPairs(df, idCol, textCol, maxHamming, bits)
+
+  /** Exact n-gram Jaccard pairs (python: `jaccard_pairs`);
+    * maxShingleDf <= 0 means no hot-shingle cap. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Long): DataFrame =
+    graft.ext.Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold,
+      if (maxShingleDf > 0) Some(maxShingleDf) else None)
+
+  /** Exact embedding-cosine near-dup pairs (python:
+    * `embedding_neardup_pairs`). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBlocks: Int): DataFrame =
+    graft.ext.Dedup.embeddingNearDupPairs(df, idCol, vecCol, threshold,
+      nBlocks)
+
+  /** Near-dup clusters from any (id_a, id_b) pair list (python:
+    * `assign_clusters`): appends cluster_id + is_canonical. */
+  def assignClusters(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    graft.ext.Cluster.assignClusters(docs, idCol, pairs)
+
+  /** Brute-force exact cosine top-k (python: `ann_topk`). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    graft.ext.Ann.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+
+  /** IVF (KMeans-cell) approximate top-k (python: `ann_ivf_topk`);
+    * nCells <= 0 sizes the cell count from the corpus. */
+  def annIvfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int,
+      seed: Long): DataFrame = {
+    val cells = if (nCells > 0) nCells
+      else graft.ext.Ann.defaultNCells(corpus.count())
+    graft.ext.Ann.ivfTopK(queries, corpus, idCol, vecCol, k, cells,
+      nProbe, seed)
+  }
+
+  /** Per-stratum Bernoulli hash sampling (python: `stratified_sample`). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: java.util.Map[String, Double], defaultFraction: Double,
+      salt: String): DataFrame =
+    graft.ext.Sampling.stratifiedHashSample(df, idCol, strataCol,
+      fractions.asScala.toMap.map { case (k, v) => k -> (v: Double) },
+      defaultFraction, salt)
+
+  /** Per-stratum top-k by a score column (python: `topk_by_score`). */
+  def topKByScore(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, k: Int, shards: Int): DataFrame =
+    graft.ext.Sampling.topKByScore(df, idCol, strataCol,
+      org.apache.spark.sql.functions.col(scoreCol), k, shards)
+
+  /** Token-budget sampling (python: `token_budget_sample`). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
+      textCol: String, budget: Long, buckets: Int): DataFrame =
+    graft.ext.Sampling.tokenBudgetSample(df, idCol, strataCol, textCol,
+      budget, buckets)
+
+  /** Sequence packing spans (python: `seq_pack`). */
+  def seqPack(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, numShards: Int): DataFrame =
+    graft.ext.SeqPack.pack(df, idCol, textCol, maxTokens, numShards)
+
+  /** Benchmark-contamination flags (python: `flag_contaminated`). */
+  def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int): DataFrame =
+    graft.ext.Decontam.flagContaminated(corpus, idCol, textCol, bench,
+      benchIdCol, benchTextCol, n)
+
+  /** Corpus minus benchmark-contaminated docs (python:
+    * `remove_contaminated`). */
+  def removeContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int): DataFrame =
+    graft.ext.Decontam.removeContaminated(corpus, idCol, textCol, bench,
+      benchIdCol, benchTextCol, n)
 }
 
 /** Decomposition results handle (python: `OaxacaResults`). */

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  /** Interleaved point/range bucket id over frozen boundary literals:
+  /** Interleaved point/range bucket id over frozen boundaries:
     * boundary VALUES get their own exact-match (odd) buckets, strict
     * ranges between them the even buckets. `approxQuantile` boundaries
     * are actual data values, so when the probe collapses (tie-dense /
@@ -26,11 +26,13 @@ object Windows {
     * range bucket is bounded by the probe spacing (more mass between
     * two adjacent distinct boundaries would have yielded another
     * distinct boundary). Monotone in `v` by construction: v strictly
-    * between b_{j-1} and b_j -> 2j, v == b_j -> 2j + 1. */
+    * between b_{j-1} and b_j -> 2j, v == b_j -> 2j + 1. Computed by a
+    * native binary-search expression: a 31-boundary when-chain fold is
+    * O(k) per row and big enough to fall off the compiled codegen path
+    * (measured 2-3x on the whole quantile family). */
   private def pointRangeBucket(v: Column, boundaries: Array[Double]): Column =
-    boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(v > lit(b), 2).when(v === lit(b), 1).otherwise(0)
-    }
+    if (boundaries.isEmpty) lit(0)
+    else graft.functions.BucketIndex(v, boundaries)
 
   /** Adds `outCol` = sum of `value` over all rows strictly before the
     * current row in the global ordering (exclusive prefix sum).
@@ -70,7 +72,11 @@ object Windows {
       if (probes.isEmpty) Array.empty[Double]
       else keyed.stat.approxQuantile("__pfx_key__", probes, 0.001)
         .distinct.sorted
-    val bucket = pointRangeBucket(col("__pfx_key__"), boundaries)
+    // null keys -> bucket 0, matching the old when-fold (whose null
+    // comparisons all evaluated false); callers order/filter null keys
+    // upstream
+    val bucket =
+      coalesce(pointRangeBucket(col("__pfx_key__"), boundaries), lit(0))
     // sub-split point buckets when the key probe collapsed: distinct
     // boundaries < min(8, buckets/4) means ONE tied value may hold an
     // O(n) share of the rows
@@ -91,9 +97,11 @@ object Windows {
     val sub =
       if (tieBoundaries.isEmpty) lit(0)
       else when(bucket % 2 === 1, // point buckets only; ranges keep 0
-        tieBoundaries.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(tieBreaks.head.cast("double") > lit(b), 1).otherwise(0)
-        }).otherwise(lit(0))
+        // null tie-breaks -> sub 0: asc ordering puts nulls first, and
+        // sub 0 is the first sub, so the global order stays consistent
+        coalesce(graft.functions.BucketIndex(
+          tieBreaks.head.cast("double"), tieBoundaries), lit(0)))
+        .otherwise(lit(0))
     keyed.withColumn("__bucket__", bucket)
       .withColumn("__sub__", sub)
       .withColumn("__val__", value)

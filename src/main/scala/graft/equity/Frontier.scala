@@ -33,11 +33,15 @@ object Frontier {
       idCol: String, maxBudget: Option[Double] = None,
       steps: Int = 50, paymentScale: Option[Int] = None): Seq[FrontierPoint] = {
     // ONE prepare + Gram pass feeds the greedy allocation AND the pooled
-    // frontier design (previously optimize re-ran both internally)
+    // frontier design (previously optimize re-ran both internally).
+    // persistDummied stays OFF here (measured, round 10): the frame's
+    // three consumers (Gram pass, the optimizer's annotated cache, the
+    // payments broadcast join) each re-derive it as cheap codegen over
+    // the caller's already-cached source — a second full-width cache
+    // write costs more than it saves. No persist -> no unpersist below.
     val (p, lanes) = Equity.prepareAndGram(df, cfg)
     val dummied = p.dummied
     val xCols = p.xCols
-    try {
 
     // payments = greedy full-need allocation (budget = 0 -> auto)
     val opt = Equity.optimizePrepared(dummied, xCols, p.names, p.split, lanes,
@@ -175,6 +179,5 @@ object Frontier {
       payments.unpersist(blocking = false)
       opt.releaseCache()
     }
-    } finally { dummied.unpersist(blocking = false); () }
   }
 }

@@ -120,5 +120,77 @@ assert "__match_weight__" in matched.columns
 print("[pycheck] match_units: %d weighted rows, cols=%s"
       % (matched.count(), matched.columns))
 
+# ---- LLM-pipeline extension operators -------------------------------------
+from graft import (exact_duplicates, drop_exact_duplicates,  # noqa: E402
+                   minhash_lsh_pairs, simhash_pairs, jaccard_pairs,
+                   embedding_neardup_pairs, assign_clusters, ann_topk,
+                   ann_ivf_topk, stratified_sample, topk_by_score,
+                   token_budget_sample, seq_pack, flag_contaminated,
+                   remove_contaminated)
+
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+dups = exact_duplicates(docs, "doc_id", "text")
+kept = drop_exact_duplicates(docs, "doc_id", "text")
+n_docs, n_kept = docs.count(), kept.count()
+dup_extra = dups.agg(F.sum(F.col("n_copies") - 1)).collect()[0][0] or 0
+assert n_kept == n_docs - dup_extra, (n_kept, n_docs, dup_extra)
+print("[pycheck] exact dedup: %d docs -> %d kept (%d dup groups)"
+      % (n_docs, n_kept, dups.count()))
+
+mh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+assert {"id_a", "id_b"} <= set(mh.columns)
+sh = simhash_pairs(docs, "doc_id", "text", max_hamming=2)
+jc = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+n_mh, n_sh, n_jc = mh.count(), sh.count(), jc.count()
+assert n_jc > 0, "known near-dups in the synthetic corpus"
+print("[pycheck] near-dup pairs: minhash=%d simhash=%d jaccard=%d"
+      % (n_mh, n_sh, n_jc))
+
+clusters = assign_clusters(docs, "doc_id", jc)
+assert clusters.count() == n_docs
+assert {"cluster_id", "is_canonical"} <= set(clusters.columns)
+n_canon = clusters.filter("is_canonical").count()
+assert 0 < n_canon <= n_docs
+print("[pycheck] clusters: %d canonical of %d" % (n_canon, n_docs))
+
+nd = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.99)
+queries = emb.limit(5)
+bf = ann_topk(queries, emb, "vec_id", "embedding", k=3)
+assert bf.count() == 5 * 3
+ivf = ann_ivf_topk(queries, emb, "vec_id", "embedding", k=3, n_probe=4)
+assert ivf.count() > 0
+# self-matches are excluded by design; each query gets ranks 1..k
+assert bf.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+ranks = sorted(r["rank"] for r in bf.filter("query_id = query_id").collect()
+               if True)
+assert ranks.count(1) == 5 and max(ranks) == 3, ranks
+print("[pycheck] ann: neardup=%d brute=%d ivf=%d"
+      % (nd.count(), bf.count(), ivf.count()))
+
+samp = stratified_sample(docs, "doc_id", "lang",
+                         fractions={"en": 0.5}, default_fraction=0.1)
+assert 0 < samp.count() < n_docs
+top = topk_by_score(docs, "doc_id", "lang", "n_chars", k=5)
+n_lang = docs.select("lang").distinct().count()
+assert top.count() <= 5 * n_lang
+tb = token_budget_sample(docs, "doc_id", "lang", "text", budget=2000)
+assert 0 < tb.count() < n_docs
+print("[pycheck] sampling: stratified=%d topk=%d token_budget=%d"
+      % (samp.count(), top.count(), tb.count()))
+
+packed = seq_pack(docs, "doc_id", "text", max_tokens=512)
+n_nonempty = docs.filter(F.length(F.trim("text")) > 0).count()
+assert packed.count() >= n_nonempty  # every non-empty doc gets >= 1 span
+assert {"shard", "seq", "tok_from", "tok_to"} <= set(packed.columns)
+bench = docs.limit(3).selectExpr("doc_id as bid", "text as btext")
+flags = flag_contaminated(docs, "doc_id", "text", bench, "bid", "btext")
+clean = remove_contaminated(docs, "doc_id", "text", bench, "bid", "btext")
+assert flags.count() >= 3  # the bench docs themselves must self-flag
+assert clean.count() == n_docs - flags.count()
+print("[pycheck] seq_pack=%d flags=%d clean=%d"
+      % (packed.count(), flags.count(), clean.count()))
+
 spark.stop()
 print("[pycheck] PASS")

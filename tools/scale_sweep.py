@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Matched-batch scale sweep: run the headline query set against two
+fixture dirs (e.g. sf1 and sf10) in alternating fresh-JVM batch PAIRS so
+numerator and denominator share machine conditions, then write a
+BENCH_sfN-style artifact with per-query scale factors (min channel).
+
+Usage:
+  python3 tools/scale_sweep.py SMALL_DIR BIG_DIR OUT.json [n_pairs] [reps]
+
+Driver-side tooling only. Each Bench invocation is a fresh JVM (sbt
+runMain), per the bench-variance discipline: min-over-batches across
+fresh JVMs, no in-process extra reps (SPARK_GRAFT_BENCH_NO_EXTRA=1).
+"""
+import json
+import os
+import subprocess
+import sys
+
+SMALL = sys.argv[1]
+BIG = sys.argv[2]
+OUT = sys.argv[3]
+N_PAIRS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+REPS = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: every family with a scale story — Gram/equity, quantile,
+# dedup (pair-count-bound), ANN, text, events, sampling/packing, scans
+QUERIES = [
+    "q_pricing_summary", "q_mktseg_revenue",
+    "q_decomp_twofold", "q_bootstrap500", "q_akm",
+    "q_frontier", "q_verify", "q_defensibility", "q_equity_optimize",
+    "q_fair_wages", "q_heckman_newton3", "q_dfl_newton3",
+    "q_rif", "q_rif_decomp", "q_quantile_t7", "q_quantreg_newton3",
+    "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs",
+    "q_jaccard_pairs", "q_embed_neardup_ivf", "q_dedup_clusters",
+    "q_ann_topk", "q_ann_ivf", "q_ivf_build",
+    "q_lang_id", "q_quality_classifier", "q_lm_perplexity",
+    "q_topk_quality", "q_events_window", "q_sessions",
+    "q_token_budget", "q_seq_pack", "q_decontam",
+]
+
+
+def run_bench(sf_dir):
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_CPUS": "32",
+        "SPARK_GRAFT_BENCH_REPS": str(REPS),
+        "SPARK_GRAFT_BENCH_NO_EXTRA": "1",
+        "SPARK_GRAFT_BENCH_ONLY": ",".join(QUERIES),
+    })
+    subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(os.path.join(REPO, "bench_out.json")) as f:
+        return json.load(f)
+
+
+def merge_min(snapshots):
+    out = {}
+    for snap in snapshots:
+        for q, v in snap["queries_min"].items():
+            if v is None:
+                continue
+            out[q] = v if q not in out else min(out[q], v)
+    return out
+
+
+small_runs, big_runs, loads = [], [], []
+for i in range(N_PAIRS):
+    print(f"[sweep] pair {i + 1}/{N_PAIRS}: {SMALL}", flush=True)
+    s = run_bench(SMALL)
+    print(f"[sweep]   small total_min={s['total_min']}"
+          f" load={s['load_avg_start']}-{s['load_avg_end']}", flush=True)
+    print(f"[sweep] pair {i + 1}/{N_PAIRS}: {BIG}", flush=True)
+    b = run_bench(BIG)
+    print(f"[sweep]   big total_min={b['total_min']}"
+          f" load={b['load_avg_start']}-{b['load_avg_end']}", flush=True)
+    small_runs.append(s)
+    big_runs.append(b)
+    loads.append([s["load_avg_start"], s["load_avg_end"],
+                  b["load_avg_start"], b["load_avg_end"]])
+
+small_min = merge_min(small_runs)
+big_min = merge_min(big_runs)
+queries = {}
+for q in QUERIES:
+    if q in small_min and q in big_min:
+        queries[q] = {
+            "small_min_s": round(small_min[q], 3),
+            "big_min_s": round(big_min[q], 3),
+            "scale_x": round(big_min[q] / small_min[q], 2)
+            if small_min[q] > 0 else None,
+        }
+failed = sorted({q for snap in small_runs + big_runs
+                 for q in snap.get("failed", [])})
+result = {
+    "note": (f"matched-batch scale sweep: {BIG} vs {SMALL}, local[32], "
+             f"reps={REPS} per batch x {N_PAIRS} fresh-JVM batch pairs, "
+             "min channel over all batches; scale_x = big_min/small_min"),
+    "small": SMALL, "big": BIG,
+    "small_fixtures": small_runs[0].get("fixtures_digest"),
+    "big_fixtures": big_runs[0].get("fixtures_digest"),
+    "batch_loads": loads,
+    "failed": failed,
+    "queries": dict(sorted(queries.items())),
+}
+with open(OUT, "w") as f:
+    json.dump(result, f, indent=1)
+sup = sorted(queries.items(), key=lambda kv: -(kv[1]["scale_x"] or 0))
+print("[sweep] top scale factors:")
+for q, v in sup[:10]:
+    print(f"  {q:26s} {v['small_min_s']:8.2f} -> {v['big_min_s']:8.2f}"
+          f"  x{v['scale_x']}")
+print(f"[sweep] wrote {OUT}; failed: {failed}")
