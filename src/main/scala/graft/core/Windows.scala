@@ -70,8 +70,8 @@ object Windows {
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     val boundaries =
       if (probes.isEmpty) Array.empty[Double]
-      else keyed.stat.approxQuantile("__pfx_key__", probes, 0.001)
-        .distinct.sorted
+      else graft.functions.BucketIndexExpr.normalize(
+        keyed.stat.approxQuantile("__pfx_key__", probes, 0.001))
     // null keys -> bucket 0, matching the old when-fold (whose null
     // comparisons all evaluated false); callers order/filter null keys
     // upstream
@@ -90,8 +90,9 @@ object Windows {
         val t = keyed.withColumn("__pfx_tie__",
           tieBreaks.head.cast("double"))
         scala.util.Try(
-          t.stat.approxQuantile("__pfx_tie__", probes, 0.001)
-            .filterNot(_.isNaN).distinct.sorted
+          graft.functions.BucketIndexExpr.normalize(
+            t.stat.approxQuantile("__pfx_tie__", probes, 0.001)
+              .filterNot(_.isNaN))
         ).getOrElse(Array.empty)
       }
     val sub =
@@ -238,10 +239,11 @@ object Windows {
     // callers that already ran an aggregation over the frame can fold the
     // boundary probe into it (percentile_approx lane) and skip this job
     val boundaries = precomputedBoundaries match {
-      case Some(b) => b.distinct.sorted
+      case Some(b) => graft.functions.BucketIndexExpr.normalize(b)
       case None =>
         if (probes.isEmpty) Array.empty[Double]
-        else vals.stat.approxQuantile("__v__", probes, 0.01).distinct.sorted
+        else graft.functions.BucketIndexExpr.normalize(
+          vals.stat.approxQuantile("__v__", probes, 0.01))
     }
     // interleaved point/range buckets (see pointRangeBucket): a rank
     // that falls inside a POINT bucket needs no sort at all — every row

@@ -58,10 +58,20 @@ object BucketIndexExpr {
     * (na.drop upstream) and prefix-sum keys are cast doubles where a NaN
     * would have been null-dropped by callers, so the difference is
     * unobservable — documented for completeness. */
-  def index(boundaries: Array[Double], v: Double): Int = {
+  def index(boundaries: Array[Double], v0: Double): Int = {
+    // -0.0 + 0.0 == +0.0 (IEEE), everything else unchanged: binarySearch
+    // orders -0.0 < 0.0, but SQL treats the zeros as equal, so an
+    // unnormalized zero would fall out of its point bucket (callers
+    // normalize the boundary array the same way)
+    val v = v0 + 0.0d
     val i = java.util.Arrays.binarySearch(boundaries, v)
     if (i >= 0) 2 * i + 1 else 2 * (-i - 1)
   }
+
+  /** Boundary-array hygiene for [[index]]: +0.0-normalize (boxed
+    * `.distinct` keeps -0.0 and 0.0 as separate values), dedupe, sort. */
+  def normalize(boundaries: Array[Double]): Array[Double] =
+    boundaries.map(_ + 0.0d).distinct.sorted
 }
 
 object BucketIndex {

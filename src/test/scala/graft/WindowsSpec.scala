@@ -124,6 +124,30 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("signed zeros: -0.0 and 0.0 share a bucket (SQL equality, not " +
+      "Double.compare)") {
+    // kernel level: binarySearch orders -0.0 < 0.0; the normalization
+    // must keep both zeros in the same (point) bucket so tie runs at
+    // zero can't straddle a bucket boundary
+    import graft.functions.BucketIndexExpr.{index, normalize}
+    val b = normalize(Array(-1.0, -0.0, 1.0))
+    assert(java.lang.Double.doubleToRawLongBits(b(1)) ==
+      java.lang.Double.doubleToRawLongBits(0.0),
+      "normalize must rewrite -0.0 boundaries to +0.0")
+    assert(index(b, 0.0) == index(b, -0.0),
+      "both zeros must land in the zero point bucket")
+    assert(index(b, 0.0) == 3, "zero point bucket is 2*1 + 1")
+    // end-to-end: a tie run mixing -0.0 and 0.0 resolves like any other
+    // tie run (value-at-rank answers 0.0 for every rank in the run)
+    val vals = Seq.fill(500)(-0.0) ++ Seq.fill(500)(0.0) ++
+      Seq.fill(100)(1.5) ++ Seq.fill(100)(-2.5)
+    val rows = new scala.util.Random(7).shuffle(vals).map(("g", _))
+    val got = Windows.valuesAtRanksGrouped(rows.toDF("g", "v"),
+      col("g"), col("v"), Map("g" -> Set(100L, 500L, 999L, 1150L)))
+    assert(got("g")(100L) == 0.0 && got("g")(500L) == 0.0 &&
+      got("g")(999L) == 0.0 && got("g")(1150L) == 1.5)
+  }
+
   test("degenerate keys with no castable tie-break still return exact sums") {
     // tie-break is a string id: the sub probe falls back gracefully
     // (nulls from the cast) and results stay exact
