@@ -59,45 +59,104 @@ object Dedup {
       .filter(col("__rn__") === 1).drop("__rn__")
   }
 
+  /** Default cap on the inverted-index candidate STREAM (unordered
+    * pairs counted with shingle multiplicity). Sized for a SINGLE
+    * node's scratch disk: the stream is written once as join output and
+    * once as the pair-aggregation's shuffle input, so ~250M rows costs
+    * ~10-30 GB of spill (measured: 1e9 rows exhausted a 75 GB /tmp).
+    * On a cluster the spill divides across executors — callers SHOULD
+    * raise the budget proportionally to aggregate scratch capacity; it
+    * is a throughput knob, not a semantic one (the guard's recall
+    * accounting is identical at any budget). */
+  val DefaultCandidatePairBudget: Long = 250000000L
+
   /** Exact pairwise Jaccard over shared-shingle candidates:
     * (id_a < id_b, jaccard) for jaccard >= threshold.
     *
-    * `maxShingleDf` is the standard inverted-index hot-key guard: shingles
-    * whose document frequency exceeds the cap are dropped from CANDIDATE
-    * GENERATION only (at 100 TB one stopword shingle would otherwise own
-    * the shuffle — its join key alone produces df^2 candidate rows). The
-    * reported Jaccard stays exact — intersections are recomputed on the
-    * candidate pairs over the FULL shingle sets — but pairs whose overlap
-    * consists solely of above-cap shingles are not discovered. Such pairs
-    * have jaccard <= cap-shingle overlap / union, so with a cap well above
-    * `threshold * min doc size` the miss set is empty; the `None` default
-    * keeps candidate generation exact (and skips the guard's df probe) —
-    * at 100 TB call sites SHOULD pass a cap (one stopword shingle with
-    * df = 10^6 otherwise puts 10^12 candidate rows on one shuffle key).
-    * When the guard fires, the number of suppressed hot shingles is
-    * logged so the recall change is observable. */
+    * Scale guard — the inverted-index join's candidate stream is
+    * sum over shingles of df*(df-1)/2 rows, which is QUADRATIC in
+    * corpus density: a closed shingle vocabulary (boilerplate, template
+    * text, adversarially dense synthetic corpora) grows that mass 100x
+    * per 10x docs (measured: 112M pairs at 500k-shingle sf1 vs 12.3B at
+    * sf10 on the same ~30k-shingle vocabulary) and no exact algorithm in
+    * the inverted-index family avoids touching it — prefix filtering
+    * (Bayardo et al., WWW'07) measured only a 6x constant here because
+    * every shingle is dense. Two caps bound the work:
+    *
+    * - `maxShingleDf` (explicit): the classic hot-key guard — shingles
+    *   with df above the cap never generate candidates (one stopword
+    *   shingle with df = 10^6 otherwise puts 10^12 rows on one key).
+    * - `candidateBudget` (default [[DefaultCandidatePairBudget]]): the
+    *   largest df cap whose TOTAL candidate mass fits the budget,
+    *   chosen from a per-df histogram of the df table (a driver-side
+    *   array of distinct df VALUES, tiny at any corpus size).
+    *
+    * Whichever cap is lower wins. Correctness accounting when a cap
+    * fires: reported Jaccard values stay EXACT (intersections are
+    * recomputed over the full shingle sets for surviving candidates,
+    * after an exact-upper-bound prune: inter_full <= inter_capped +
+    * min(hot_a, hot_b), so no qualifying pair is ever pruned); pairs
+    * whose overlap consists ONLY of above-cap shingles are not
+    * discovered, and the count of suppressed shingles + the chosen cap
+    * are logged so the recall change is observable. On a natural
+    * corpus (Heaps-law vocabulary growth) the budget never binds; on a
+    * density-adversarial one it degrades recall observably instead of
+    * dying on the shuffle — the same corpus kills ANY exact engine,
+    * including a SQL replay of this query. `candidateBudget = None`
+    * disables the guard (exact candidate generation at any cost). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None,
+      candidateBudget: Option[Long] = Some(DefaultCandidatePairBudget))
+      : DataFrame = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // the guard only changes the plan when hot shingles actually exist:
-    // one cheap probe over the checkpointed shingle table decides, so a
-    // clean corpus never pays the exact-recompute join
-    val capHit = maxShingleDf.filter { cap =>
-      val nHot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).count()
-      if (nHot > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"ngramJaccardPairs: dropping $nHot hot shingles (df > $cap) " +
-            "from candidate generation; pairs overlapping ONLY on those " +
-            "shingles will not be discovered")
-      nHot > 0
+    val guarded = maxShingleDf.nonEmpty || candidateBudget.nonEmpty
+    // consumed by the histogram + (when a cap fires) the hot-shingle
+    // anti-join and the per-doc hot counts — checkpoint once
+    val dfTab = {
+      val t = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      if (guarded) t.localCheckpoint() else t
     }
-    val index = capHit match {
+    // per-df histogram: one small aggregation; #distinct df values is
+    // tiny at any corpus size, so the budget scan is driver-side algebra
+    val histo: Array[(Long, Long)] =
+      if (!guarded) Array.empty
+      else dfTab.groupBy(col("df")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
+    val budgetCap: Option[Long] = candidateBudget.flatMap { budget =>
+      // largest df cap whose cumulative pair mass fits the budget —
+      // greedy from the cold end: dropping the hottest shingles first
+      // maximizes retained candidates per budget row
+      var cum = 0L
+      var cap = 0L
+      var fits = true
+      histo.foreach { case (d, cnt) =>
+        val mass = cnt * (d * (d - 1) / 2)
+        if (fits && cum + mass <= budget) { cum += mass; cap = d }
+        else fits = false
+      }
+      if (cap < maxDf) Some(cap) else None
+    }
+    val effectiveCap: Option[Long] = (maxShingleDf.filter(_ < maxDf),
+        budgetCap) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    effectiveCap.foreach { cap =>
+      val nHot = histo.iterator.filter(_._1 > cap).map(_._2).sum
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramJaccardPairs: dropping $nHot hot shingles (df > $cap" +
+          budgetCap.filter(_ == cap).map(_ =>
+            s", budget-derived from candidateBudget=${candidateBudget.get}")
+            .getOrElse("") +
+          ") from candidate generation; pairs overlapping ONLY on those " +
+          "shingles will not be discovered")
+    }
+    val index = effectiveCap match {
       case Some(cap) =>
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("shingle"))
+        val hot = dfTab.filter(col("df") > cap).select(col("shingle"))
         sh.join(hot, Seq("shingle"), "left_anti")
       case None => sh
     }
@@ -106,16 +165,39 @@ object Dedup {
     val candInter = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val inter = capHit match {
+    val inter = effectiveCap match {
       case None => candInter
-      case Some(_) =>
-        // capped index undercounts intersections; recompute them exactly
-        // over the full shingle sets, but only for the candidate pairs
-        candInter.select(col("id_a"), col("id_b"))
-          .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-          .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), "id_b")
-          .filter(col("shingle") === col("shingle_b"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      case Some(cap) =>
+        // the capped index undercounts intersections; recompute exactly
+        // over the full shingle sets — but FIRST prune candidates by the
+        // exact upper bound inter_full <= inter_capped + min(hot_a,
+        // hot_b) against the threshold's intersection requirement
+        // I >= t * (sz_a + sz_b) / (1 + t): on a dense corpus most
+        // candidates share ONE cold shingle and die here, so the
+        // recompute join touches ~true-pair-many rows, not ~budget-many
+        val hotCnt = sh.join(dfTab.filter(col("df") > cap)
+            .select(col("shingle")), Seq("shingle"))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("hot"))
+        val szHotPlain = sizes.join(hotCnt, Seq(idCol), "left")
+          .na.fill(0L, Seq("hot"))
+        // the prune must NOT re-shuffle the (budget-sized) pair table:
+        // per-doc (sz, hot) is ~24 bytes/doc, so broadcast it whenever
+        // the doc count allows (up to ~5M docs = ~120 MB) and let the
+        // filter run map-side; beyond that fall back to shuffle joins
+        // (linear, co-partitioned by id)
+        val szHot =
+          if (szHotPlain.count() <= 5000000L) broadcast(szHotPlain)
+          else szHotPlain
+        val plausible = candInter
+          .join(szHot.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
+            col("hot").as("hot_a")), "id_a")
+          .join(szHot.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+            col("hot").as("hot_b")), "id_b")
+          .filter(col("inter") + least(col("hot_a"), col("hot_b")) >=
+            lit(threshold / (1.0 + threshold)) *
+              (col("sz_a") + col("sz_b")) - lit(1e-9))
+          .select(col("id_a"), col("id_b"))
+        exactInterByArrays(sh, idCol, plausible)
     }
     inter
       .join(sizes.withColumnRenamed("sz", "sz_a"), col("id_a") === col(sizes.columns.head))
@@ -126,6 +208,29 @@ object Dedup {
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact per-pair intersection counts for a candidate (id_a, id_b)
+    * list, via per-doc SORTED SHINGLE ARRAYS instead of a double join
+    * against the exploded shingle table: the exploded join shuffles
+    * sum-over-pairs(|A|) rows (measured 650M for 13.6M candidates at 48
+    * shingles/doc), the array route shuffles one row per candidate per
+    * side plus the one-row-per-doc array table, then intersects inside
+    * a codegen `array_intersect` — ~20x less shuffle at identical exact
+    * semantics. Returns (id_a, id_b, inter); candidates sharing nothing
+    * report inter = 0. */
+  private def exactInterByArrays(sh: DataFrame, idCol: String,
+      cand: DataFrame): DataFrame = {
+    val setTab = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("shingle"))).as("__set__"))
+    cand
+      .join(setTab.select(col(idCol).as("id_a"), col("__set__").as("__sa__")),
+        "id_a")
+      .join(setTab.select(col(idCol).as("id_b"), col("__set__").as("__sb__")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa__"), col("__sb__")))
+          .cast("long").as("inter"))
   }
 
   /** Modulus of the Carter-Wegman MinHash family: 2^56, matching the
@@ -179,15 +284,13 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard
+    // verify candidates with exact Jaccard over the full shingle sets
+    // (array-route: see exactInterByArrays — the candidate mass is
+    // corpus-quadratic in the pairwise-similarity BACKGROUND, so the
+    // verify join must be linear in candidates, not in candidate x
+    // doc-size)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), "id_b")
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
+    exactInterByArrays(sh, idCol, cand)
       .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed(idCol, "id_a"), "id_a")
       .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed(idCol, "id_b"), "id_b")
       .withColumn("jaccard",

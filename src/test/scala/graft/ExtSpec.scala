@@ -131,6 +131,41 @@ class ExtSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("candidate-budget guard: exact values kept, only-hot pairs dropped") {
+    // docs 0/1 are near-dups through cold shingles; docs 10/11 overlap
+    // ONLY through the shared hot opener (df = 8 across the corpus)
+    val docs = Seq(
+      (0L, "breaking news today alpha beta gamma delta epsilon"),
+      (1L, "breaking news today alpha beta gamma delta zeta"),
+      (2L, "breaking news today completely different one two"),
+      (3L, "breaking news today unrelated words four five"),
+      (4L, "breaking news today more filler text six seven"),
+      (5L, "breaking news today yet another doc eight nine"),
+      (10L, "breaking news today aaa bbb ccc"),
+      (11L, "breaking news today ddd eee fff")
+    ).toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = toMapOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      0.1, candidateBudget = None))
+    // budget 10 fits the df<=2 layers (mass 4) but not the df-8 opener
+    // (mass 28) -> budget-derived cap 2 drops exactly the opener
+    val guarded = toMapOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      0.1, candidateBudget = Some(10L)))
+    assert(exact.contains((10L, 11L)), "only-hot pair visible unguarded")
+    assert(!guarded.contains((10L, 11L)),
+      "pair overlapping ONLY on the hot opener must be dropped")
+    // at threshold 0.1 every cross pair qualifies through the opener
+    // alone; the ONLY pair with cold shared shingles is (0, 1) — the
+    // guard keeps exactly it, with the full-set-exact jaccard value
+    assert(guarded == Map((0L, 1L) -> exact((0L, 1L))),
+      "pairs with a cold shared shingle survive with exact values")
+    // a budget that fits everything changes nothing
+    val roomy = toMapOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      0.1, candidateBudget = Some(1000000L)))
+    assert(roomy == exact)
+  }
+
   test("embedding cosine near-dup and brute-force ANN agree") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
