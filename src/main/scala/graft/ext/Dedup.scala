@@ -61,14 +61,15 @@ object Dedup {
 
   /** Default cap on the inverted-index candidate STREAM (unordered
     * pairs counted with shingle multiplicity). Sized for a SINGLE
-    * node's scratch disk: the stream is written once as join output and
-    * once as the pair-aggregation's shuffle input, so ~250M rows costs
-    * ~10-30 GB of spill (measured: 1e9 rows exhausted a 75 GB /tmp).
+    * node's scratch disk: the stream is spilled by the pair
+    * aggregation's sort fallback AND written as its shuffle output
+    * (measured ~20 GB per execution at 250M rows; 1e9 rows exhausted a
+    * 75 GB /tmp outright).
     * On a cluster the spill divides across executors — callers SHOULD
     * raise the budget proportionally to aggregate scratch capacity; it
     * is a throughput knob, not a semantic one (the guard's recall
     * accounting is identical at any budget). */
-  val DefaultCandidatePairBudget: Long = 250000000L
+  val DefaultCandidatePairBudget: Long = 100000000L
 
   /** Exact pairwise Jaccard over shared-shingle candidates:
     * (id_a < id_b, jaccard) for jaccard >= threshold.
