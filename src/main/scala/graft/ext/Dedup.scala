@@ -59,17 +59,121 @@ object Dedup {
       .filter(col("__rn__") === 1).drop("__rn__")
   }
 
-  /** Default cap on the inverted-index candidate STREAM (unordered
-    * pairs counted with shingle multiplicity). Sized for a SINGLE
-    * node's scratch disk: the stream is spilled by the pair
-    * aggregation's sort fallback AND written as its shuffle output
-    * (measured ~20 GB per execution at 250M rows; 1e9 rows exhausted a
-    * 75 GB /tmp outright).
-    * On a cluster the spill divides across executors — callers SHOULD
-    * raise the budget proportionally to aggregate scratch capacity; it
-    * is a throughput knob, not a semantic one (the guard's recall
-    * accounting is identical at any budget). */
-  val DefaultCandidatePairBudget: Long = 100000000L
+  /** Floor (and offline fallback) for the auto-derived candidate
+    * budget: the round-11 measured safe point for a single node with a
+    * 75 GB /tmp. Kept as a named constant so replays across machines
+    * never drop below it. */
+  val MinCandidatePairBudget: Long = 100000000L
+
+  /** Measured scratch bytes per candidate pair row: the candidate
+    * stream is spilled by the pair aggregation's sort fallback AND
+    * written as its shuffle output — ~20 GB per execution at 250M
+    * rows = ~80 B/row (1e9 rows exhausted a 75 GB /tmp outright). */
+  val CandidateRowScratchBytes: Long = 80L
+
+  /** Sentinel for `candidateBudget`: derive the budget from the
+    * environment at call time — the conf key
+    * `spark.graft.dedup.candidateBudget` if set, else from the free
+    * space of the scratch dirs via [[scratchDerivedBudget]]. */
+  val AutoCandidatePairBudget: Long = -1L
+
+  /** Budget derived from scratch free bytes: half the free space
+    * (the other half is headroom for the verify join's own shuffle
+    * and everything else sharing the disk) at
+    * [[CandidateRowScratchBytes]] per row, floored at
+    * [[MinCandidatePairBudget]].
+    * On a cluster the spill divides across executors, so free space
+    * SHOULD be the aggregate scratch capacity — local mode reads the
+    * one node's `spark.local.dir`; cluster deployments set the conf
+    * key from their fleet math. The budget is a throughput knob, not
+    * a semantic one (the guard's recall accounting is identical at
+    * any budget). */
+  def scratchDerivedBudget(freeBytes: Long): Long =
+    math.max(MinCandidatePairBudget, freeBytes / 2 / CandidateRowScratchBytes)
+
+  /** Resolve [[AutoCandidatePairBudget]] (any other value passes
+    * through): conf key first, else scratch-dir free space. */
+  def resolveCandidateBudget(spark: org.apache.spark.sql.SparkSession,
+      requested: Long): Long =
+    if (requested != AutoCandidatePairBudget) requested
+    else spark.conf.getOption("spark.graft.dedup.candidateBudget")
+      .map(_.toLong).getOrElse {
+        val dirs = spark.conf.getOption("spark.local.dir")
+          .orElse(sys.props.get("spark.local.dir"))
+          .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+        val free = dirs.split(",").iterator
+          .map(d => new java.io.File(d).getUsableSpace).sum
+        scratchDerivedBudget(free)
+      }
+
+  /** Largest df cap whose cumulative candidate mass fits the budget,
+    * from the ascending per-df histogram (df value -> #shingles at
+    * that df). Greedy from the cold end: dropping the hottest shingles
+    * first maximizes retained candidates per budget row. Returns None
+    * when the whole histogram fits (no cap needed).
+    *
+    * SATURATING arithmetic throughout: at exactly the scales the guard
+    * exists for, `cnt * d*(d-1)/2` overflows Long (d near 1e9 gives
+    * ~5e17 per shingle; ~19 such shingles wraps the accumulator
+    * negative), and a wrapped `cum + mass <= budget` would silently
+    * wave through the very stream the budget must bound. Overflow pins
+    * to Long.MaxValue, which can only make the cap STRICTER. */
+  def capForBudget(histo: Array[(Long, Long)], budget: Long): Option[Long] = {
+    def satMul(a: Long, b: Long): Long =
+      try Math.multiplyExact(a, b)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    // d*(d-1)/2 without intermediate overflow: halve the even factor
+    def pairsOf(d: Long): Long =
+      if (d % 2 == 0L) satMul(d / 2, d - 1) else satMul(d, (d - 1) / 2)
+    var cum = 0L
+    var cap = 0L
+    var fits = true
+    histo.foreach { case (d, cnt) =>
+      val mass = satMul(cnt, pairsOf(d))
+      val next =
+        try Math.addExact(cum, mass)
+        catch { case _: ArithmeticException => Long.MaxValue }
+      if (fits && next <= budget) { cum = next; cap = d }
+      else fits = false
+    }
+    val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
+    if (cap < maxDf) Some(cap) else None
+  }
+
+  /** Per-df histogram of the shingle df table: one small aggregation;
+    * #distinct df VALUES is tiny at any corpus size, so the budget
+    * scan is driver-side algebra over this array. */
+  private def dfHistogram(dfTab: DataFrame): Array[(Long, Long)] =
+    dfTab.groupBy(col("df")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+
+  private def combineCaps(explicitCap: Option[Long],
+      budgetCap: Option[Long], maxDf: Long): Option[Long] =
+    (explicitCap.filter(_ < maxDf), budgetCap) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
+
+  /** The df cap [[ngramJaccardPairs]] would apply for these inputs —
+    * the histogram probe + cap algebra only, no candidate generation.
+    * Exists so correctness harnesses can PIN that an oracle-compared
+    * configuration runs uncapped (a firing cap changes which pairs are
+    * discovered, which is exactly what the oracle hashes). */
+  def effectiveCapFor(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Option[Long],
+      candidateBudget: Option[Long]): Option[Long] = {
+    val resolved = candidateBudget
+      .map(resolveCandidateBudget(df.sparkSession, _))
+    if (maxShingleDf.isEmpty && resolved.isEmpty) None
+    else {
+      val sh = shingles(df, idCol, textCol, n)
+      val histo = dfHistogram(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+      val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
+      combineCaps(maxShingleDf, resolved.flatMap(capForBudget(histo, _)),
+        maxDf)
+    }
+  }
 
   /** Exact pairwise Jaccard over shared-shingle candidates:
     * (id_a < id_b, jaccard) for jaccard >= threshold.
@@ -87,10 +191,13 @@ object Dedup {
     * - `maxShingleDf` (explicit): the classic hot-key guard — shingles
     *   with df above the cap never generate candidates (one stopword
     *   shingle with df = 10^6 otherwise puts 10^12 rows on one key).
-    * - `candidateBudget` (default [[DefaultCandidatePairBudget]]): the
-    *   largest df cap whose TOTAL candidate mass fits the budget,
-    *   chosen from a per-df histogram of the df table (a driver-side
-    *   array of distinct df VALUES, tiny at any corpus size).
+    * - `candidateBudget` (default [[AutoCandidatePairBudget]] = derive
+    *   from the conf key `spark.graft.dedup.candidateBudget` or the
+    *   scratch dirs' free space, floored at
+    *   [[MinCandidatePairBudget]]): the largest df cap whose TOTAL
+    *   candidate mass fits the budget, chosen from a per-df histogram
+    *   of the df table (a driver-side array of distinct df VALUES,
+    *   tiny at any corpus size).
     *
     * Whichever cap is lower wins. Correctness accounting when a cap
     * fires: reported Jaccard values stay EXACT (intersections are
@@ -108,49 +215,34 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxShingleDf: Option[Long] = None,
-      candidateBudget: Option[Long] = Some(DefaultCandidatePairBudget))
+      candidateBudget: Option[Long] = Some(AutoCandidatePairBudget))
       : DataFrame = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val guarded = maxShingleDf.nonEmpty || candidateBudget.nonEmpty
-    // consumed by the histogram + (when a cap fires) the hot-shingle
-    // anti-join and the per-doc hot counts — checkpoint once
-    val dfTab = {
-      val t = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      if (guarded) t.localCheckpoint() else t
-    }
-    // per-df histogram: one small aggregation; #distinct df values is
-    // tiny at any corpus size, so the budget scan is driver-side algebra
+    val resolvedBudget = candidateBudget
+      .map(resolveCandidateBudget(df.sparkSession, _))
+    val guarded = maxShingleDf.nonEmpty || resolvedBudget.nonEmpty
+    val dfTabPlain = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val histo: Array[(Long, Long)] =
-      if (!guarded) Array.empty
-      else dfTab.groupBy(col("df")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      if (!guarded) Array.empty else dfHistogram(dfTabPlain)
     val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
-    val budgetCap: Option[Long] = candidateBudget.flatMap { budget =>
-      // largest df cap whose cumulative pair mass fits the budget —
-      // greedy from the cold end: dropping the hottest shingles first
-      // maximizes retained candidates per budget row
-      var cum = 0L
-      var cap = 0L
-      var fits = true
-      histo.foreach { case (d, cnt) =>
-        val mass = cnt * (d * (d - 1) / 2)
-        if (fits && cum + mass <= budget) { cum += mass; cap = d }
-        else fits = false
-      }
-      if (cap < maxDf) Some(cap) else None
-    }
-    val effectiveCap: Option[Long] = (maxShingleDf.filter(_ < maxDf),
-        budgetCap) match {
-      case (Some(a), Some(b)) => Some(math.min(a, b))
-      case (a, b) => a.orElse(b)
-    }
+    val budgetCap: Option[Long] =
+      resolvedBudget.flatMap(capForBudget(histo, _))
+    val effectiveCap: Option[Long] =
+      combineCaps(maxShingleDf, budgetCap, maxDf)
+    // the df table is re-read twice when a cap fires (hot-shingle
+    // anti-join + per-doc hot counts) — checkpoint it then, and ONLY
+    // then: when no cap fires it is never touched again, so the guard's
+    // whole fixed cost is the one histogram aggregation above
+    val dfTab =
+      if (effectiveCap.nonEmpty) dfTabPlain.localCheckpoint()
+      else dfTabPlain
     effectiveCap.foreach { cap =>
       val nHot = histo.iterator.filter(_._1 > cap).map(_._2).sum
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ngramJaccardPairs: dropping $nHot hot shingles (df > $cap" +
           budgetCap.filter(_ == cap).map(_ =>
-            s", budget-derived from candidateBudget=${candidateBudget.get}")
+            s", budget-derived from candidateBudget=${resolvedBudget.get}")
             .getOrElse("") +
           ") from candidate generation; pairs overlapping ONLY on those " +
           "shingles will not be discovered")
@@ -166,8 +258,16 @@ object Dedup {
     val candInter = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val inter = effectiveCap match {
-      case None => candInter
+    // both branches end in (id_a, id_b, inter, sz_a, sz_b)
+    val interSz = effectiveCap match {
+      case None =>
+        candInter
+          .join(sizes.withColumnRenamed("sz", "sz_a"),
+            col("id_a") === col(sizes.columns.head))
+          .drop(sizes.columns.head)
+          .join(sizes.withColumnRenamed("sz", "sz_b"),
+            col("id_b") === col(sizes.columns.head))
+          .drop(sizes.columns.head)
       case Some(cap) =>
         // the capped index undercounts intersections; recompute exactly
         // over the full shingle sets — but FIRST prune candidates by the
@@ -179,8 +279,12 @@ object Dedup {
         val hotCnt = sh.join(dfTab.filter(col("df") > cap)
             .select(col("shingle")), Seq("shingle"))
           .groupBy(col(idCol)).agg(count(lit(1)).as("hot"))
+        // checkpoint BEFORE the broadcast-decision count: an uncached
+        // count() here would run the sizes+hotCnt join pipeline once
+        // for the decision and then recompute it when the prune
+        // executes — two executions of the same joins per guarded call
         val szHotPlain = sizes.join(hotCnt, Seq(idCol), "left")
-          .na.fill(0L, Seq("hot"))
+          .na.fill(0L, Seq("hot")).localCheckpoint()
         // the prune must NOT re-shuffle the (budget-sized) pair table:
         // per-doc (sz, hot) is ~24 bytes/doc, so broadcast it whenever
         // the doc count allows (up to ~5M docs = ~120 MB) and let the
@@ -200,11 +304,7 @@ object Dedup {
           .select(col("id_a"), col("id_b"))
         exactInterByArrays(sh, idCol, plausible)
     }
-    inter
-      .join(sizes.withColumnRenamed("sz", "sz_a"), col("id_a") === col(sizes.columns.head))
-      .drop(sizes.columns.head)
-      .join(sizes.withColumnRenamed("sz", "sz_b"), col("id_b") === col(sizes.columns.head))
-      .drop(sizes.columns.head)
+    interSz
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -218,8 +318,11 @@ object Dedup {
     * shingles/doc), the array route shuffles one row per candidate per
     * side plus the one-row-per-doc array table, then intersects inside
     * a codegen `array_intersect` — ~20x less shuffle at identical exact
-    * semantics. Returns (id_a, id_b, inter); candidates sharing nothing
-    * report inter = 0. */
+    * semantics. The set SIZES ride along for free (`size(set)` on the
+    * arrays already joined in), so callers need no separate per-doc
+    * count aggregation over the shingle table and no extra size joins.
+    * Returns (id_a, id_b, inter, sz_a, sz_b); candidates sharing
+    * nothing report inter = 0. */
   private def exactInterByArrays(sh: DataFrame, idCol: String,
       cand: DataFrame): DataFrame = {
     val setTab = sh.groupBy(col(idCol))
@@ -231,7 +334,9 @@ object Dedup {
         "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__sa__"), col("__sb__")))
-          .cast("long").as("inter"))
+          .cast("long").as("inter"),
+        size(col("__sa__")).cast("long").as("sz_a"),
+        size(col("__sb__")).cast("long").as("sz_b"))
   }
 
   /** Modulus of the Carter-Wegman MinHash family: 2^56, matching the
@@ -289,11 +394,9 @@ object Dedup {
     // (array-route: see exactInterByArrays — the candidate mass is
     // corpus-quadratic in the pairwise-similarity BACKGROUND, so the
     // verify join must be linear in candidates, not in candidate x
-    // doc-size)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // doc-size; set sizes ride along in the same pass, so this is ONE
+    // aggregation over the shingle table and two candidate-sized joins)
     exactInterByArrays(sh, idCol, cand)
-      .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed(idCol, "id_a"), "id_a")
-      .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed(idCol, "id_b"), "id_b")
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -166,6 +166,57 @@ class ExtSpec extends SparkSpec {
     assert(roomy == exact)
   }
 
+  test("capForBudget saturates instead of overflowing at guard-scale dfs") {
+    // d = 1e9 gives ~5e17 candidate rows per shingle; 19 such shingles
+    // wraps a naive Long accumulator negative, which would make
+    // `cum + mass <= budget` spuriously TRUE and silently uncap the
+    // stream. Saturation must keep the hot layer out at ANY budget.
+    val hot = Array(1000000000L -> 19L)
+    assert(Dedup.capForBudget(hot, Long.MaxValue - 1) == Some(0L))
+    assert(Dedup.capForBudget(hot, 100000000L) == Some(0L))
+    // cold layers below the budget are still retained greedily
+    val mixed = Array(2L -> 5L, 3L -> 4L, 1000000000L -> 19L)
+    assert(Dedup.capForBudget(mixed, 100L) == Some(3L))
+    assert(Dedup.capForBudget(mixed, 6L) == Some(2L))
+    // everything fits -> no cap
+    assert(Dedup.capForBudget(Array(2L -> 5L, 8L -> 1L), 1000L) == None)
+    assert(Dedup.capForBudget(Array.empty[(Long, Long)], 10L) == None)
+  }
+
+  test("candidate budget derives from scratch capacity with a floor") {
+    // 75 GB free -> 75 GiB / 2 / 80 B = 503,316,480 pair rows
+    assert(Dedup.scratchDerivedBudget(75L << 30) == 503316480L)
+    // tiny or zero free space never drops below the measured-safe floor
+    assert(Dedup.scratchDerivedBudget(0L) == Dedup.MinCandidatePairBudget)
+    assert(Dedup.scratchDerivedBudget(1L << 20) == Dedup.MinCandidatePairBudget)
+    // conf key wins over the free-space derivation; explicit budgets
+    // pass through untouched
+    spark.conf.set("spark.graft.dedup.candidateBudget", "12345")
+    try {
+      assert(Dedup.resolveCandidateBudget(spark,
+        Dedup.AutoCandidatePairBudget) == 12345L)
+      assert(Dedup.resolveCandidateBudget(spark, 777L) == 777L)
+    } finally spark.conf.unset("spark.graft.dedup.candidateBudget")
+    // unset: the environment-derived budget respects the floor
+    assert(Dedup.resolveCandidateBudget(spark,
+      Dedup.AutoCandidatePairBudget) >= Dedup.MinCandidatePairBudget)
+  }
+
+  test("oracle-scale pin: no dedup cap fires on the sf0.01 fixtures") {
+    // the guard changes which pairs are DISCOVERED — exactly what the
+    // DuckDB oracle hashes — so the oracle-compared configuration
+    // (q_jaccard_pairs / q_dedup_clusters parameters) must run uncapped
+    // at oracle scale even under the strictest realistic budget (the
+    // floor). If fixture density ever drifts enough to fire a cap here,
+    // this fails loudly instead of the oracle silently diverging.
+    val docs = spark.read.parquet(sf("sf0.01/documents.parquet"))
+    val cap = Dedup.effectiveCapFor(docs, "doc_id", "text", n = 3,
+      maxShingleDf = Some(10000L),
+      candidateBudget = Some(Dedup.MinCandidatePairBudget))
+    assert(cap.isEmpty, s"dedup cap $cap would fire at oracle scale — " +
+      "the DuckDB hash comparison is no longer comparing exact results")
+  }
+
   test("embedding cosine near-dup and brute-force ANN agree") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),

@@ -29,6 +29,15 @@ def load(p):
 
 s1, b1, sf, bf = load(small1), load(big1), load(small_fix), load(big_fix)
 
+# the merged artifact mixes numbers from two sweep generations; that is
+# only sound if each side's batches ran on the SAME fixtures — fail
+# loudly on a digest mismatch instead of silently merging different data
+for side, pre, fix in (("small", s1, sf), ("big", b1, bf)):
+    d_pre, d_fix = pre.get("fixtures_digest"), fix.get("fixtures_digest")
+    if d_pre != d_fix:
+        sys.exit(f"[assemble] FATAL: {side}-side fixtures_digest mismatch: "
+                 f"prefix batch {d_pre} vs post-fix batch {d_fix}")
+
 queries = {}
 for q in sorted(set(s1["queries_min"]) | set(sf["queries_min"])):
     if q in AFFECTED:

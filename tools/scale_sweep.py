@@ -13,6 +13,7 @@ fresh JVMs, no in-process extra reps (SPARK_GRAFT_BENCH_NO_EXTRA=1).
 """
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -23,6 +24,15 @@ N_PAIRS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 REPS = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# per-batch snapshots: each `runMain graft.Bench` overwrites
+# bench_out.json, so the round-11 sweep's completed pair-1 data was
+# unrecoverable after a mid-pair kill. Every batch is copied to
+# OUT.d/pair{i}_{small,big}.json as it lands, and a re-run resumes
+# from whatever snapshots already exist — a killed sweep only re-pays
+# the batch it died in.
+SNAP_DIR = OUT + ".d"
+os.makedirs(SNAP_DIR, exist_ok=True)
 
 # headline set: every family with a scale story — Gram/equity, quantile,
 # dedup (pair-count-bound), ANN, text, events, sampling/packing, scans
@@ -41,7 +51,13 @@ QUERIES = [
 ]
 
 
-def run_bench(sf_dir):
+def run_bench(sf_dir, snap):
+    if os.path.exists(snap):
+        with open(snap) as f:
+            data = json.load(f)
+        print(f"[sweep]   resume: {os.path.basename(snap)} "
+              f"(total_min={data['total_min']})", flush=True)
+        return data
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": sf_dir,
@@ -53,7 +69,8 @@ def run_bench(sf_dir):
     subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    with open(os.path.join(REPO, "bench_out.json")) as f:
+    shutil.copyfile(os.path.join(REPO, "bench_out.json"), snap)
+    with open(snap) as f:
         return json.load(f)
 
 
@@ -70,17 +87,27 @@ def merge_min(snapshots):
 small_runs, big_runs, loads = [], [], []
 for i in range(N_PAIRS):
     print(f"[sweep] pair {i + 1}/{N_PAIRS}: {SMALL}", flush=True)
-    s = run_bench(SMALL)
+    s = run_bench(SMALL, os.path.join(SNAP_DIR, f"pair{i + 1}_small.json"))
     print(f"[sweep]   small total_min={s['total_min']}"
           f" load={s['load_avg_start']}-{s['load_avg_end']}", flush=True)
     print(f"[sweep] pair {i + 1}/{N_PAIRS}: {BIG}", flush=True)
-    b = run_bench(BIG)
+    b = run_bench(BIG, os.path.join(SNAP_DIR, f"pair{i + 1}_big.json"))
     print(f"[sweep]   big total_min={b['total_min']}"
           f" load={b['load_avg_start']}-{b['load_avg_end']}", flush=True)
     small_runs.append(s)
     big_runs.append(b)
     loads.append([s["load_avg_start"], s["load_avg_end"],
                   b["load_avg_start"], b["load_avg_end"]])
+
+# all batches of one side must have run on the SAME fixtures — a digest
+# mismatch (e.g. regenerated data between a killed sweep and its resume)
+# would silently take mins across different datasets
+for side, runs in (("small", small_runs), ("big", big_runs)):
+    digests = {r.get("fixtures_digest") for r in runs}
+    if len(digests) > 1:
+        sys.exit(f"[sweep] FATAL: {side}-side fixtures_digest mismatch "
+                 f"across batches: {sorted(digests)} — delete stale "
+                 f"snapshots in {SNAP_DIR} or restore the fixtures")
 
 small_min = merge_min(small_runs)
 big_min = merge_min(big_runs)
