@@ -84,6 +84,43 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Mean current core frequency in MHz from /proc/cpuinfo (-1 where
+    * unavailable): two quiet boxes can still differ by a uniform factor
+    * through DVFS / turbo state, which load_avg never shows — the
+    * round-11 judge-vs-driver runs scaled by a flat 1.25x that took a
+    * manual adjudication to attribute. */
+  private def cpuMhz(): Double =
+    try {
+      val lines = Files.readAllLines(Paths.get("/proc/cpuinfo"))
+      import scala.jdk.CollectionConverters._
+      val mhz = lines.asScala.filter(_.startsWith("cpu MHz"))
+        .map(_.split(":")(1).trim.toDouble)
+      if (mhz.nonEmpty) mhz.sum / mhz.size else -1.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** Effective CPU quota in cores from cgroup v2 `cpu.max` (v1
+    * quota/period as fallback), -1 when unlimited/unavailable: a
+    * container capped below the visible core count runs the same
+    * local[32] suite uniformly slower with no load_avg signal. */
+  private def cgroupCpuQuota(): Double =
+    try {
+      val v2 = Paths.get("/sys/fs/cgroup/cpu.max")
+      if (Files.exists(v2)) {
+        val parts = new String(Files.readAllBytes(v2),
+          StandardCharsets.UTF_8).trim.split("\\s+")
+        if (parts(0) == "max") -1.0 else parts(0).toDouble / parts(1).toDouble
+      } else {
+        val q = Paths.get("/sys/fs/cgroup/cpu/cpu.cfs_quota_us")
+        val p = Paths.get("/sys/fs/cgroup/cpu/cpu.cfs_period_us")
+        if (!Files.exists(q) || !Files.exists(p)) -1.0
+        else {
+          val quota = new String(Files.readAllBytes(q)).trim.toDouble
+          if (quota < 0) -1.0
+          else quota / new String(Files.readAllBytes(p)).trim.toDouble
+        }
+      }
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -175,8 +212,10 @@ object Bench {
     val fixturesJson = fixtures.map { case (n, s, m, fh) =>
       s""""$n":{"bytes":$s,"mtime_ms":$m,"footer":"$fh"}"""
     }.mkString("{", ",", "}")
+    val cpuCond =
+      s""""cpu_mhz":${r4(cpuMhz())},"cgroup_cpu_quota":${r4(cgroupCpuQuota())}"""
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"fixtures_digest":"$fixturesDigest","fixtures":$fixturesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},$cpuCond,"divergent":$divergent,"fixtures_digest":"$fixturesDigest","fixtures":$fixturesJson,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The driver captures only the LAST ~2000 chars of stdout and parses
@@ -197,7 +236,7 @@ object Bench {
       .map { case (k, (m, _)) => "\"" + k + "\":" + r2(m) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${omittedAfterTop.size},"omitted_sum":${r2(omittedAfterTop.map(_._2._1).sum)},"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},"divergent":$divergent,"fixtures_digest":"$fixturesDigest","full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${omittedAfterTop.size},"omitted_sum":${r2(omittedAfterTop.map(_._2._1).sum)},"total_min":${r4(totalMin)},"failed":$failed,"reps":$reps,"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadAvg())},$cpuCond,"divergent":$divergent,"fixtures_digest":"$fixturesDigest","full":"bench_out.json","sf":"$sfDir"}"""
     // stop Spark FIRST: its shutdown logging otherwise lands after our
     // line, and sbt's [info] logger mangles anything mid-run — the bare
     // JSON must be the very last stdout line (and goes to stderr too) so

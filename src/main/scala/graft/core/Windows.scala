@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** Upper bound on the (group, bucket) metadata tuples
+    * [[valuesAtRanksGrouped]] may collect to the driver — ~2M tuples is
+    * ~100 MB of boxed driver state, far above any decomposition workload
+    * (2-3 groups) and low enough that a runaway group-dense caller fails
+    * fast instead of OOMing the driver mid-collect. */
+  val MaxDriverGroupBucketTuples: Long = 2000000L
+
   /** Interleaved point/range bucket id over frozen boundaries:
     * boundary VALUES get their own exact-match (odd) buckets, strict
     * ranges between them the even buckets. `approxQuantile` boundaries
@@ -221,7 +228,20 @@ object Windows {
     * a requested rank reach the sort: for k requested ranks the window
     * sorts at most k buckets' worth of rows (~k/buckets of the data),
     * not the whole frame. The window partitions by (group, bucket), so
-    * no group's rows ever collapse into one task. */
+    * no group's rows ever collapse into one task.
+    *
+    * DRIVER-MEMORY CONTRACT: the per-(group, bucket) count metadata is
+    * collected to the driver, O(|ranksByGroup| x 2*shufflePartitions)
+    * tuples (the input is filtered to the REQUESTED groups first, so
+    * the frame's own group cardinality never matters). Callers already
+    * hold a driver-side map per requested group, so the collect adds a
+    * small constant factor — but a caller fanning out to ~10^6 groups
+    * at 200 shuffle partitions would put ~4x10^8 tuples on the driver.
+    * [[MaxDriverGroupBucketTuples]] bounds that: the call fails fast
+    * (before any job) when the product exceeds it. Decompositions use
+    * 2-3 groups; a genuinely group-dense rank workload should batch
+    * `ranksByGroup` across calls, or use a per-group aggregation
+    * (approx_percentile over groupBy) when exactness is not needed. */
   def valuesAtRanksGrouped(df: DataFrame, group: Column, value: Column,
       ranksByGroup: Map[String, Set[Long]],
       precomputedBoundaries: Option[Array[Double]] = None)
@@ -230,6 +250,14 @@ object Windows {
       case (g, rs) if g != null && rs.nonEmpty => g -> rs.map(math.max(_, 0L))
     }
     if (want.isEmpty) return Map.empty
+    val nBuckets2 =
+      2L * df.sparkSession.sessionState.conf.numShufflePartitions
+    require(want.size.toLong * nBuckets2 <= MaxDriverGroupBucketTuples,
+      s"valuesAtRanksGrouped: ${want.size} requested groups x $nBuckets2 " +
+        s"point/range buckets = ${want.size.toLong * nBuckets2} driver " +
+        s"metadata tuples exceeds MaxDriverGroupBucketTuples " +
+        s"($MaxDriverGroupBucketTuples); batch ranksByGroup across calls " +
+        "or use approx per-group percentiles for group-dense workloads")
     val vals = df
       .select(group.cast("string").as("__g__"), value.cast("double").as("__v__"))
       .filter(col("__g__").isin(want.keys.toSeq: _*))

@@ -47,25 +47,26 @@ object Dfl {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
-    val levels = Prep.groupLevels(df, group)
+    // group counts, outcome range AND both groups' Silverman stats in
+    // ONE grouped pass + ONE grouped rank-pick (previously a global
+    // aggregate plus a per-group stats aggregate + rank-pick each).
+    // Runs FIRST: its stats keys are the distinct group levels, so the
+    // separate groupLevels distinct job is erased too.
+    val g = col(group).cast("string")
+    val y = col(outcome).cast("double")
+    val (bws, extras) = Kde.silvermanGrouped(df, outcome, g,
+      extraAggs = Seq(count(lit(1)), min(y), max(y)))
+    val levels = extras.keys.filter(_ != null).toSeq.sorted
     if (!levels.contains(reference))
       throw InvalidGroupVariable(s"Reference level '$reference' not found")
     val levelA = levels.filter(_ != reference).headOption.getOrElse(
       throw InvalidGroupVariable("Need two group levels for DFL"))
 
-    val g = col(group).cast("string")
     val target = when(g === lit(levelA), 1.0).otherwise(0.0)
     val withTarget = df.withColumn("__dfl_target__", target)
 
     val fit = Logit.fit(withTarget, "__dfl_target__", xCols,
       maxIter = logitMaxIter, tol = logitTol)
-
-    // group counts, outcome range AND both groups' Silverman stats in
-    // ONE grouped pass + ONE grouped rank-pick (previously a global
-    // aggregate plus a per-group stats aggregate + rank-pick each)
-    val y = col(outcome).cast("double")
-    val (bws, extras) = Kde.silvermanGrouped(df, outcome, g,
-      extraAggs = Seq(count(lit(1)), min(y), max(y)))
     val nA = extras(levelA)(0).asInstanceOf[Long].toDouble
     val nB = extras(reference)(0).asInstanceOf[Long].toDouble
     val ratioMarginal = nB / nA

@@ -127,10 +127,38 @@ object Kde {
       : (Map[String, Double], Map[String, Seq[Any]]) = {
     val v = col(valueCol).cast("double")
     val base = df.withColumn("__g__", group.cast("string"))
+    // a per-group percentile_approx lane rides the stats pass and
+    // replaces the rank-pick's own quantile-probe JOB: each group's
+    // sketch approximates its bucket boundaries (coarse accuracy 100,
+    // same as the probe it replaces — boundaries only balance buckets,
+    // they never touch results), and the per-group arrays merge
+    // driver-side below. Job count is the whole game at both test scale
+    // (fixed scheduling cost per pass) and 100 TB (a full scan per pass).
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bndLane =
+      if (nBuckets <= 1) lit(null).cast("array<double>")
+      else percentile_approx(v,
+        array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*),
+        lit(100))
     val lanes = Seq(count(v).as("__n__"), var_samp(v).as("__var__")) ++
-      extraAggs.zipWithIndex.map { case (c, i) => c.as(s"__x${i}__") }
+      extraAggs.zipWithIndex.map { case (c, i) => c.as(s"__x${i}__") } ++
+      Seq(bndLane.as("__bnds__"))
+    val bndIdx = 3 + extraAggs.size
     val rows = base.groupBy(col("__g__")).agg(lanes.head, lanes.tail: _*)
       .collect()
+    // merged boundaries: interleave every group's j-th probe value and
+    // take the middle of each block — the median across groups of each
+    // per-group quantile, a balanced pooled approximation (exactness is
+    // irrelevant; normalize() dedupes whatever comes out)
+    val perGroup = rows.iterator.filter(r => !r.isNullAt(0) && !r.isNullAt(bndIdx))
+      .map(_.getSeq[Double](bndIdx).toArray).toArray
+    val boundaries: Array[Double] =
+      if (perGroup.isEmpty) Array.empty
+      else {
+        val merged = perGroup.flatten.sorted
+        val nG = perGroup.length
+        Array.tabulate(nBuckets - 1)(j => merged(j * nG + nG / 2))
+      }
     // key extras by group INCLUDING a null group level (original callers'
     // whole-frame aggregates saw those rows too); bandwidths only for
     // real levels with data
@@ -144,7 +172,7 @@ object Kde {
         math.max((n * 0.75).toLong, 0L))
     }
     val picked = graft.core.Windows.valuesAtRanksGrouped(base, col("__g__"),
-      v, ranks)
+      v, ranks, Some(boundaries))
     val bws = stats.collect { case (g, (n, vr, _)) if g != null && n > 0 =>
       val std = math.sqrt(vr)
       val i1 = math.max((n * 0.25).toLong, 0L)

@@ -124,6 +124,26 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("valuesAtRanksGrouped: group-dense requests fail fast on the " +
+      "driver-metadata contract, before any job") {
+    // the per-(group, bucket) counts collect is O(|ranksByGroup| x
+    // 2*shufflePartitions) driver tuples; a request exceeding
+    // MaxDriverGroupBucketTuples must throw IMMEDIATELY (no Spark job)
+    // instead of OOMing the driver mid-collect
+    val buckets2 = 2L * spark.sessionState.conf.numShufflePartitions
+    val tooMany = (Windows.MaxDriverGroupBucketTuples / buckets2 + 1).toInt
+    val dense = (1 to tooMany).map(i => s"g$i" -> Set(0L)).toMap
+    val tiny = Seq(("g1", 1.0)).toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Windows.valuesAtRanksGrouped(tiny, col("g"), col("v"), dense)
+    }
+    assert(ex.getMessage.contains("MaxDriverGroupBucketTuples"))
+    // just under the bound still works (frame only has g1)
+    val ok = (1 to (tooMany - 2)).map(i => s"g$i" -> Set(0L)).toMap
+    val got = Windows.valuesAtRanksGrouped(tiny, col("g"), col("v"), ok)
+    assert(got == Map("g1" -> Map(0L -> 1.0)))
+  }
+
   test("signed zeros: -0.0 and 0.0 share a bucket (SQL equality, not " +
       "Double.compare)") {
     // kernel level: binarySearch orders -0.0 < 0.0; the normalization
