@@ -60,16 +60,22 @@ object Dedup {
   }
 
   /** Floor (and offline fallback) for the auto-derived candidate
-    * budget: the round-11 measured safe point for a single node with a
-    * 75 GB /tmp. Kept as a named constant so replays across machines
-    * never drop below it. */
+    * budget: the measured safe point for a single node with a 75 GB
+    * /tmp (100M rows x [[CandidateRowScratchBytes]] = ~19 GB peak).
+    * Kept as a named constant so replays across machines never drop
+    * below it. */
   val MinCandidatePairBudget: Long = 100000000L
 
-  /** Measured scratch bytes per candidate pair row: the candidate
-    * stream is spilled by the pair aggregation's sort fallback AND
-    * written as its shuffle output — ~20 GB per execution at 250M
-    * rows = ~80 B/row (1e9 rows exhausted a 75 GB /tmp outright). */
-  val CandidateRowScratchBytes: Long = 80L
+  /** Measured scratch bytes per candidate pair row at the PEAK of all
+    * concurrent consumers. The candidate stream is simultaneously (a)
+    * spilled by the pair aggregation's sort fallback, (b) written as
+    * that aggregation's shuffle output, and (c) still holding the
+    * inverted-index join's own shuffle files — the stages overlap, so
+    * the constant must cover their SUM, not one stage. An 80 B/row
+    * estimate from a single-stage measurement let a ~470M-row budget
+    * exhaust a 76 GB scratch disk (>=160 B/row observed, sf10 dense
+    * corpus); 192 B/row carries that measurement plus margin. */
+  val CandidateRowScratchBytes: Long = 192L
 
   /** Sentinel for `candidateBudget`: derive the budget from the
     * environment at call time — the conf key
@@ -144,8 +150,49 @@ object Dedup {
     * #distinct df VALUES is tiny at any corpus size, so the budget
     * scan is driver-side algebra over this array. */
   private def dfHistogram(dfTab: DataFrame): Array[(Long, Long)] =
-    dfTab.groupBy(col("df")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    dfHistogramWithBytes(dfTab)._1
+
+  /** [[dfHistogram]] plus, from the SAME aggregation, the estimated
+    * in-memory bytes of the per-doc sorted shingle-set table the exact
+    * verification joins against: every distinct shingle at df = d
+    * appears in d docs' sets, so total set elements = sum(d * n_d) and
+    * total string bytes = sum(d * len_d) — the estimate costs nothing
+    * beyond two extra lanes on the histogram pass. The 2x factor
+    * covers UnsafeArrayData headers + JVM row overhead. */
+  private def dfHistogramWithBytes(dfTab: DataFrame)
+      : (Array[(Long, Long)], Long) = {
+    val rows = dfTab.groupBy(col("df"))
+      .agg(count(lit(1)).as("n"), sum(length(col("shingle"))).as("len"))
+      .collect()
+    val histo = rows.map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var elems = 0L
+    var strBytes = 0L
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      elems += d * r.getLong(1)
+      strBytes += d * (if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    (histo, 2L * (8L * elems + strBytes))
+  }
+
+  /** Conf key for the set-table broadcast ceiling (estimated bytes). */
+  val SetBroadcastBytesKey = "spark.graft.dedup.setBroadcastBytes"
+
+  /** Default estimated-byte ceiling for broadcasting the per-doc
+    * shingle-set table in exact verification (~2.5 GB estimate, i.e.
+    * ~2x that across the two join sides): ~3x under Spark's 8 GB
+    * broadcast hard cap, and small enough to coexist with executor
+    * working memory on a large-heap node (a 500k-doc, 48-shingle
+    * corpus estimates ~1.4 GB). Every executor holds the broadcast, so
+    * cluster deployments with many small executors should lower this
+    * via [[SetBroadcastBytesKey]]; past the ceiling the verify falls
+    * back to sort-merge and the candidate budget shrinks by the array
+    * carry instead. */
+  val DefaultSetBroadcastBytes: Long = 2500000000L
+
+  private def setBroadcastCeiling(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(SetBroadcastBytesKey).map(_.toLong)
+      .getOrElse(DefaultSetBroadcastBytes)
 
   private def combineCaps(explicitCap: Option[Long],
       budgetCap: Option[Long], maxDf: Long): Option[Long] =
@@ -167,11 +214,22 @@ object Dedup {
     if (maxShingleDf.isEmpty && resolved.isEmpty) None
     else {
       val sh = shingles(df, idCol, textCol, n)
-      val histo = dfHistogram(
+      val (histo, setBytesEst) = dfHistogramWithBytes(
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
       val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
-      combineCaps(maxShingleDf, resolved.flatMap(capForBudget(histo, _)),
-        maxDf)
+      // mirror ngramJaccardPairs' carry shrink exactly, so the pin
+      // tests the cap that would actually fire
+      val broadcastable = setBytesEst <= setBroadcastCeiling(df.sparkSession)
+      val eff = resolved.map { b =>
+        if (broadcastable) b
+        else {
+          val docs = math.max(1L, df.count())
+          val carry = 2L * setBytesEst / docs
+          math.max(1000000L, (b.toDouble * CandidateRowScratchBytes /
+            (CandidateRowScratchBytes + carry)).toLong)
+        }
+      }
+      combineCaps(maxShingleDf, eff.flatMap(capForBudget(histo, _)), maxDf)
     }
   }
 
@@ -223,11 +281,30 @@ object Dedup {
       .map(resolveCandidateBudget(df.sparkSession, _))
     val guarded = maxShingleDf.nonEmpty || resolvedBudget.nonEmpty
     val dfTabPlain = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val histo: Array[(Long, Long)] =
-      if (!guarded) Array.empty else dfHistogram(dfTabPlain)
+    val (histo, setBytesEst) =
+      if (!guarded) (Array.empty[(Long, Long)], 0L)
+      else dfHistogramWithBytes(dfTabPlain)
     val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
+    // the verify phase's join strategy feeds back into the budget: with
+    // a broadcastable set table the candidate stream's own scratch
+    // ([[CandidateRowScratchBytes]]/row) is the whole disk story, but a
+    // sort-merge verify ALSO drags ~2x avg-set-bytes per surviving
+    // candidate through its second shuffle — at 1 KB sets that dwarfs
+    // the 192 B/row model, so the budget must shrink by the carry ratio
+    // or the guard bounds the wrong quantity (the sf10 failure mode:
+    // candidates fit, the verify shuffle did not)
+    val setsBroadcastable = setBytesEst <= setBroadcastCeiling(df.sparkSession)
+    val effBudget: Option[Long] = resolvedBudget.map { b =>
+      if (setsBroadcastable) b
+      else {
+        val docs = math.max(1L, df.count())
+        val carry = 2L * setBytesEst / docs
+        math.max(1000000L, (b.toDouble * CandidateRowScratchBytes /
+          (CandidateRowScratchBytes + carry)).toLong)
+      }
+    }
     val budgetCap: Option[Long] =
-      resolvedBudget.flatMap(capForBudget(histo, _))
+      effBudget.flatMap(capForBudget(histo, _))
     val effectiveCap: Option[Long] =
       combineCaps(maxShingleDf, budgetCap, maxDf)
     // the df table is re-read twice when a cap fires (hot-shingle
@@ -242,7 +319,10 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ngramJaccardPairs: dropping $nHot hot shingles (df > $cap" +
           budgetCap.filter(_ == cap).map(_ =>
-            s", budget-derived from candidateBudget=${resolvedBudget.get}")
+            s", budget-derived from candidateBudget=${effBudget.get}" +
+              (if (setsBroadcastable) ""
+               else s" (carry-shrunk from ${resolvedBudget.get}: " +
+                 "set table too large to broadcast)"))
             .getOrElse("") +
           ") from candidate generation; pairs overlapping ONLY on those " +
           "shingles will not be discovered")
@@ -302,7 +382,7 @@ object Dedup {
             lit(threshold / (1.0 + threshold)) *
               (col("sz_a") + col("sz_b")) - lit(1e-9))
           .select(col("id_a"), col("id_b"))
-        exactInterByArrays(sh, idCol, plausible)
+        exactInterByArrays(sh, idCol, plausible, Some(setsBroadcastable))
     }
     interSz
       .withColumn("jaccard",
@@ -315,23 +395,52 @@ object Dedup {
     * list, via per-doc SORTED SHINGLE ARRAYS instead of a double join
     * against the exploded shingle table: the exploded join shuffles
     * sum-over-pairs(|A|) rows (measured 650M for 13.6M candidates at 48
-    * shingles/doc), the array route shuffles one row per candidate per
-    * side plus the one-row-per-doc array table, then intersects inside
-    * a codegen `array_intersect` — ~20x less shuffle at identical exact
-    * semantics. The set SIZES ride along for free (`size(set)` on the
-    * arrays already joined in), so callers need no separate per-doc
-    * count aggregation over the shingle table and no extra size joins.
+    * shingles/doc), the array route joins one row per candidate per
+    * side against the one-row-per-doc array table, then intersects
+    * inside a codegen `array_intersect` — exact semantics either way.
+    * The set SIZES ride along for free (`size(set)` on the arrays
+    * already joined in), so callers need no separate per-doc count
+    * aggregation over the shingle table and no extra size joins.
+    *
+    * JOIN STRATEGY is the scale story here. A sort-merge plan carries
+    * the FIRST join's array column through the SECOND join's shuffle —
+    * ~|cand| x avg-set-bytes of shuffle write (measured ~260 GB for a
+    * 198M-candidate stream at ~1.3 KB/set: the sf10 scratch-disk
+    * killer, NOT the candidate stream itself). When the set table fits
+    * [[SetBroadcastBytesKey]] (estimated; default
+    * [[DefaultSetBroadcastBytes]]) both joins broadcast it instead:
+    * the candidate stream never shuffles with arrays attached and the
+    * verify phase writes ZERO array bytes to scratch. `broadcastSets =
+    * None` decides from a one-row-per-doc aggregate over the
+    * (checkpointed) set table; callers that already know (e.g. from
+    * the df-histogram byte lanes) pass Some(flag) and skip that probe.
     * Returns (id_a, id_b, inter, sz_a, sz_b); candidates sharing
     * nothing report inter = 0. */
   private def exactInterByArrays(sh: DataFrame, idCol: String,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame, broadcastSets: Option[Boolean] = None): DataFrame = {
+    // checkpoint: the table is read 2x (both join sides) — without it
+    // the groupBy + sort re-runs per side (broadcast builds don't share
+    // Spark's exchange reuse)
     val setTab = sh.groupBy(col(idCol))
       .agg(sort_array(collect_set(col("shingle"))).as("__set__"))
+      .localCheckpoint()
+    val doBroadcast = broadcastSets.getOrElse {
+      val r = setTab.agg(
+        sum(size(col("__set__")).cast("long")).as("elems"),
+        sum(expr(
+          "aggregate(transform(__set__, x -> length(x)), 0L, (a, x) -> a + x)"))
+          .as("chars")).head()
+      val est = 2L * (8L * (if (r.isNullAt(0)) 0L else r.getLong(0)) +
+        (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      est <= setBroadcastCeiling(sh.sparkSession)
+    }
+    def side(idAs: String, setAs: String) = {
+      val s = setTab.select(col(idCol).as(idAs), col("__set__").as(setAs))
+      if (doBroadcast) broadcast(s) else s
+    }
     cand
-      .join(setTab.select(col(idCol).as("id_a"), col("__set__").as("__sa__")),
-        "id_a")
-      .join(setTab.select(col(idCol).as("id_b"), col("__set__").as("__sb__")),
-        "id_b")
+      .join(side("id_a", "__sa__"), "id_a")
+      .join(side("id_b", "__sb__"), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__sa__"), col("__sb__")))
           .cast("long").as("inter"),
@@ -395,8 +504,13 @@ object Dedup {
     // corpus-quadratic in the pairwise-similarity BACKGROUND, so the
     // verify join must be linear in candidates, not in candidate x
     // doc-size; set sizes ride along in the same pass, so this is ONE
-    // aggregation over the shingle table and two candidate-sized joins)
-    exactInterByArrays(sh, idCol, cand)
+    // aggregation over the shingle table and two candidate-sized joins).
+    // Sort-merge, not broadcast: banding bounds |cand| near the true
+    // near-dup count, so the array carry is ~true-pair-many rows and a
+    // per-band broadcast build would cost more than it saves (measured
+    // +0.35 s at sf0.1); the budgeted-jaccard path broadcasts because
+    // its candidate stream is budget-many, 1000x larger
+    exactInterByArrays(sh, idCol, cand, broadcastSets = Some(false))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -184,8 +184,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("candidate budget derives from scratch capacity with a floor") {
-    // 75 GB free -> 75 GiB / 2 / 80 B = 503,316,480 pair rows
-    assert(Dedup.scratchDerivedBudget(75L << 30) == 503316480L)
+    // 75 GiB free -> 75 GiB / 2 / 192 B = 209,715,200 pair rows
+    assert(Dedup.scratchDerivedBudget(75L << 30) == 209715200L)
     // tiny or zero free space never drops below the measured-safe floor
     assert(Dedup.scratchDerivedBudget(0L) == Dedup.MinCandidatePairBudget)
     assert(Dedup.scratchDerivedBudget(1L << 20) == Dedup.MinCandidatePairBudget)
