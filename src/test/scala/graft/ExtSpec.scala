@@ -166,6 +166,35 @@ class ExtSpec extends SparkSpec {
     assert(roomy == exact)
   }
 
+  test("verify-join strategy (broadcast vs sort-merge) never changes results") {
+    // the sf10 scratch fix switches the exact-verification joins to
+    // broadcast when the set table fits SetBroadcastBytesKey; the join
+    // strategy is a pure physical choice, so forcing each extreme must
+    // produce byte-identical pair sets INCLUDING the jaccard values
+    val docs = Seq(
+      (0L, "breaking news today alpha beta gamma delta epsilon"),
+      (1L, "breaking news today alpha beta gamma delta zeta"),
+      (2L, "breaking news today completely different one two"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run() = toMapOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      0.1, maxShingleDf = Some(3L), candidateBudget = None))
+    val viaBroadcast = try {
+      spark.conf.set(Dedup.SetBroadcastBytesKey, Long.MaxValue.toString)
+      run()
+    } finally spark.conf.unset(Dedup.SetBroadcastBytesKey)
+    val viaSortMerge = try {
+      spark.conf.set(Dedup.SetBroadcastBytesKey, "0")
+      run()
+    } finally spark.conf.unset(Dedup.SetBroadcastBytesKey)
+    assert(viaBroadcast.nonEmpty, "capped verify path must engage")
+    assert(viaBroadcast == viaSortMerge,
+      s"join strategy changed results: $viaBroadcast vs $viaSortMerge")
+  }
+
   test("capForBudget saturates instead of overflowing at guard-scale dfs") {
     // d = 1e9 gives ~5e17 candidate rows per shingle; 19 such shingles
     // wraps a naive Long accumulator negative, which would make
