@@ -382,7 +382,7 @@ object Dedup {
             lit(threshold / (1.0 + threshold)) *
               (col("sz_a") + col("sz_b")) - lit(1e-9))
           .select(col("id_a"), col("id_b"))
-        exactInterByArrays(sh, idCol, plausible, Some(setsBroadcastable))
+        exactInterByArrays(sh, idCol, plausible, setsBroadcastable)
     }
     interSz
       .withColumn("jaccard",
@@ -410,33 +410,24 @@ object Dedup {
     * [[SetBroadcastBytesKey]] (estimated; default
     * [[DefaultSetBroadcastBytes]]) both joins broadcast it instead:
     * the candidate stream never shuffles with arrays attached and the
-    * verify phase writes ZERO array bytes to scratch. `broadcastSets =
-    * None` decides from a one-row-per-doc aggregate over the
-    * (checkpointed) set table; callers that already know (e.g. from
-    * the df-histogram byte lanes) pass Some(flag) and skip that probe.
+    * verify phase writes ZERO array bytes to scratch. The CALLER picks
+    * the strategy — it knows the candidate scale and the set-table
+    * size for free (the budgeted jaccard path reads both off its
+    * df-histogram byte lanes; LSH banding's candidates are true-pair-
+    * many, where a broadcast build costs more than it saves).
     * Returns (id_a, id_b, inter, sz_a, sz_b); candidates sharing
     * nothing report inter = 0. */
   private def exactInterByArrays(sh: DataFrame, idCol: String,
-      cand: DataFrame, broadcastSets: Option[Boolean] = None): DataFrame = {
+      cand: DataFrame, broadcastSets: Boolean): DataFrame = {
     // checkpoint: the table is read 2x (both join sides) — without it
     // the groupBy + sort re-runs per side (broadcast builds don't share
     // Spark's exchange reuse)
     val setTab = sh.groupBy(col(idCol))
       .agg(sort_array(collect_set(col("shingle"))).as("__set__"))
       .localCheckpoint()
-    val doBroadcast = broadcastSets.getOrElse {
-      val r = setTab.agg(
-        sum(size(col("__set__")).cast("long")).as("elems"),
-        sum(expr(
-          "aggregate(transform(__set__, x -> length(x)), 0L, (a, x) -> a + x)"))
-          .as("chars")).head()
-      val est = 2L * (8L * (if (r.isNullAt(0)) 0L else r.getLong(0)) +
-        (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      est <= setBroadcastCeiling(sh.sparkSession)
-    }
     def side(idAs: String, setAs: String) = {
       val s = setTab.select(col(idCol).as(idAs), col("__set__").as(setAs))
-      if (doBroadcast) broadcast(s) else s
+      if (broadcastSets) broadcast(s) else s
     }
     cand
       .join(side("id_a", "__sa__"), "id_a")
@@ -510,7 +501,7 @@ object Dedup {
     // per-band broadcast build would cost more than it saves (measured
     // +0.35 s at sf0.1); the budgeted-jaccard path broadcasts because
     // its candidate stream is budget-many, 1000x larger
-    exactInterByArrays(sh, idCol, cand, broadcastSets = Some(false))
+    exactInterByArrays(sh, idCol, cand, broadcastSets = false)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
