@@ -56,7 +56,18 @@ object Dfl {
     val y = col(outcome).cast("double")
     val (bws, extras) = Kde.silvermanGrouped(df, outcome, g,
       extraAggs = Seq(count(lit(1)), min(y), max(y)))
-    val levels = extras.keys.filter(_ != null).toSeq.sorted
+    // sort by UTF-8 bytes (Spark's binary collation), not JVM UTF-16
+    // code units: the two orders differ for supplementary-plane
+    // characters, and level choice must match Prep.groupLevels' Spark
+    // orderBy exactly
+    val levels = extras.keys.filter(_ != null).toSeq.sortWith { (x, y) =>
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n && a(i) == b(i)) i += 1
+      if (i < n) (a(i) & 0xFF) < (b(i) & 0xFF) else a.length < b.length
+    }
     if (!levels.contains(reference))
       throw InvalidGroupVariable(s"Reference level '$reference' not found")
     val levelA = levels.filter(_ != reference).headOption.getOrElse(

@@ -77,6 +77,25 @@ object Dedup {
     * corpus); 192 B/row carries that measurement plus margin. */
   val CandidateRowScratchBytes: Long = 192L
 
+  /** Crossover for the cost-based path choice in [[ngramJaccardPairs]]:
+    * full-index candidate masses at or below this run the plain
+    * inverted-index count (one shuffle + hash agg, ~100 B/pair of
+    * scratch, sub-second at this size on 32 cores); above it the
+    * prefix-filtered + verified path wins because its fixed stages
+    * (rank window, set-table build, verification joins) amortize
+    * against a quadratically growing saving. 50M pairs ~ 5 GB of
+    * one-stage shuffle — comfortably inside any executor fleet's
+    * scratch and well under [[MinCandidatePairBudget]]. The conf key
+    * `spark.graft.dedup.directPathMaxPairs` overrides (0 forces the
+    * prefix path everywhere — used by the losslessness spec and by
+    * fleets whose crossover sits elsewhere). */
+  val DirectPathMaxPairs: Long = 50000000L
+
+  private def directPathMaxPairs(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.directPathMaxPairs")
+      .map(_.toLong).getOrElse(DirectPathMaxPairs)
+
   /** Sentinel for `candidateBudget`: derive the budget from the
     * environment at call time — the conf key
     * `spark.graft.dedup.candidateBudget` if set, else from the free
@@ -112,6 +131,17 @@ object Dedup {
         scratchDerivedBudget(free)
       }
 
+  /** Saturating multiply: overflow pins to Long.MaxValue so budget
+    * algebra can only get STRICTER, never silently permissive. */
+  private def satMul(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
+  /** Saturating add — same contract as [[satMul]]. */
+  private def satAdd(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   /** Largest df cap whose cumulative candidate mass fits the budget,
     * from the ascending per-df histogram (df value -> #shingles at
     * that df). Greedy from the cold end: dropping the hottest shingles
@@ -124,21 +154,18 @@ object Dedup {
     * negative), and a wrapped `cum + mass <= budget` would silently
     * wave through the very stream the budget must bound. Overflow pins
     * to Long.MaxValue, which can only make the cap STRICTER. */
+  /** d*(d-1)/2 saturating, without intermediate overflow: halve the
+    * even factor. */
+  private def pairsOf(d: Long): Long =
+    if (d % 2 == 0L) satMul(d / 2, d - 1) else satMul(d, (d - 1) / 2)
+
   def capForBudget(histo: Array[(Long, Long)], budget: Long): Option[Long] = {
-    def satMul(a: Long, b: Long): Long =
-      try Math.multiplyExact(a, b)
-      catch { case _: ArithmeticException => Long.MaxValue }
-    // d*(d-1)/2 without intermediate overflow: halve the even factor
-    def pairsOf(d: Long): Long =
-      if (d % 2 == 0L) satMul(d / 2, d - 1) else satMul(d, (d - 1) / 2)
     var cum = 0L
     var cap = 0L
     var fits = true
     histo.foreach { case (d, cnt) =>
       val mass = satMul(cnt, pairsOf(d))
-      val next =
-        try Math.addExact(cum, mass)
-        catch { case _: ArithmeticException => Long.MaxValue }
+      val next = satAdd(cum, mass)
       if (fits && next <= budget) { cum = next; cap = d }
       else fits = false
     }
@@ -146,33 +173,19 @@ object Dedup {
     if (cap < maxDf) Some(cap) else None
   }
 
-  /** Per-df histogram of the shingle df table: one small aggregation;
-    * #distinct df VALUES is tiny at any corpus size, so the budget
-    * scan is driver-side algebra over this array. */
-  private def dfHistogram(dfTab: DataFrame): Array[(Long, Long)] =
-    dfHistogramWithBytes(dfTab)._1
-
-  /** [[dfHistogram]] plus, from the SAME aggregation, the estimated
-    * in-memory bytes of the per-doc sorted shingle-set table the exact
-    * verification joins against: every distinct shingle at df = d
-    * appears in d docs' sets, so total set elements = sum(d * n_d) and
-    * total string bytes = sum(d * len_d) — the estimate costs nothing
-    * beyond two extra lanes on the histogram pass. The 2x factor
-    * covers UnsafeArrayData headers + JVM row overhead. */
-  private def dfHistogramWithBytes(dfTab: DataFrame)
-      : (Array[(Long, Long)], Long) = {
-    val rows = dfTab.groupBy(col("df"))
-      .agg(count(lit(1)).as("n"), sum(length(col("shingle"))).as("len"))
-      .collect()
-    val histo = rows.map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var elems = 0L
-    var strBytes = 0L
-    rows.foreach { r =>
-      val d = r.getLong(0)
-      elems += d * r.getLong(1)
-      strBytes += d * (if (r.isNullAt(2)) 0L else r.getLong(2))
-    }
-    (histo, 2L * (8L * elems + strBytes))
+  /** Estimated in-memory bytes of the per-doc sorted shingle-set table
+    * the exact verification joins against: total set elements = #rows
+    * of the exploded shingle table and total string bytes = its summed
+    * shingle lengths, so ONE tiny global aggregation prices the whole
+    * table. The 2x factor covers UnsafeArrayData headers + JVM row
+    * overhead. Saturating driver algebra: an overflow here may only
+    * DISABLE broadcasting (estimate pins high), never enable it. */
+  private def setBytesEstimate(sh: DataFrame): Long = {
+    val r = sh.agg(count(lit(1)).as("n"),
+      sum(length(col("shingle"))).as("len")).collect()(0)
+    val elems = r.getLong(0)
+    val strBytes = if (r.isNullAt(1)) 0L else r.getLong(1)
+    satMul(2L, satAdd(satMul(8L, elems), strBytes))
   }
 
   /** Conf key for the set-table broadcast ceiling (estimated bytes). */
@@ -181,210 +194,328 @@ object Dedup {
   /** Default estimated-byte ceiling for broadcasting the per-doc
     * shingle-set table in exact verification (~2.5 GB estimate, i.e.
     * ~2x that across the two join sides): ~3x under Spark's 8 GB
-    * broadcast hard cap, and small enough to coexist with executor
-    * working memory on a large-heap node (a 500k-doc, 48-shingle
-    * corpus estimates ~1.4 GB). Every executor holds the broadcast, so
-    * cluster deployments with many small executors should lower this
-    * via [[SetBroadcastBytesKey]]; past the ceiling the verify falls
-    * back to sort-merge and the candidate budget shrinks by the array
-    * carry instead. */
+    * broadcast hard cap. The DEFAULT is additionally gated at 1/4 of
+    * the JVM's max heap — the estimate sits on BOTH join sides and the
+    * HashedRelation build is often larger than the 2x-fudged estimate,
+    * so on a modest-heap driver/executor an ungated 2.5 GB default
+    * would OOM where sort-merge spills and completes. Setting
+    * [[SetBroadcastBytesKey]] explicitly bypasses the gate (the
+    * operator's opt-in raise for large-heap fleets). Past the ceiling
+    * the verify falls back to sort-merge and the candidate budget
+    * shrinks by the array carry instead. */
   val DefaultSetBroadcastBytes: Long = 2500000000L
 
   private def setBroadcastCeiling(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(SetBroadcastBytesKey).map(_.toLong)
-      .getOrElse(DefaultSetBroadcastBytes)
+      .getOrElse(math.min(DefaultSetBroadcastBytes,
+        Runtime.getRuntime.maxMemory / 4))
 
-  private def combineCaps(explicitCap: Option[Long],
-      budgetCap: Option[Long], maxDf: Long): Option[Long] =
-    (explicitCap.filter(_ < maxDf), budgetCap) match {
-      case (Some(a), Some(b)) => Some(math.min(a, b))
-      case (a, b) => a.orElse(b)
-    }
+  /** The sort-merge verify drags ~2x avg-set-bytes per surviving
+    * candidate through its second shuffle; when the set table is too
+    * big to broadcast the candidate budget must shrink by that carry
+    * ratio or the guard bounds the wrong quantity (the sf10 failure
+    * mode: candidates fit, the verify shuffle did not). ONE definition
+    * shared by [[ngramJaccardPairs]] and [[effectiveCapFor]] so the
+    * oracle pin always tests the cap that would actually fire. */
+  private def carryShrunkBudget(budget: Long, setBytesEst: Long,
+      docs: Long): Long = {
+    val carry = 2L * setBytesEst / math.max(1L, docs)
+    math.max(1000000L, (budget.toDouble * CandidateRowScratchBytes /
+      (CandidateRowScratchBytes + carry)).toLong)
+  }
 
-  /** The df cap [[ngramJaccardPairs]] would apply for these inputs —
-    * the histogram probe + cap algebra only, no candidate generation.
+  /** Prefix-filtered inverted index (Chaudhuri et al., ICDE'06;
+    * Bayardo et al., WWW'07) — recall-LOSSLESS for threshold-t
+    * Jaccard. Shingles get a global total order (full-corpus df
+    * ascending, shingle text as tie-break: rarest first, which
+    * minimizes prefix collisions); each doc indexes only its first
+    * p = |A| - ceil(t*|A|) + 1 shingles in that order. Any pair with
+    * J >= t has intersection >= ceil(t*max(|A|,|B|)) and therefore
+    * shares at least one shingle inside both prefixes (standard prefix
+    * lemma, conservative per-doc alpha = ceil(t*|A|)). The epsilon in
+    * the ceil guards float raggedness by erring toward LONGER
+    * prefixes — losslessness is never at risk, only pruning power.
+    * Emits (id, shingle, __fdf__, __rk__ = rank in the full ordered
+    * set, __sz__ = full set size); ranks/sizes feed the positional and
+    * length filters downstream. */
+  private def prefixIndex(sh: DataFrame, idCol: String, dfTab: DataFrame,
+      threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__fdf__"), col("shingle"))
+    val wsz = Window.partitionBy(col(idCol))
+    sh.join(dfTab, "shingle")
+      .withColumn("__rk__", row_number().over(w))
+      .withColumn("__sz__", count(lit(1)).over(wsz))
+      .filter(col("__rk__") <= col("__sz__")
+        - ceil(lit(threshold) * col("__sz__") - lit(1e-9)) + lit(1))
+  }
+
+  /** Per-df histogram of a (shingle, df) table under the given df
+    * column name. #distinct df VALUES is tiny at any corpus size, so
+    * the budget scan is driver-side algebra over this array. */
+  private def dfHistogram(tab: DataFrame, dfCol: String): Array[(Long, Long)] =
+    tab.groupBy(col(dfCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+
+  /** Whether (and at what df value) a guard of [[ngramJaccardPairs]]
+    * would drop shingles for these inputs — the index probe + cap
+    * algebra only, no candidate generation. None means NO shingle is
+    * dropped by either guard (the explicit full-df cap or the
+    * budget-derived prefix-df cap); the Some value is informational
+    * (the lower of the two caps, which live in different df spaces).
     * Exists so correctness harnesses can PIN that an oracle-compared
-    * configuration runs uncapped (a firing cap changes which pairs are
-    * discovered, which is exactly what the oracle hashes). */
+    * configuration runs unguarded (a firing guard changes which pairs
+    * are discovered, which is exactly what the oracle hashes). */
   def effectiveCapFor(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxShingleDf: Option[Long],
+      n: Int, threshold: Double, maxShingleDf: Option[Long],
       candidateBudget: Option[Long]): Option[Long] = {
-    val resolved = candidateBudget
-      .map(resolveCandidateBudget(df.sparkSession, _))
+    val spark = df.sparkSession
+    val resolved = candidateBudget.map(resolveCandidateBudget(spark, _))
     if (maxShingleDf.isEmpty && resolved.isEmpty) None
     else {
-      val sh = shingles(df, idCol, textCol, n)
-      val (histo, setBytesEst) = dfHistogramWithBytes(
-        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
-      val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
-      // mirror ngramJaccardPairs' carry shrink exactly, so the pin
-      // tests the cap that would actually fire
-      val broadcastable = setBytesEst <= setBroadcastCeiling(df.sparkSession)
-      val eff = resolved.map { b =>
-        if (broadcastable) b
-        else {
-          val docs = math.max(1L, df.count())
-          val carry = 2L * setBytesEst / docs
-          math.max(1000000L, (b.toDouble * CandidateRowScratchBytes /
-            (CandidateRowScratchBytes + carry)).toLong)
+      val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+      val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__fdf__"))
+      val maxFdf = dfTab.agg(max(col("__fdf__"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      val explicitFiring = maxShingleDf.filter(_ < maxFdf)
+      val histoFull = dfHistogram(dfTab, "__fdf__")
+      val retainedMass = histoFull.iterator
+        .filter { case (d, _) => maxShingleDf.forall(d <= _) }
+        .map { case (d, cnt) => satMul(cnt, pairsOf(d)) }
+        .foldLeft(0L)(satAdd)
+      // mirror ngramJaccardPairs exactly, so the pin tests the cap
+      // that would actually fire: the direct path (small retained
+      // mass, no explicit hot shingle, budget covers the mass) never
+      // caps; otherwise price the FULL index first (an upper bound on
+      // the prefix-index mass) and fall to the prefix histogram only
+      // past the budget
+      if (explicitFiring.isEmpty &&
+          retainedMass <= directPathMaxPairs(spark) &&
+          resolved.forall(_ >= retainedMass)) None
+      else {
+        val budgetCap = resolved.flatMap { b =>
+          val setBytesEst = setBytesEstimate(sh)
+          val eff =
+            if (setBytesEst <= setBroadcastCeiling(spark)) b
+            else carryShrunkBudget(b, setBytesEst, df.count())
+          if (capForBudget(histoFull, eff).isEmpty) None
+          else {
+            val pdfTab = prefixIndex(sh, idCol, dfTab, threshold)
+              .groupBy(col("shingle")).agg(count(lit(1)).as("__pdf__"))
+            capForBudget(dfHistogram(pdfTab, "__pdf__"), eff)
+          }
+        }
+        (explicitFiring, budgetCap) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b) => a.orElse(b)
         }
       }
-      combineCaps(maxShingleDf, eff.flatMap(capForBudget(histo, _)), maxDf)
     }
   }
 
   /** Exact pairwise Jaccard over shared-shingle candidates:
     * (id_a < id_b, jaccard) for jaccard >= threshold.
     *
-    * Scale guard — the inverted-index join's candidate stream is
-    * sum over shingles of df*(df-1)/2 rows, which is QUADRATIC in
-    * corpus density: a closed shingle vocabulary (boilerplate, template
-    * text, adversarially dense synthetic corpora) grows that mass 100x
-    * per 10x docs (measured: 112M pairs at 500k-shingle sf1 vs 12.3B at
-    * sf10 on the same ~30k-shingle vocabulary) and no exact algorithm in
-    * the inverted-index family avoids touching it — prefix filtering
-    * (Bayardo et al., WWW'07) measured only a 6x constant here because
-    * every shingle is dense. Two caps bound the work:
+    * CANDIDATE GENERATION is the scale story. A naive inverted-index
+    * self-join generates sum over shingles of df*(df-1)/2 rows, which
+    * is QUADRATIC in corpus density: a closed shingle vocabulary
+    * (boilerplate, template text, adversarially dense synthetic
+    * corpora) grows that mass 100x per 10x docs (measured: 112M pairs
+    * at 500k-doc sf1 vs 12.3B at sf10 on the same ~30k-shingle
+    * vocabulary). The physical plan is chosen COST-BASED from a
+    * driver-side df histogram: below [[DirectPathMaxPairs]] of
+    * candidate mass the plain inverted-index count runs (cheapest at
+    * small mass — no verification join needed since intersections come
+    * out exact); above it, three RECALL-LOSSLESS filters cut the mass
+    * before any guard has to fire:
+    *
+    * - prefix filtering ([[prefixIndex]]): only the first
+    *   |A| - ceil(t*|A|) + 1 shingles per doc (rarest-first global
+    *   order) are indexed — at t = 0.8 that is ~1/5 of the rows and
+    *   ~1/25 of the per-shingle join mass;
+    * - length filtering: candidates must satisfy
+    *   min(|A|,|B|) >= t * max(|A|,|B|) (J <= min/max), applied on the
+    *   join output before the pair aggregation;
+    * - positional filtering (PPJoin, Xiao et al., WWW'08): a shared
+    *   shingle at ranks (ra, rb) bounds the full intersection by
+    *   min(ra-1, rb-1) + 1 + min(|A|-ra, |B|-rb); pairs whose tightest
+    *   bound misses the required overlap t*(|A|+|B|)/(1+t) are pruned
+    *   before the (array-carrying) verification join.
+    *
+    * Verification then recomputes intersections EXACTLY over the full
+    * shingle sets ([[exactInterByArrays]]), so reported Jaccard values
+    * are always full-set-exact.
+    *
+    * Two guards bound the residual work on corpora where even the
+    * filtered mass is hostile:
     *
     * - `maxShingleDf` (explicit): the classic hot-key guard — shingles
-    *   with df above the cap never generate candidates (one stopword
-    *   shingle with df = 10^6 otherwise puts 10^12 rows on one key).
+    *   with FULL-corpus df above the cap never generate candidates
+    *   (one stopword shingle with df = 10^6 otherwise puts 10^12 rows
+    *   on one key).
     * - `candidateBudget` (default [[AutoCandidatePairBudget]] = derive
     *   from the conf key `spark.graft.dedup.candidateBudget` or the
     *   scratch dirs' free space, floored at
-    *   [[MinCandidatePairBudget]]): the largest df cap whose TOTAL
-    *   candidate mass fits the budget, chosen from a per-df histogram
-    *   of the df table (a driver-side array of distinct df VALUES,
-    *   tiny at any corpus size).
+    *   [[MinCandidatePairBudget]]): the largest PREFIX-INDEX df cap
+    *   whose total candidate mass fits the budget, chosen from a
+    *   per-df histogram of the prefix index (a driver-side array of
+    *   distinct df VALUES, tiny at any corpus size). Pricing the
+    *   prefix index rather than the full one means the budget binds
+    *   only against mass the join would actually generate.
     *
-    * Whichever cap is lower wins. Correctness accounting when a cap
-    * fires: reported Jaccard values stay EXACT (intersections are
-    * recomputed over the full shingle sets for surviving candidates,
-    * after an exact-upper-bound prune: inter_full <= inter_capped +
-    * min(hot_a, hot_b), so no qualifying pair is ever pruned); pairs
-    * whose overlap consists ONLY of above-cap shingles are not
-    * discovered, and the count of suppressed shingles + the chosen cap
-    * are logged so the recall change is observable. On a natural
-    * corpus (Heaps-law vocabulary growth) the budget never binds; on a
-    * density-adversarial one it degrades recall observably instead of
-    * dying on the shuffle — the same corpus kills ANY exact engine,
-    * including a SQL replay of this query. `candidateBudget = None`
-    * disables the guard (exact candidate generation at any cost). */
+    * Correctness accounting when a guard fires: reported Jaccard
+    * values stay EXACT (full-set recompute); pairs whose every shared
+    * IN-PREFIX shingle is above-cap are not discovered, and the count
+    * of suppressed shingles + the chosen cap are logged so the recall
+    * change is observable. On a natural corpus (Heaps-law vocabulary
+    * growth) the budget never binds; on a density-adversarial one it
+    * degrades recall observably instead of dying on the shuffle — the
+    * same corpus kills ANY exact engine, including a SQL replay of
+    * this query. `candidateBudget = None` disables the budget guard
+    * (exact candidate generation at any cost). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxShingleDf: Option[Long] = None,
       candidateBudget: Option[Long] = Some(AutoCandidatePairBudget))
       : DataFrame = {
+    val spark = df.sparkSession
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val resolvedBudget = candidateBudget
-      .map(resolveCandidateBudget(df.sparkSession, _))
-    val guarded = maxShingleDf.nonEmpty || resolvedBudget.nonEmpty
-    val dfTabPlain = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val (histo, setBytesEst) =
-      if (!guarded) (Array.empty[(Long, Long)], 0L)
-      else dfHistogramWithBytes(dfTabPlain)
-    val maxDf = histo.lastOption.map(_._1).getOrElse(0L)
+      .map(resolveCandidateBudget(spark, _))
+    // full-corpus df: the global rarity order for prefix filtering,
+    // the space the explicit hot-key cap lives in, and (as a tiny
+    // driver histogram) the cost model that picks the physical path.
+    // NOT checkpointed: the direct path touches only the histogram,
+    // and the prefix path reads the table exactly once (its __fdf__
+    // column then rides on every prefix row).
+    val dfTab = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__fdf__"))
+    val histoFull = dfHistogram(dfTab, "__fdf__")
+    val nHotExplicit = maxShingleDf.map(cap =>
+      histoFull.iterator.filter(_._1 > cap).map(_._2).sum).getOrElse(0L)
+    val retainedMass = histoFull.iterator
+      .filter { case (d, _) => maxShingleDf.forall(d <= _) }
+      .map { case (d, cnt) => satMul(cnt, pairsOf(d)) }
+      .foldLeft(0L)(satAdd)
+    // COST-BASED PATH CHOICE off the driver-side histogram. When no
+    // guard fires and the full inverted-index candidate mass is small,
+    // the plain index self-join + pair count IS the fastest plan: its
+    // per-pair cost is one hash-agg row, and the prefix path's fixed
+    // stages (rank window, set-table build, two verification joins)
+    // cost more than the mass they would save. Past the crossover the
+    // prefix path wins quadratically.
+    if (nHotExplicit == 0L && retainedMass <= directPathMaxPairs(spark) &&
+        resolvedBudget.forall(_ >= retainedMass)) {
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+      val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+      val interSz = a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("sz", "sz_a"),
+          col("id_a") === col(sizes.columns.head))
+        .drop(sizes.columns.head)
+        .join(sizes.withColumnRenamed("sz", "sz_b"),
+          col("id_b") === col(sizes.columns.head))
+        .drop(sizes.columns.head)
+      return interSz
+        .withColumn("jaccard",
+          col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    // ---- prefix + verify path ----
     // the verify phase's join strategy feeds back into the budget: with
     // a broadcastable set table the candidate stream's own scratch
     // ([[CandidateRowScratchBytes]]/row) is the whole disk story, but a
     // sort-merge verify ALSO drags ~2x avg-set-bytes per surviving
     // candidate through its second shuffle — at 1 KB sets that dwarfs
-    // the 192 B/row model, so the budget must shrink by the carry ratio
-    // or the guard bounds the wrong quantity (the sf10 failure mode:
-    // candidates fit, the verify shuffle did not)
-    val setsBroadcastable = setBytesEst <= setBroadcastCeiling(df.sparkSession)
+    // the 192 B/row model, so the budget shrinks by the carry ratio
+    // ([[carryShrunkBudget]]) or the guard bounds the wrong quantity
+    // (the sf10 failure mode: candidates fit, the verify shuffle did
+    // not)
+    val setBytesEst = setBytesEstimate(sh)
+    val setsBroadcastable = setBytesEst <= setBroadcastCeiling(spark)
     val effBudget: Option[Long] = resolvedBudget.map { b =>
       if (setsBroadcastable) b
-      else {
-        val docs = math.max(1L, df.count())
-        val carry = 2L * setBytesEst / docs
-        math.max(1000000L, (b.toDouble * CandidateRowScratchBytes /
-          (CandidateRowScratchBytes + carry)).toLong)
-      }
+      else carryShrunkBudget(b, setBytesEst, df.count())
     }
-    val budgetCap: Option[Long] =
-      effBudget.flatMap(capForBudget(histo, _))
-    val effectiveCap: Option[Long] =
-      combineCaps(maxShingleDf, budgetCap, maxDf)
-    // the df table is re-read twice when a cap fires (hot-shingle
-    // anti-join + per-doc hot counts) — checkpoint it then, and ONLY
-    // then: when no cap fires it is never touched again, so the guard's
-    // whole fixed cost is the one histogram aggregation above
-    val dfTab =
-      if (effectiveCap.nonEmpty) dfTabPlain.localCheckpoint()
-      else dfTabPlain
-    effectiveCap.foreach { cap =>
-      val nHot = histo.iterator.filter(_._1 > cap).map(_._2).sum
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ngramJaccardPairs: dropping $nHot hot shingles (df > $cap" +
-          budgetCap.filter(_ == cap).map(_ =>
-            s", budget-derived from candidateBudget=${effBudget.get}" +
-              (if (setsBroadcastable) ""
-               else s" (carry-shrunk from ${resolvedBudget.get}: " +
-                 "set table too large to broadcast)"))
-            .getOrElse("") +
-          ") from candidate generation; pairs overlapping ONLY on those " +
-          "shingles will not be discovered")
+    // fast budget check: full-index mass bounds the prefix-index mass
+    // from above, so when it fits no prefix pricing runs at all
+    val budgetMayBind = effBudget.exists(b =>
+      capForBudget(histoFull, b).nonEmpty)
+    val prefPlain = prefixIndex(sh, idCol, dfTab, threshold)
+    // budget pricing reads the prefix index twice (histogram + join);
+    // checkpoint it then, and ONLY then
+    val pref = if (budgetMayBind) prefPlain.localCheckpoint() else prefPlain
+    // budget guard priced on the PREFIX index it will actually join —
+    // prefix filtering shrinks the real mass well below the full-index
+    // upper bound, so the cap binds only against work the join would
+    // actually do
+    val pdfTab = if (!budgetMayBind) None else Some(
+      pref.groupBy(col("shingle")).agg(count(lit(1)).as("__pdf__"))
+        .localCheckpoint())
+    val budgetCap: Option[Long] = (effBudget, pdfTab) match {
+      case (Some(b), Some(tab)) =>
+        capForBudget(dfHistogram(tab, "__pdf__"), b)
+      case _ => None
     }
-    val index = effectiveCap match {
+    budgetCap.foreach { cap =>
+      log.warn(
+        s"ngramJaccardPairs: budget cap fires — dropping prefix-index " +
+          s"shingles with df > $cap (candidateBudget=${effBudget.get}" +
+          (if (setsBroadcastable) ""
+           else s", carry-shrunk from ${resolvedBudget.get}: " +
+             "set table too large to broadcast") +
+          "); pairs whose every shared in-prefix shingle is hotter " +
+          "than the cap will not be discovered")
+    }
+    // explicit cap: __fdf__ already rides on every prefix row, so the
+    // hot-key filter is a free predicate; the hot count for the log
+    // comes off the driver-side histogram (no extra job)
+    val afterExplicit = maxShingleDf match {
       case Some(cap) =>
-        val hot = dfTab.filter(col("df") > cap).select(col("shingle"))
-        sh.join(hot, Seq("shingle"), "left_anti")
-      case None => sh
+        if (nHotExplicit > 0L) log.warn(
+          s"ngramJaccardPairs: explicit maxShingleDf=$cap fires — " +
+            s"dropping $nHotExplicit hot shingles from candidate " +
+            "generation; pairs overlapping ONLY on those shingles " +
+            "will not be discovered")
+        pref.filter(col("__fdf__") <= cap)
+      case None => pref
     }
-    val a = index.select(col(idCol).as("id_a"), col("shingle"))
-    val b = index.select(col(idCol).as("id_b"), col("shingle"))
-    val candInter = a.join(b, "shingle")
+    val index = (budgetCap, pdfTab) match {
+      case (Some(cap), Some(tab)) =>
+        afterExplicit.join(tab.filter(col("__pdf__") > cap)
+          .select(col("shingle")), Seq("shingle"), "left_anti")
+      case _ => afterExplicit
+    }
+    val a = index.select(col(idCol).as("id_a"), col("shingle"),
+      col("__sz__").as("sz_a"), col("__rk__").as("rk_a"))
+    val b = index.select(col(idCol).as("id_b"), col("shingle"),
+      col("__sz__").as("sz_b"), col("__rk__").as("rk_b"))
+    val cand = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    // both branches end in (id_a, id_b, inter, sz_a, sz_b)
-    val interSz = effectiveCap match {
-      case None =>
-        candInter
-          .join(sizes.withColumnRenamed("sz", "sz_a"),
-            col("id_a") === col(sizes.columns.head))
-          .drop(sizes.columns.head)
-          .join(sizes.withColumnRenamed("sz", "sz_b"),
-            col("id_b") === col(sizes.columns.head))
-          .drop(sizes.columns.head)
-      case Some(cap) =>
-        // the capped index undercounts intersections; recompute exactly
-        // over the full shingle sets — but FIRST prune candidates by the
-        // exact upper bound inter_full <= inter_capped + min(hot_a,
-        // hot_b) against the threshold's intersection requirement
-        // I >= t * (sz_a + sz_b) / (1 + t): on a dense corpus most
-        // candidates share ONE cold shingle and die here, so the
-        // recompute join touches ~true-pair-many rows, not ~budget-many
-        val hotCnt = sh.join(dfTab.filter(col("df") > cap)
-            .select(col("shingle")), Seq("shingle"))
-          .groupBy(col(idCol)).agg(count(lit(1)).as("hot"))
-        // checkpoint BEFORE the broadcast-decision count: an uncached
-        // count() here would run the sizes+hotCnt join pipeline once
-        // for the decision and then recompute it when the prune
-        // executes — two executions of the same joins per guarded call
-        val szHotPlain = sizes.join(hotCnt, Seq(idCol), "left")
-          .na.fill(0L, Seq("hot")).localCheckpoint()
-        // the prune must NOT re-shuffle the (budget-sized) pair table:
-        // per-doc (sz, hot) is ~24 bytes/doc, so broadcast it whenever
-        // the doc count allows (up to ~5M docs = ~120 MB) and let the
-        // filter run map-side; beyond that fall back to shuffle joins
-        // (linear, co-partitioned by id)
-        val szHot =
-          if (szHotPlain.count() <= 5000000L) broadcast(szHotPlain)
-          else szHotPlain
-        val plausible = candInter
-          .join(szHot.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
-            col("hot").as("hot_a")), "id_a")
-          .join(szHot.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
-            col("hot").as("hot_b")), "id_b")
-          .filter(col("inter") + least(col("hot_a"), col("hot_b")) >=
-            lit(threshold / (1.0 + threshold)) *
-              (col("sz_a") + col("sz_b")) - lit(1e-9))
-          .select(col("id_a"), col("id_b"))
-        exactInterByArrays(sh, idCol, plausible, setsBroadcastable)
-    }
-    interSz
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        min(least(col("rk_a") - lit(1), col("rk_b") - lit(1)) +
+          least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")))
+          .as("__slk__"),
+        first(col("sz_a")).as("__sza__"),
+        first(col("sz_b")).as("__szb__"))
+      .filter(col("__slk__") + lit(1) >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("__sza__") + col("__szb__")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+    // semi-join reduction on: at guard scale the corpus is huge and
+    // the positional/length pruning leaves candidates over a doc
+    // subset, so the set build must not pay for every doc
+    exactInterByArrays(sh, idCol, cand, setsBroadcastable,
+        semiJoinSets = true)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -418,11 +549,28 @@ object Dedup {
     * Returns (id_a, id_b, inter, sz_a, sz_b); candidates sharing
     * nothing report inter = 0. */
   private def exactInterByArrays(sh: DataFrame, idCol: String,
-      cand: DataFrame, broadcastSets: Boolean): DataFrame = {
+      cand0: DataFrame, broadcastSets: Boolean,
+      semiJoinSets: Boolean = false): DataFrame = {
+    // semi-join reduction (caller-chosen): only docs that appear in
+    // some candidate pair need a materialized set — on a huge corpus
+    // whose near-dups touch a fraction of the docs this shrinks the
+    // set build (and any broadcast of it) from corpus-sized to
+    // candidate-doc-sized. It costs one candidate checkpoint (the list
+    // is then read twice) + one distinct, so small-corpus callers
+    // (LSH verify at bench scale) skip it.
+    val cand = if (semiJoinSets) cand0.localCheckpoint() else cand0
+    val shForSets =
+      if (semiJoinSets) {
+        val candIds = cand
+          .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+          .distinct()
+        sh.join(candIds, Seq(idCol), "left_semi")
+      } else sh
     // checkpoint: the table is read 2x (both join sides) — without it
     // the groupBy + sort re-runs per side (broadcast builds don't share
     // Spark's exchange reuse)
-    val setTab = sh.groupBy(col(idCol))
+    val setTab = shForSets
+      .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("shingle"))).as("__set__"))
       .localCheckpoint()
     def side(idAs: String, setAs: String) = {

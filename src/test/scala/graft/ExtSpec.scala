@@ -195,6 +195,37 @@ class ExtSpec extends SparkSpec {
       s"join strategy changed results: $viaBroadcast vs $viaSortMerge")
   }
 
+  test("prefix+length+positional filtering is recall-lossless vs the direct path") {
+    // the cost-based path choice must be invisible in the results: the
+    // prefix-filtered + verified path (forced via directPathMaxPairs=0)
+    // must produce byte-identical pairs AND jaccard values to the plain
+    // inverted-index count, at a low and a high threshold
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over a sleepy cat today"),
+      (3L, "completely unrelated text about seventeen green bottles"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "seventeen green bottles hanging on the wall somewhere"),
+      (6L, "short doc"),
+      (7L, "the quick brown fox leaps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (t <- Seq(0.2, 0.8)) {
+      val direct = toMapOf(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = t, candidateBudget = None))
+      val viaPrefix = try {
+        spark.conf.set("spark.graft.dedup.directPathMaxPairs", "0")
+        toMapOf(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 3, threshold = t, candidateBudget = None))
+      } finally spark.conf.unset("spark.graft.dedup.directPathMaxPairs")
+      assert(direct.nonEmpty, s"direct path empty at t=$t — fixture broken")
+      assert(viaPrefix == direct,
+        s"prefix path diverged at t=$t: $viaPrefix vs $direct")
+    }
+  }
+
   test("capForBudget saturates instead of overflowing at guard-scale dfs") {
     // d = 1e9 gives ~5e17 candidate rows per shingle; 19 such shingles
     // wraps a naive Long accumulator negative, which would make
@@ -240,7 +271,7 @@ class ExtSpec extends SparkSpec {
     // this fails loudly instead of the oracle silently diverging.
     val docs = spark.read.parquet(sf("sf0.01/documents.parquet"))
     val cap = Dedup.effectiveCapFor(docs, "doc_id", "text", n = 3,
-      maxShingleDf = Some(10000L),
+      threshold = 0.8, maxShingleDf = Some(10000L),
       candidateBudget = Some(Dedup.MinCandidatePairBudget))
     assert(cap.isEmpty, s"dedup cap $cap would fire at oracle scale — " +
       "the DuckDB hash comparison is no longer comparing exact results")
