@@ -96,6 +96,15 @@ object Dedup {
     spark.conf.getOption("spark.graft.dedup.directPathMaxPairs")
       .map(_.toLong).getOrElse(DirectPathMaxPairs)
 
+  /** Threshold at or above which the prefix path indexes sorted PAIRS
+    * of prefix shingles (k = 2 multi-prefix) instead of single
+    * shingles. The pair index carries C(p,2)/p ~ p/2 times more rows
+    * (p = prefix length, short at high thresholds), in exchange for a
+    * quadratic cut of the single-shingle collision background — the
+    * dominant cost on dense corpora. Below this the prefixes are long
+    * enough that C(p,2) growth outweighs the saving. */
+  val PairKeyMinThreshold: Double = 0.6
+
   /** Sentinel for `candidateBudget`: derive the budget from the
     * environment at call time — the conf key
     * `spark.graft.dedup.candidateBudget` if set, else from the free
@@ -173,20 +182,6 @@ object Dedup {
     if (cap < maxDf) Some(cap) else None
   }
 
-  /** Estimated in-memory bytes of the per-doc sorted shingle-set table
-    * the exact verification joins against: total set elements = #rows
-    * of the exploded shingle table and total string bytes = its summed
-    * shingle lengths, so ONE tiny global aggregation prices the whole
-    * table. The 2x factor covers UnsafeArrayData headers + JVM row
-    * overhead. Saturating driver algebra: an overflow here may only
-    * DISABLE broadcasting (estimate pins high), never enable it. */
-  private def setBytesEstimate(sh: DataFrame): Long = {
-    val r = sh.agg(count(lit(1)).as("n"),
-      sum(length(col("shingle"))).as("len")).collect()(0)
-    val elems = r.getLong(0)
-    val strBytes = if (r.isNullAt(1)) 0L else r.getLong(1)
-    satMul(2L, satAdd(satMul(8L, elems), strBytes))
-  }
 
   /** Conf key for the set-table broadcast ceiling (estimated bytes). */
   val SetBroadcastBytesKey = "spark.graft.dedup.setBroadcastBytes"
@@ -229,17 +224,20 @@ object Dedup {
     * Jaccard. Shingles get a global total order (full-corpus df
     * ascending, shingle text as tie-break: rarest first, which
     * minimizes prefix collisions); each doc indexes only its first
-    * p = |A| - ceil(t*|A|) + 1 shingles in that order. Any pair with
+    * p = |A| - ceil(t*|A|) + k shingles in that order. Any pair with
     * J >= t has intersection >= ceil(t*max(|A|,|B|)) and therefore
-    * shares at least one shingle inside both prefixes (standard prefix
-    * lemma, conservative per-doc alpha = ceil(t*|A|)). The epsilon in
-    * the ceil guards float raggedness by erring toward LONGER
-    * prefixes — losslessness is never at risk, only pruning power.
+    * shares at least k shingles inside both k-extended prefixes (the
+    * multi-prefix lemma behind adaptive prefix joins — Wang et al.,
+    * SIGMOD'12; k = 1 is the classic prefix lemma), using the
+    * conservative per-doc alpha = ceil(t*|A|), which the length
+    * filter's |B| >= t*|A| makes valid pairwise. The epsilon in the
+    * ceil guards float raggedness by erring toward LONGER prefixes —
+    * losslessness is never at risk, only pruning power.
     * Emits (id, shingle, __fdf__, __rk__ = rank in the full ordered
     * set, __sz__ = full set size); ranks/sizes feed the positional and
     * length filters downstream. */
   private def prefixIndex(sh: DataFrame, idCol: String, dfTab: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__fdf__"), col("shingle"))
     val wsz = Window.partitionBy(col(idCol))
@@ -247,7 +245,7 @@ object Dedup {
       .withColumn("__rk__", row_number().over(w))
       .withColumn("__sz__", count(lit(1)).over(wsz))
       .filter(col("__rk__") <= col("__sz__")
-        - ceil(lit(threshold) * col("__sz__") - lit(1e-9)) + lit(1))
+        - ceil(lit(threshold) * col("__sz__") - lit(1e-9)) + lit(k))
   }
 
   /** Per-df histogram of a (shingle, df) table under the given df
@@ -256,6 +254,48 @@ object Dedup {
   private def dfHistogram(tab: DataFrame, dfCol: String): Array[(Long, Long)] =
     tab.groupBy(col(dfCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+
+  /** Uniform candidate-key index over a prefix index:
+    * (id, __key__: long, __sz__, __rk1__ <= __rk2__). Keys are
+    * xxhash64 of the shingle text(s) — a hash COLLISION can only ADD
+    * a candidate that exact verification then rejects, never lose one,
+    * so 8-byte keys are safe and keep the self-join narrow.
+    *
+    * Single scheme (k = 1 prefix): one key per prefix shingle,
+    * rk1 == rk2. Pair scheme (k = 2 prefix): one key per sorted
+    * 2-subset of the prefix — lossless because a qualifying pair's two
+    * globally-smallest shared shingles sit inside both k=2 prefixes
+    * ([[prefixIndex]]) — plus a tiny-doc fallback: a pair whose
+    * required overlap is < 2 (possible only when |A|+|B| <= (1+t)/t)
+    * cannot promise a shared 2-subset, so docs that small also emit
+    * their k=1 single keys; the sub-index is bounded by the tiny-doc
+    * count (at t >= 0.6, docs with at most one or two shingles). */
+  private def keyIndex(pref: DataFrame, idCol: String, threshold: Double,
+      pairScheme: Boolean): DataFrame =
+    if (!pairScheme)
+      pref.select(col(idCol),
+        xxhash64(lit("1"), col("shingle")).as("__key__"), col("__sz__"),
+        col("__rk__").as("__rk1__"), col("__rk__").as("__rk2__"))
+    else {
+      val x = pref.select(col(idCol), col("shingle").as("__s1__"),
+        col("__rk__").as("__rk1__"), col("__sz__"))
+      val y = pref.select(col(idCol), col("shingle").as("__s2__"),
+        col("__rk__").as("__rk2__"))
+      val pairKeys = x.join(y, Seq(idCol))
+        .filter(col("__rk1__") < col("__rk2__"))
+        .select(col(idCol),
+          xxhash64(lit("2"), col("__s1__"), col("__s2__")).as("__key__"),
+          col("__sz__"), col("__rk1__"), col("__rk2__"))
+      val smallMax = (1.0 / threshold + 1e-9).toLong
+      val singles = pref
+        .filter(col("__sz__") <= smallMax)
+        .filter(col("__rk__") <= col("__sz__")
+          - ceil(lit(threshold) * col("__sz__") - lit(1e-9)) + lit(1))
+        .select(col(idCol),
+          xxhash64(lit("1"), col("shingle")).as("__key__"), col("__sz__"),
+          col("__rk__").as("__rk1__"), col("__rk__").as("__rk2__"))
+      pairKeys.unionByName(singles)
+    }
 
   /** Whether (and at what df value) a guard of [[ngramJaccardPairs]]
     * would drop shingles for these inputs — the index probe + cap
@@ -273,7 +313,10 @@ object Dedup {
     val resolved = candidateBudget.map(resolveCandidateBudget(spark, _))
     if (maxShingleDf.isEmpty && resolved.isEmpty) None
     else {
-      val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+      // mirror ngramJaccardPairs' hashed-shingle ingest exactly
+      val sh = shingles(df, idCol, textCol, n)
+        .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+        .localCheckpoint()
       val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__fdf__"))
       val maxFdf = dfTab.agg(max(col("__fdf__"))).collect()(0) match {
         case r if r.isNullAt(0) => 0L
@@ -296,15 +339,22 @@ object Dedup {
           resolved.forall(_ >= retainedMass)) None
       else {
         val budgetCap = resolved.flatMap { b =>
-          val setBytesEst = setBytesEstimate(sh)
+          val totalShingleRows = histoFull.iterator
+            .map { case (d, c) => satMul(d, c) }.foldLeft(0L)(satAdd)
+          val setBytesEst = satMul(32L, totalShingleRows)
           val eff =
             if (setBytesEst <= setBroadcastCeiling(spark)) b
             else carryShrunkBudget(b, setBytesEst, df.count())
           if (capForBudget(histoFull, eff).isEmpty) None
           else {
-            val pdfTab = prefixIndex(sh, idCol, dfTab, threshold)
-              .groupBy(col("shingle")).agg(count(lit(1)).as("__pdf__"))
-            capForBudget(dfHistogram(pdfTab, "__pdf__"), eff)
+            val pairScheme = threshold >= PairKeyMinThreshold
+            val pref = prefixIndex(sh, idCol, dfTab, threshold,
+                k = if (pairScheme) 2 else 1)
+              .filter(maxShingleDf.map(col("__fdf__") <= _)
+                .getOrElse(lit(true)))
+            val keyDfTab = keyIndex(pref, idCol, threshold, pairScheme)
+              .groupBy(col("__key__")).agg(count(lit(1)).as("__pdf__"))
+            capForBudget(dfHistogram(keyDfTab, "__pdf__"), eff)
           }
         }
         (explicitFiring, budgetCap) match {
@@ -382,7 +432,18 @@ object Dedup {
       : DataFrame = {
     val spark = df.sparkSession
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    // shingle STRINGS become xxhash64 LONGS at ingest: every
+    // downstream structure (inverted-index join keys, rank window,
+    // verification set arrays) gets severalfold cheaper to shuffle,
+    // sort, and intersect. A hash collision merges two shingles
+    // CORPUS-WIDE (both docs' sets and every intersection see the
+    // merge consistently), perturbing one Jaccard value by ~1/|set|
+    // with probability ~vocab^2/2^64 — ~1e-8 even at a billion-shingle
+    // vocabulary, and an occurrence would surface as an oracle hash
+    // mismatch rather than pass silently.
+    val sh = shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint()
     val resolvedBudget = candidateBudget
       .map(resolveCandidateBudget(spark, _))
     // full-corpus df: the global rarity order for prefix filtering,
@@ -428,6 +489,10 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
     // ---- prefix + verify path ----
+    // set-table bytes from the driver-side histogram (total shingle
+    // rows x 16 B/elem x 2 overhead) — no extra job
+    val totalShingleRows = histoFull.iterator
+      .map { case (d, c) => satMul(d, c) }.foldLeft(0L)(satAdd)
     // the verify phase's join strategy feeds back into the budget: with
     // a broadcastable set table the candidate stream's own scratch
     // ([[CandidateRowScratchBytes]]/row) is the whole disk story, but a
@@ -437,83 +502,107 @@ object Dedup {
     // ([[carryShrunkBudget]]) or the guard bounds the wrong quantity
     // (the sf10 failure mode: candidates fit, the verify shuffle did
     // not)
-    val setBytesEst = setBytesEstimate(sh)
+    val setBytesEst = satMul(32L, totalShingleRows)
     val setsBroadcastable = setBytesEst <= setBroadcastCeiling(spark)
     val effBudget: Option[Long] = resolvedBudget.map { b =>
       if (setsBroadcastable) b
       else carryShrunkBudget(b, setBytesEst, df.count())
     }
-    // fast budget check: full-index mass bounds the prefix-index mass
-    // from above, so when it fits no prefix pricing runs at all
+    // fast budget check: full-index mass bounds every key-index mass
+    // from above, so when it fits no key pricing runs at all
     val budgetMayBind = effBudget.exists(b =>
       capForBudget(histoFull, b).nonEmpty)
-    val prefPlain = prefixIndex(sh, idCol, dfTab, threshold)
-    // budget pricing reads the prefix index twice (histogram + join);
-    // checkpoint it then, and ONLY then
-    val pref = if (budgetMayBind) prefPlain.localCheckpoint() else prefPlain
-    // budget guard priced on the PREFIX index it will actually join —
-    // prefix filtering shrinks the real mass well below the full-index
-    // upper bound, so the cap binds only against work the join would
-    // actually do
-    val pdfTab = if (!budgetMayBind) None else Some(
-      pref.groupBy(col("shingle")).agg(count(lit(1)).as("__pdf__"))
-        .localCheckpoint())
-    val budgetCap: Option[Long] = (effBudget, pdfTab) match {
-      case (Some(b), Some(tab)) =>
-        capForBudget(dfHistogram(tab, "__pdf__"), b)
-      case _ => None
-    }
-    budgetCap.foreach { cap =>
-      log.warn(
-        s"ngramJaccardPairs: budget cap fires — dropping prefix-index " +
-          s"shingles with df > $cap (candidateBudget=${effBudget.get}" +
-          (if (setsBroadcastable) ""
-           else s", carry-shrunk from ${resolvedBudget.get}: " +
-             "set table too large to broadcast") +
-          "); pairs whose every shared in-prefix shingle is hotter " +
-          "than the cap will not be discovered")
-    }
-    // explicit cap: __fdf__ already rides on every prefix row, so the
-    // hot-key filter is a free predicate; the hot count for the log
-    // comes off the driver-side histogram (no extra job)
-    val afterExplicit = maxShingleDf match {
+    // HIGH thresholds get the k=2 PAIR-KEY scheme: a qualifying pair
+    // must share its two globally-smallest common shingles inside both
+    // (k=2)-extended prefixes (multi-prefix lemma, [[prefixIndex]]),
+    // so indexing every sorted 2-subset of the prefix kills the
+    // single-shingle background QUADRATICALLY — on a closed-vocabulary
+    // corpus that background is the whole cost, and single-shingle
+    // prefixes barely dent it (measured 6.3x at sf10 vs ~1000x for
+    // pair keys). The index grows C(p,2)/p-fold, so LOW thresholds
+    // (long prefixes) keep the classic k=1 single-key scheme.
+    val pairScheme = threshold >= PairKeyMinThreshold
+    val prefPlain = prefixIndex(sh, idCol, dfTab, threshold,
+      k = if (pairScheme) 2 else 1)
+    // explicit cap BEFORE key building, a free predicate on the rows
+    // (__fdf__ rides on each); the hot count for the log comes off the
+    // driver-side histogram (no extra job)
+    val prefCapped = maxShingleDf match {
       case Some(cap) =>
         if (nHotExplicit > 0L) log.warn(
           s"ngramJaccardPairs: explicit maxShingleDf=$cap fires — " +
             s"dropping $nHotExplicit hot shingles from candidate " +
             "generation; pairs overlapping ONLY on those shingles " +
             "will not be discovered")
-        pref.filter(col("__fdf__") <= cap)
-      case None => pref
+        prefPlain.filter(col("__fdf__") <= cap)
+      case None => prefPlain
     }
-    val index = (budgetCap, pdfTab) match {
+    // the pair scheme reads the prefix twice (both sides of the
+    // per-doc 2-subset join); checkpoint it then, and ONLY then
+    val pref = if (pairScheme) prefCapped.localCheckpoint() else prefCapped
+    val keysPlain = keyIndex(pref, idCol, threshold, pairScheme)
+    // budget guard priced on the KEY index it will actually join — the
+    // filters above shrink the real mass far below the full-index
+    // upper bound, so the cap binds only against work the join would
+    // actually do (and on any sane corpus never fires at all)
+    val keys = if (budgetMayBind) keysPlain.localCheckpoint() else keysPlain
+    val keyDfTab = if (!budgetMayBind) None else Some(
+      keys.groupBy(col("__key__")).agg(count(lit(1)).as("__pdf__"))
+        .localCheckpoint())
+    val budgetCap: Option[Long] = (effBudget, keyDfTab) match {
+      case (Some(b), Some(tab)) =>
+        capForBudget(dfHistogram(tab, "__pdf__"), b)
+      case _ => None
+    }
+    budgetCap.foreach { cap =>
+      log.warn(
+        s"ngramJaccardPairs: budget cap fires — dropping index keys " +
+          s"with df > $cap (candidateBudget=${effBudget.get}" +
+          (if (setsBroadcastable) ""
+           else s", carry-shrunk from ${resolvedBudget.get}: " +
+             "set table too large to broadcast") +
+          "); pairs whose every shared index key is hotter than the " +
+          "cap will not be discovered")
+    }
+    val index = (budgetCap, keyDfTab) match {
       case (Some(cap), Some(tab)) =>
-        afterExplicit.join(tab.filter(col("__pdf__") > cap)
-          .select(col("shingle")), Seq("shingle"), "left_anti")
-      case _ => afterExplicit
+        keys.join(tab.filter(col("__pdf__") > cap)
+          .select(col("__key__")), Seq("__key__"), "left_anti")
+      case _ => keys
     }
-    val a = index.select(col(idCol).as("id_a"), col("shingle"),
-      col("__sz__").as("sz_a"), col("__rk__").as("rk_a"))
-    val b = index.select(col(idCol).as("id_b"), col("shingle"),
-      col("__sz__").as("sz_b"), col("__rk__").as("rk_b"))
-    val cand = a.join(b, "shingle")
+    val a = index.select(col(idCol).as("id_a"), col("__key__"),
+      col("__sz__").as("sz_a"), col("__rk1__").as("ra1"),
+      col("__rk2__").as("ra2"))
+    val b = index.select(col(idCol).as("id_b"), col("__key__"),
+      col("__sz__").as("sz_b"), col("__rk1__").as("rb1"),
+      col("__rk2__").as("rb2"))
+    // positional bound (PPJoin family): the shared elements at ranks
+    // (ra1, rb1) and (ra2, rb2) split both sets into before/between/
+    // after segments, and the true intersection is at most the sum of
+    // the pairwise minima plus the shared elements themselves. For
+    // single-key rows rk1 == rk2 and the middle term's -1 cancels the
+    // double count, reducing to the classic one-element bound.
+    val bound =
+      lit(2) + least(col("ra1") - lit(1), col("rb1") - lit(1)) +
+        least(col("ra2") - col("ra1") - lit(1),
+          col("rb2") - col("rb1") - lit(1)) +
+        least(col("sz_a") - col("ra2"), col("sz_b") - col("rb2"))
+    val cand = a.join(b, "__key__")
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(
-        min(least(col("rk_a") - lit(1), col("rk_b") - lit(1)) +
-          least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")))
-          .as("__slk__"),
+      .agg(min(bound).as("__ub__"),
         first(col("sz_a")).as("__sza__"),
         first(col("sz_b")).as("__szb__"))
-      .filter(col("__slk__") + lit(1) >=
+      .filter(col("__ub__") >=
         lit(threshold / (1.0 + threshold)) *
           (col("__sza__") + col("__szb__")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
     // semi-join reduction on: at guard scale the corpus is huge and
     // the positional/length pruning leaves candidates over a doc
-    // subset, so the set build must not pay for every doc
+    // subset, so the set build must not pay for every doc. Sets are
+    // the hashed shingles (see sh above).
     exactInterByArrays(sh, idCol, cand, setsBroadcastable,
         semiJoinSets = true)
       .withColumn("jaccard",
