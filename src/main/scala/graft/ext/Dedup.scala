@@ -722,23 +722,46 @@ object Dedup {
       sigs.select(col(idCol), lit(b).as("band"),
         md5(concat_ws("_", slice: _*)).as("bkey"))
     }.reduce(_ unionByName _)
-    val cand = banded.as("x").join(banded.as("y"),
+    val candPlain = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
+    // opt-in scale instrumentation (one extra job + a candidate
+    // checkpoint): `spark.graft.dedup.lshStats=true` logs the banded
+    // candidate count and distinct docs touched, so a super-linear
+    // scale reading can be attributed to candidate growth vs
+    // per-candidate cost without re-deriving the pipeline
+    val cand =
+      if (df.sparkSession.conf.getOption("spark.graft.dedup.lshStats")
+          .contains("true")) {
+        val c = candPlain.localCheckpoint()
+        val nDocs = c.select(explode(array(col("id_a"), col("id_b"))))
+          .distinct().count()
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"minhashLshPairs: ${c.count()} banded candidates over " +
+            s"$nDocs distinct docs")
+        c
+      } else candPlain
     // verify candidates with exact Jaccard over the full shingle sets
     // (array-route: see exactInterByArrays — the candidate mass is
     // corpus-quadratic in the pairwise-similarity BACKGROUND, so the
     // verify join must be linear in candidates, not in candidate x
     // doc-size; set sizes ride along in the same pass, so this is ONE
     // aggregation over the shingle table and two candidate-sized joins).
+    // The sets are xxhash64 LONGS, not strings: Jaccard is invariant
+    // under the corpus-wide hash relabeling (collisions ~vocab^2/2^64,
+    // see ngramJaccardPairs), and long arrays build, shuffle and
+    // intersect severalfold cheaper — the signatures above stay
+    // md5-on-strings, which the oracle replays bit-exactly.
     // Sort-merge, not broadcast: banding bounds |cand| near the true
     // near-dup count, so the array carry is ~true-pair-many rows and a
     // per-band broadcast build would cost more than it saves (measured
     // +0.35 s at sf0.1); the budgeted-jaccard path broadcasts because
     // its candidate stream is budget-many, 1000x larger
-    exactInterByArrays(sh, idCol, cand, broadcastSets = false)
+    val shHashed = sh.select(col(idCol),
+      xxhash64(col("shingle")).as("shingle"))
+    exactInterByArrays(shHashed, idCol, cand, broadcastSets = false)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
