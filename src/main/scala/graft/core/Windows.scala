@@ -237,32 +237,38 @@ object Windows {
     * hold a driver-side map per requested group, so the collect adds a
     * small constant factor — but a caller fanning out to ~10^6 groups
     * at 200 shuffle partitions would put ~4x10^8 tuples on the driver.
-    * [[MaxDriverGroupBucketTuples]] bounds that: the call fails fast
-    * (before any job) when the product exceeds it. Decompositions use
-    * 2-3 groups; a genuinely group-dense rank workload should batch
-    * `ranksByGroup` across calls, or use a per-group aggregation
-    * (approx_percentile over groupBy) when exactness is not needed. */
+    * [[MaxDriverGroupBucketTuples]] bounds the driver route: past it
+    * the call switches to [[valuesAtRanksGroupedDense]], which keeps
+    * the offset metadata distributed end to end (the returned result
+    * map is O(requested ranks) either way — that size is the caller's
+    * own ask). Decompositions use 2-3 groups and stay on the
+    * driver-algebra route; `maxDriverTuples` exists so specs can force
+    * the dense route at any size. */
   def valuesAtRanksGrouped(df: DataFrame, group: Column, value: Column,
       ranksByGroup: Map[String, Set[Long]],
-      precomputedBoundaries: Option[Array[Double]] = None)
+      precomputedBoundaries: Option[Array[Double]] = None,
+      maxDriverTuples: Long = MaxDriverGroupBucketTuples)
       : Map[String, Map[Long, Double]] = {
     val want = ranksByGroup.collect {
       case (g, rs) if g != null && rs.nonEmpty => g -> rs.map(math.max(_, 0L))
     }
     if (want.isEmpty) return Map.empty
+    val spark = df.sparkSession
+    import spark.implicits._
     val nBuckets2 =
-      2L * df.sparkSession.sessionState.conf.numShufflePartitions
-    require(want.size.toLong * nBuckets2 <= MaxDriverGroupBucketTuples,
-      s"valuesAtRanksGrouped: ${want.size} requested groups x $nBuckets2 " +
-        s"point/range buckets = ${want.size.toLong * nBuckets2} driver " +
-        s"metadata tuples exceeds MaxDriverGroupBucketTuples " +
-        s"($MaxDriverGroupBucketTuples); batch ranksByGroup across calls " +
-        "or use approx per-group percentiles for group-dense workloads")
-    val vals = df
+      2L * spark.sessionState.conf.numShufflePartitions
+    val vals0 = df
       .select(group.cast("string").as("__g__"), value.cast("double").as("__v__"))
-      .filter(col("__g__").isin(want.keys.toSeq: _*))
       .na.drop()
-    val buckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    // a 10^5-literal isin would blow up codegen/analysis; group-dense
+    // calls restrict via a semi-join instead
+    val vals =
+      if (want.size <= 1000)
+        vals0.filter(col("__g__").isin(want.keys.toSeq: _*))
+      else
+        vals0.join(broadcastableGroups(spark, want.keys), Seq("__g__"),
+          "left_semi")
+    val buckets = spark.sessionState.conf.numShufflePartitions
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     // callers that already ran an aggregation over the frame can fold the
     // boundary probe into it (percentile_approx lane) and skip this job
@@ -273,6 +279,8 @@ object Windows {
         else graft.functions.BucketIndexExpr.normalize(
           vals.stat.approxQuantile("__v__", probes, 0.01))
     }
+    if (want.size.toLong * nBuckets2 > maxDriverTuples)
+      return valuesAtRanksGroupedDense(spark, vals, boundaries, want)
     // interleaved point/range buckets (see pointRangeBucket): a rank
     // that falls inside a POINT bucket needs no sort at all — every row
     // there shares the boundary value, so the answer IS that value,
@@ -331,7 +339,6 @@ object Windows {
     // generate an enormous Catalyst expression (codegen 64KB method
     // fallback, slow analysis). The isin bucket prune stays a plain
     // filter so it still pushes toward the scan.
-    import df.sparkSession.implicits._
     val offDf = offsets.iterator
       .collect { case ((g, b), off) if keptBuckets(b) => (g, b, off.toDouble) }
       .toSeq.toDF("__g__", "__bucket__", "__off__")
@@ -357,5 +364,77 @@ object Windows {
       g -> (windowed.getOrElse(g, Map.empty) ++
         pointHits.getOrElse(g, Map.empty))
     }.toMap
+  }
+
+  /** The requested group names as a DataFrame (partitioned, not a
+    * LocalRelation literal list). */
+  private def broadcastableGroups(spark: org.apache.spark.sql.SparkSession,
+      groups: Iterable[String]): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(groups.toSeq,
+      math.max(1, spark.sparkContext.defaultParallelism)).toDF("__g__")
+  }
+
+  /** Group-dense rank-pick: the same bucketed algorithm as
+    * [[valuesAtRanksGrouped]] with every piece of per-(group, bucket)
+    * metadata kept DISTRIBUTED — cumulative offsets via a per-group
+    * window over the (group, bucket) count table (at most
+    * 2*shufflePartitions rows per group, so no skew), rank-to-bucket
+    * location via an equi-join on the group plus the offset-range
+    * predicate, point buckets resolved by a broadcast join against the
+    * boundary values, and range buckets by a per-(group, bucket)
+    * `row_number` window on the semi-joined rows. Only the RESULT
+    * (one row per requested rank — the size of the caller's own input
+    * map) is ever collected. */
+  private def valuesAtRanksGroupedDense(
+      spark: org.apache.spark.sql.SparkSession, vals: DataFrame,
+      boundaries: Array[Double], want: Map[String, Set[Long]])
+      : Map[String, Map[Long, Double]] = {
+    import spark.implicits._
+    val bucket = pointRangeBucket(col("__v__"), boundaries)
+    // read twice (count table + the final window); keep the lineage flat
+    val bucketed = vals.withColumn("__bucket__", bucket).localCheckpoint()
+    val totals = bucketed.groupBy(col("__g__"), col("__bucket__"))
+      .agg(count(lit(1)).as("__n__"))
+    val wOff = Window.partitionBy(col("__g__")).orderBy(col("__bucket__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals.withColumn("__off__",
+      coalesce(sum(col("__n__")).over(wOff), lit(0L)))
+    val ranksDf = spark.sparkContext.parallelize(
+        want.iterator.flatMap { case (g, rs) =>
+          rs.iterator.map(r => (g, r))
+        }.toSeq,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      .toDF("__g__", "__r__")
+    // each rank falls in exactly one bucket's [off, off + n) span;
+    // ranks past the group's total row count simply never match (the
+    // same omission semantics as the driver route)
+    val located = ranksDf.join(offs, Seq("__g__"))
+      .filter(col("__r__") >= col("__off__") &&
+        col("__r__") < col("__off__") + col("__n__"))
+      .select(col("__g__"), col("__r__"), col("__bucket__"), col("__off__"))
+      .localCheckpoint()
+    val boundaryVals = boundaries.zipWithIndex
+      .map { case (v, i) => (2 * i + 1, v) }.toSeq
+      .toDF("__bucket__", "__pv__")
+    val pointRows = located.filter(col("__bucket__") % 2 === 1)
+      .join(broadcast(boundaryVals), Seq("__bucket__"))
+      .select(col("__g__"), col("__r__"), col("__pv__").as("__v__"))
+    val targets = located.filter(col("__bucket__") % 2 === 0)
+      .select(col("__g__"), col("__bucket__"), col("__r__"),
+        (col("__r__") - col("__off__")).as("__lr__"))
+    val keep = targets.select(col("__g__"), col("__bucket__")).distinct()
+    val local = Window.partitionBy(col("__g__"), col("__bucket__"))
+      .orderBy(col("__v__").asc)
+    val rangeRows = bucketed
+      .join(keep, Seq("__g__", "__bucket__"), "left_semi")
+      .withColumn("__lr__", row_number().over(local).cast("long") - lit(1L))
+      .join(targets, Seq("__g__", "__bucket__", "__lr__"))
+      .select(col("__g__"), col("__r__"), col("__v__"))
+    pointRows.unionByName(rangeRows).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      }
   }
 }

@@ -124,24 +124,32 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
-  test("valuesAtRanksGrouped: group-dense requests fail fast on the " +
-      "driver-metadata contract, before any job") {
-    // the per-(group, bucket) counts collect is O(|ranksByGroup| x
-    // 2*shufflePartitions) driver tuples; a request exceeding
-    // MaxDriverGroupBucketTuples must throw IMMEDIATELY (no Spark job)
-    // instead of OOMing the driver mid-collect
-    val buckets2 = 2L * spark.sessionState.conf.numShufflePartitions
-    val tooMany = (Windows.MaxDriverGroupBucketTuples / buckets2 + 1).toInt
-    val dense = (1 to tooMany).map(i => s"g$i" -> Set(0L)).toMap
-    val tiny = Seq(("g1", 1.0)).toDF("g", "v")
-    val ex = intercept[IllegalArgumentException] {
-      Windows.valuesAtRanksGrouped(tiny, col("g"), col("v"), dense)
+  test("valuesAtRanksGrouped: group-dense requests take the distributed " +
+      "offsets path and match the driver route") {
+    // 1. equality: the dense route (forced via maxDriverTuples) must
+    // reproduce the driver-algebra route exactly, point buckets and all
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 50).flatMap { g =>
+      (0 until 40).map(_ => (s"g$g", math.floor(rng.nextDouble() * 8) / 2))
     }
-    assert(ex.getMessage.contains("MaxDriverGroupBucketTuples"))
-    // just under the bound still works (frame only has g1)
-    val ok = (1 to (tooMany - 2)).map(i => s"g$i" -> Set(0L)).toMap
-    val got = Windows.valuesAtRanksGrouped(tiny, col("g"), col("v"), ok)
-    assert(got == Map("g1" -> Map(0L -> 1.0)))
+    val df = rows.toDF("g", "v")
+    val want = (1 to 50).map(i => s"g$i" -> Set(0L, 7L, 39L)).toMap
+    val viaDriver = Windows.valuesAtRanksGrouped(df, col("g"), col("v"), want)
+    val viaDense = Windows.valuesAtRanksGrouped(df, col("g"), col("v"), want,
+      maxDriverTuples = 1L)
+    assert(viaDense == viaDriver,
+      s"dense route diverged: $viaDense vs $viaDriver")
+
+    // 2. scale: 10^5 groups — the size the old contract REFUSED — now
+    // run end to end through the distributed offsets path
+    val many = spark.range(500000L)
+      .select((col("id") % 100000L).cast("string").as("g"),
+        floor(col("id") / 100000L).cast("double").as("v"))
+    val wantMany = (0 until 100000).map(i => i.toString -> Set(2L)).toMap
+    val got = Windows.valuesAtRanksGrouped(many, col("g"), col("v"),
+      wantMany, maxDriverTuples = 1000L)
+    assert(got.size == 100000)
+    assert(got("0") == Map(2L -> 2.0) && got("99999") == Map(2L -> 2.0))
   }
 
   test("signed zeros: -0.0 and 0.0 share a bucket (SQL equality, not " +
