@@ -88,6 +88,42 @@ class MmJmpSpec extends SparkSpec {
     }
   }
 
+  test("Machado-Mata distributedFits: above-cap point estimates match the " +
+      "sampled path within sampling tolerance") {
+    // DGP with a known quantile structure: wage = 2 + 0.8*edu + e,
+    // group A shifted +1.5. Above the cap, distributedFits=true routes
+    // the point-pass fits through QuantileReg.fitMany on the FULL
+    // group; the sampled path fits on the 1500-row subsample. Both
+    // estimate the same population quantity, so they must agree within
+    // subsample noise.
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 12000).map { i =>
+      val g = if (i % 2 == 0) "A" else "B"
+      val edu = 8.0 + rng.nextDouble() * 10
+      val w = 2.0 + 0.8 * edu + rng.nextGaussian() +
+        (if (g == "A") 1.5 else 0.0)
+      (w, edu, g)
+    }
+    val df = rows.toDF("wage", "education", "gender")
+    val base = MmConfig("wage", "gender", "B", predictors = Seq("education"),
+      quantiles = Seq(0.25, 0.5, 0.75), simulations = 30, bootstrapReps = 0,
+      seed = 9L, maxRowsPerGroup = 1500)
+    val sampled = MachadoMata.run(df, base)
+    val dist = MachadoMata.run(df, base.copy(distributedFits = true))
+    assert(sampled.nA == 1500 && dist.nA == 1500,
+      "both runs must exercise the above-cap route")
+    for (q <- Seq("q25", "q50", "q75")) {
+      val gS = sampled.effects(q)("gap").estimate
+      val gD = dist.effects(q)("gap").estimate
+      assert(math.abs(gD - 1.5) < 0.25, s"$q dist gap $gD off the DGP value")
+      assert(math.abs(gS - gD) < 0.25, s"$q sampled $gS vs distributed $gD")
+      // the identity holds on the distributed path too
+      val e = dist.effects(q)
+      assert(math.abs(e("characteristics").estimate +
+        e("coefficients").estimate - e("gap").estimate) < 1e-9)
+    }
+  }
+
   test("JMP: raising group B wages by 5 in period 2 gives total change -5 (F10)") {
     val wage1 = Seq(10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0)
     val edu = Seq(12.0, 16.0, 14.0, 16.0, 18.0, 12.0, 16.0, 14.0, 16.0, 18.0)
