@@ -220,20 +220,39 @@ object Akm {
   def run(df: DataFrame, outcome: String, workerCol: String, firmCol: String,
       controls: Seq[String] = Nil, tolerance: Double = 1e-8,
       maxIters: Int = 1000, driverEdgeCap: Long = DriverEdgeCap): AkmResult = {
+    val nv = controls.size + 1
     val obs = projectObs(df, outcome, workerCol, firmCol, controls)
-      .localCheckpoint()
-    val edges = obs.select(col("w"), col("f")).distinct().localCheckpoint()
+    // ONE observation-table aggregation builds the edge table with
+    // EVERY sufficient statistic the driver path needs: per-edge counts,
+    // per-vector sums, and the upper-triangle cross-product sums. The
+    // zig-zag effects are constant within a (worker, firm) edge, so the
+    // demeaned Gram AND the R^2 quadratic both decompose exactly over
+    // these — the driver route touches the observation table ONCE,
+    // replacing the former obs checkpoint + edges distinct + demeaned
+    // Gram pass + R^2 pass (the sf10 cost was those extra full passes,
+    // not the tiny label loop).
+    val crossIdx = for { i <- 0 until nv; j <- i until nv } yield (i, j)
+    val aggCols = (count(lit(1)).as("n") +:
+      (0 until nv).map(i => sum(col(s"__v${i}__")).as(s"s$i"))) ++
+      crossIdx.map { case (i, j) =>
+        sum(col(s"__v${i}__") * col(s"__v${j}__")).as(s"q${i}_$j")
+      }
+    val edgeTab = obs.groupBy(col("w"), col("f"))
+      .agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
     // one aggregate sizes the graph in edges AND bytes: the byte side
     // prices the driver collect at the keys' actual width, so a graph of
     // long composite keys routes distributed even under the edge cap
-    val sz = edges.agg(count(lit(1)),
+    val sz = edgeTab.agg(count(lit(1)),
       sum(length(col("w")) + length(col("f")))).head()
     val nEdges = sz.getLong(0)
     if (nEdges == 0) throw InsufficientData("Empty graph")
-    val estBytes = edgeBytesEstimate(nEdges, sz.getLong(1), controls.size + 1)
+    val estBytes =
+      edgeBytesEstimate(nEdges, sz.getLong(1), nv + crossIdx.size + 1)
     if (nEdges <= driverEdgeCap && estBytes <= DriverEdgeByteBudget)
-      return runDriver(obs, controls, tolerance, maxIters, workerCol, firmCol)
-    val keepW = distributedComponentWorkers(edges, 200)
+      return runDriver(edgeTab.collect(), nv, controls, tolerance,
+        maxIters, workerCol, firmCol)
+    val keepW =
+      distributedComponentWorkers(edgeTab.select(col("w"), col("f")), 200)
     val connected = semiJoinWorkers(obs, obs("w"), keepW)
     if (connected.isEmpty) throw InsufficientData("No connected set found")
     solve(connected, controls, tolerance, maxIters, workerCol, firmCol)
@@ -257,17 +276,16 @@ object Akm {
     * sum_i (delta v_i)^2 == sum_e n_e (delta a + delta p)^2 for the
     * zig-zag, unweighted sum (delta a)^2 + (delta p)^2 for FE recovery —
     * checked every iteration (the distributed loops check every 3rd). */
-  private def runDriver(obs: DataFrame, controls: Seq[String], tol: Double,
+  private def runDriver(rawEdges: Array[org.apache.spark.sql.Row], nv: Int,
+      controls: Seq[String], tol: Double,
       maxIters: Int, workerCol: String, firmCol: String): AkmResult = {
-    val spark = obs.sparkSession
-    import spark.implicits._
-    val nv = controls.size + 1
-
-    // one aggregation pass: the full edge table with per-vector sums
-    val aggCols = count(lit(1)).as("n") +:
-      (0 until nv).map(i => sum(col(s"__v${i}__")).as(s"s$i"))
-    val rawEdges = obs.groupBy(col("w"), col("f"))
-      .agg(aggCols.head, aggCols.tail: _*).collect()
+    // row layout from run()'s single aggregation:
+    // (w, f, n, s0..s_{nv-1}, q_ij for 0 <= i <= j < nv in (i, j) order)
+    val crossIdx = (for { i <- 0 until nv; j <- i until nv } yield (i, j))
+      .zipWithIndex.toMap
+    val nq = crossIdx.size
+    def qPos(i: Int, j: Int): Int =
+      crossIdx(if (i <= j) (i, j) else (j, i))
 
     // ---- largest connected component (driver label propagation) ----
     val keepW = driverComponentWorkers(
@@ -286,6 +304,7 @@ object Akm {
     val ef = new Array[Int](nE)
     val en = new Array[Double](nE)
     val esum = Array.ofDim[Double](nE, nv)
+    val eq = Array.ofDim[Double](nE, nq)
     var nObs = 0L
     var e = 0
     while (e < nE) {
@@ -297,6 +316,8 @@ object Akm {
       nObs += n
       var v = 0
       while (v < nv) { esum(e)(v) = r.getDouble(3 + v); v += 1 }
+      var c = 0
+      while (c < nq) { eq(e)(c) = r.getDouble(3 + nv + c); c += 1 }
       e += 1
     }
     val wN = new Array[Double](nW)
@@ -387,22 +408,42 @@ object Akm {
         s"demean_vector failed to converge within $maxIters iterations")
 
     // ---- OLS on demeaned (no intercept, `akm.rs:347-367`) ----
-    val obsKept = obs.join(broadcast(wKeys.toSeq.toDF("w")), Seq("w"), "left_semi")
+    // The zig-zag effect A_v = a_w(v) + p_f(v) is CONSTANT within an
+    // edge, so the demeaned Gram decomposes over the per-edge
+    // cross-product sums collected in the one aggregation:
+    //   sum_e<obs> d_i d_j = q_ij - A_j s_i - A_i s_j + n A_i A_j
+    // — no second pass over the observation table.
     val beta =
       if (controls.isEmpty) DenseVector.zeros[Double](0)
       else {
-        val aDf = wKeys.indices.map(i =>
-          (wKeys(i), a(i).toSeq)).toDF("w", "__a__")
-        val pDf = fKeys.indices.map(i =>
-          (fKeys(i), p(i).toSeq)).toDF("f", "__p__")
-        val demeaned = obsKept
-          .join(broadcast(aDf), Seq("w")).join(broadcast(pDf), Seq("f"))
-          .select((0 until nv).map(v =>
-            (col(s"__v${v}__") - col("__a__").getItem(v) -
-              col("__p__").getItem(v)).as(s"__d${v}__")): _*)
-        val g = Gram.compute(demeaned, "__d0__",
-          (1 until nv).map(v => s"__d${v}__"))
-        try LinAlg.cholSolve(g.xtx, g.xty)
+        def demeanedCross(i: Int, j: Int): Double = {
+          var acc = 0.0
+          var t = 0
+          while (t < nE) {
+            val ai = a(ew(t))(i) + p(ef(t))(i)
+            val aj = a(ew(t))(j) + p(ef(t))(j)
+            acc += eq(t)(qPos(i, j)) - aj * esum(t)(i) - ai * esum(t)(j) +
+              en(t) * ai * aj
+            t += 1
+          }
+          acc
+        }
+        val k = nv - 1
+        val xtx = breeze.linalg.DenseMatrix.zeros[Double](k, k)
+        val xty = DenseVector.zeros[Double](k)
+        var i = 1
+        while (i < nv) {
+          xty(i - 1) = demeanedCross(0, i)
+          var j = i
+          while (j < nv) {
+            val v = demeanedCross(i, j)
+            xtx(i - 1, j - 1) = v
+            xtx(j - 1, i - 1) = v
+            j += 1
+          }
+          i += 1
+        }
+        try LinAlg.cholSolve(xtx, xty)
         catch {
           case _: SingularMatrix =>
             throw ConvergenceFailed("OLS design matrix is singular")
@@ -466,23 +507,43 @@ object Akm {
     i = 0
     while (i < nW) { alpha(i) += refVal; i += 1 }
 
-    // ---- R^2 (one obs pass with broadcast effect tables) ----
-    val alphaDf = wKeys.indices.map(i => (wKeys(i), alpha(i))).toDF("w", "__a__")
-    val psiDf = fKeys.indices.map(i => (fKeys(i), psi(i))).toDF("f", "__p__")
-    val predCol = (if (controls.isEmpty) lit(0.0)
-      else (1 until nv).map(v => col(s"__v${v}__") * lit(beta(v - 1)))
-        .reduce(_ + _)) + col("__a__") + col("__p__")
-    val stats = obsKept
-      .join(broadcast(alphaDf), Seq("w")).join(broadcast(psiDf), Seq("f"))
-      .agg(
-        sum(pow(col("__v0__") - predCol, 2)).as("rss"),
-        sum(pow(col("__v0__"), 2)).as("syy"),
-        sum(col("__v0__")).as("sy"), count(lit(1)).as("n")).head()
-    val rss = stats.getDouble(0)
-    val tss = stats.getDouble(1) -
-      stats.getDouble(2) * stats.getDouble(2) / stats.getLong(3)
+    // ---- R^2 (per-edge algebra — no obs pass) ----
+    // residual t = v0 - X beta has per-edge linear/quadratic sums
+    //   T1_e = s_0 - sum_j beta_j s_j
+    //   T2_e = q_00 - 2 sum_j beta_j q_0j + sum_jk beta_j beta_k q_jk
+    // and the FE prediction C_e = alpha_w + psi_f is constant within
+    // the edge, so rss = sum_e (T2_e - 2 C_e T1_e + n C_e^2); tss comes
+    // from the same q_00 / s_0 sums.
+    var rss = 0.0
+    var syy = 0.0
+    var sy = 0.0
+    e = 0
+    while (e < nE) {
+      var t1 = esum(e)(0)
+      var t2 = eq(e)(qPos(0, 0))
+      var j = 1
+      while (j < nv) {
+        val bj = beta(j - 1)
+        t1 -= bj * esum(e)(j)
+        t2 -= 2.0 * bj * eq(e)(qPos(0, j))
+        var k2 = 1
+        while (k2 < nv) {
+          t2 += bj * beta(k2 - 1) * eq(e)(qPos(j, k2))
+          k2 += 1
+        }
+        j += 1
+      }
+      val c = alpha(ew(e)) + psi(ef(e))
+      rss += t2 - 2.0 * c * t1 + en(e) * c * c
+      syy += eq(e)(qPos(0, 0))
+      sy += esum(e)(0)
+      e += 1
+    }
+    val tss = syy - sy * sy / nObs
     val r2 = 1.0 - rss / tss
 
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
     AkmResult(beta, controls,
       wKeys.indices.map(i => (wKeys(i), alpha(i)))
         .toDF(workerCol, "effect"),
