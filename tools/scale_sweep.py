@@ -34,24 +34,46 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAP_DIR = OUT + ".d"
 os.makedirs(SNAP_DIR, exist_ok=True)
 
-# headline set: every family with a scale story — Gram/equity, quantile,
-# dedup (pair-count-bound), ANN, text, events, sampling/packing, scans
-QUERIES = [
-    "q_pricing_summary", "q_mktseg_revenue",
-    "q_decomp_twofold", "q_bootstrap500", "q_akm",
-    "q_frontier", "q_verify", "q_defensibility", "q_equity_optimize",
-    "q_fair_wages", "q_heckman_newton3", "q_dfl_newton3",
-    "q_rif", "q_rif_decomp", "q_quantile_t7", "q_quantreg_newton3",
-    "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs",
-    "q_jaccard_pairs", "q_embed_neardup_ivf", "q_dedup_clusters",
-    "q_ann_topk", "q_ann_ivf", "q_ivf_build",
-    "q_lang_id", "q_quality_classifier", "q_lm_perplexity",
-    "q_topk_quality", "q_events_window", "q_sessions",
-    "q_token_budget", "q_seq_pack", "q_decontam",
-]
+# full query surface (r13): every SparkEntry query runs on BOTH sides,
+# except documented exclusions. EXCLUDE_BIG = exact brute-force siblings
+# whose cost is quadratic BY DESIGN (priced on the small side only; the
+# sub-quadratic route is the scale story and IS swept). EXCLUDE_ALL =
+# fixed-shape benchmark fixtures that ignore the fixture dir entirely.
+EXCLUDE_BIG = {
+    "q_matching_knn": "exact crossJoin kNN (quadratic by design; "
+                      "LSH/propensity routes are the scale path)",
+    "q_matching_psm": "exact crossJoin score match on the full pair grid",
+    "q_matching_psm_newton3": "pinned-iteration twin of q_matching_psm, "
+                              "same crossJoin match stage",
+    "q_embed_neardup": "exact all-pairs embedding cosine (documented "
+                       "exact sibling; q_embed_neardup_ivf is the "
+                       "sub-quadratic route and is swept)",
+}
+EXCLUDE_ALL = {
+    "q_baseline_point": "fixed 100k x 10 reference-benchmark shape, "
+                        "fixture-dir independent",
+    "q_baseline_boot100": "fixed reference-benchmark shape",
+    "q_baseline_boot500": "fixed reference-benchmark shape",
+}
 
 
-def run_bench(sf_dir, snap):
+def all_queries():
+    """Every query name from SparkEntry, via the committed correctness
+    artifact keys plus any bench-only additions known here."""
+    art = os.path.join(REPO, "CORRECTNESS_r12.json")
+    with open(art) as f:
+        names = sorted(json.load(f).keys())
+    for q in sorted(EXCLUDE_ALL):
+        if q not in names:
+            names.append(q)
+    return names
+
+
+QUERIES = [q for q in all_queries() if q not in EXCLUDE_ALL]
+QUERIES_BIG = [q for q in QUERIES if q not in EXCLUDE_BIG]
+
+
+def run_bench(sf_dir, snap, queries):
     if os.path.exists(snap):
         with open(snap) as f:
             data = json.load(f)
@@ -64,7 +86,7 @@ def run_bench(sf_dir, snap):
         "SPARK_GRAFT_CPUS": "32",
         "SPARK_GRAFT_BENCH_REPS": str(REPS),
         "SPARK_GRAFT_BENCH_NO_EXTRA": "1",
-        "SPARK_GRAFT_BENCH_ONLY": ",".join(QUERIES),
+        "SPARK_GRAFT_BENCH_ONLY": ",".join(queries),
     })
     subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
@@ -87,11 +109,13 @@ def merge_min(snapshots):
 small_runs, big_runs, loads = [], [], []
 for i in range(N_PAIRS):
     print(f"[sweep] pair {i + 1}/{N_PAIRS}: {SMALL}", flush=True)
-    s = run_bench(SMALL, os.path.join(SNAP_DIR, f"pair{i + 1}_small.json"))
+    s = run_bench(SMALL, os.path.join(SNAP_DIR, f"pair{i + 1}_small.json"),
+                  QUERIES)
     print(f"[sweep]   small total_min={s['total_min']}"
           f" load={s['load_avg_start']}-{s['load_avg_end']}", flush=True)
     print(f"[sweep] pair {i + 1}/{N_PAIRS}: {BIG}", flush=True)
-    b = run_bench(BIG, os.path.join(SNAP_DIR, f"pair{i + 1}_big.json"))
+    b = run_bench(BIG, os.path.join(SNAP_DIR, f"pair{i + 1}_big.json"),
+                  QUERIES_BIG)
     print(f"[sweep]   big total_min={b['total_min']}"
           f" load={b['load_avg_start']}-{b['load_avg_end']}", flush=True)
     small_runs.append(s)
@@ -113,7 +137,14 @@ small_min = merge_min(small_runs)
 big_min = merge_min(big_runs)
 queries = {}
 for q in QUERIES:
-    if q in small_min and q in big_min:
+    if q in EXCLUDE_BIG:
+        queries[q] = {
+            "small_min_s": round(small_min[q], 3) if q in small_min else None,
+            "big_min_s": None,
+            "scale_x": None,
+            "excluded_big": EXCLUDE_BIG[q],
+        }
+    elif q in small_min and q in big_min:
         queries[q] = {
             "small_min_s": round(small_min[q], 3),
             "big_min_s": round(big_min[q], 3),
@@ -131,6 +162,7 @@ result = {
     "big_fixtures": big_runs[0].get("fixtures_digest"),
     "batch_loads": loads,
     "failed": failed,
+    "excluded_everywhere": EXCLUDE_ALL,
     "queries": dict(sorted(queries.items())),
 }
 with open(OUT, "w") as f:
