@@ -200,6 +200,10 @@ class ExtSpec extends SparkSpec {
     // prefix-filtered + verified path (forced via directPathMaxPairs=0)
     // must produce byte-identical pairs AND jaccard values to the plain
     // inverted-index count, at a low and a high threshold
+    // docs 8/9 are single-shingle twins (exactly 3 tokens): at high
+    // thresholds the pair-key scheme cannot form a 2-subset for them,
+    // so only the tiny-doc single-key fallback can discover the pair —
+    // this pins that branch against the direct path
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
@@ -208,7 +212,9 @@ class ExtSpec extends SparkSpec {
       (4L, "the quick brown fox jumps over the lazy dog today"),
       (5L, "seventeen green bottles hanging on the wall somewhere"),
       (6L, "short doc"),
-      (7L, "the quick brown fox leaps over the lazy dog today")
+      (7L, "the quick brown fox leaps over the lazy dog today"),
+      (8L, "purple elephant parade"),
+      (9L, "purple elephant parade")
     ).toDF("doc_id", "text")
     def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -221,6 +227,8 @@ class ExtSpec extends SparkSpec {
           n = 3, threshold = t, candidateBudget = None))
       } finally spark.conf.unset("spark.graft.dedup.directPathMaxPairs")
       assert(direct.nonEmpty, s"direct path empty at t=$t — fixture broken")
+      assert(direct.contains((8L, 9L)) && direct((8L, 9L)) == 1.0,
+        s"single-shingle twin pair missing at t=$t")
       assert(viaPrefix == direct,
         s"prefix path diverged at t=$t: $viaPrefix vs $direct")
     }
