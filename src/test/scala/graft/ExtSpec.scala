@@ -234,6 +234,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("effectiveCapFor mirrors the main path's guard decisions") {
+    // the pin helper must reproduce ngramJaccardPairs' routing exactly:
+    // direct-path mirror (roomy budget => None), binding budget => Some,
+    // explicit hot cap firing/not-firing — using the budget-guard
+    // fixture whose opener shingle has df 8
+    val docs = Seq(
+      (0L, "breaking news today alpha beta gamma delta epsilon"),
+      (1L, "breaking news today alpha beta gamma delta zeta"),
+      (2L, "breaking news today completely different one two"),
+      (3L, "breaking news today unrelated words four five"),
+      (4L, "breaking news today more filler text six seven"),
+      (5L, "breaking news today yet another doc eight nine"),
+      (10L, "breaking news today aaa bbb ccc"),
+      (11L, "breaking news today ddd eee fff")
+    ).toDF("doc_id", "text")
+    def cap(maxDf: Option[Long], budget: Option[Long]) =
+      Dedup.effectiveCapFor(docs, "doc_id", "text", n = 3, threshold = 0.1,
+        maxShingleDf = maxDf, candidateBudget = budget)
+    assert(cap(None, Some(10L)).nonEmpty, "binding budget must report a cap")
+    assert(cap(None, Some(1000000L)).isEmpty,
+      "roomy budget takes the direct-path mirror: no cap")
+    assert(cap(Some(3L), None).nonEmpty, "hot opener (df 8) fires the cap")
+    assert(cap(Some(100L), None).isEmpty, "no shingle hotter than 100")
+    assert(cap(None, None).isEmpty, "unguarded call never caps")
+  }
+
   test("capForBudget saturates instead of overflowing at guard-scale dfs") {
     // d = 1e9 gives ~5e17 candidate rows per shingle; 19 such shingles
     // wraps a naive Long accumulator negative, which would make
