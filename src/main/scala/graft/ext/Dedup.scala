@@ -662,6 +662,51 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("shingle"))).as("__set__"))
       .localCheckpoint()
+    // Single-broadcast kernel (`spark.graft.dedup.verifyKernel`,
+    // default ON when the sets are broadcastable): the two broadcast
+    // joins below each build their own HashedRelation of the SAME set
+    // table — the dominant verify cost once sets are hashed longs. The
+    // kernel collects the (ceiling-bounded, semi-join-reduced) set
+    // table ONCE, broadcasts one map, and runs a two-pointer merge per
+    // candidate inside mapPartitions — measured 2x on the whole sf10
+    // q_jaccard_pairs wall (~100 s -> ~48 s, identical pairs). The
+    // driver-side build is bounded by the SAME ceiling that gates
+    // Spark's own broadcast (which also builds driver-side); past it
+    // the sort-merge route below takes over. Results are pinned
+    // byte-identical to the join route by spec; set the conf to false
+    // to force the join plan.
+    val useKernel = broadcastSets &&
+      !sh.sparkSession.conf.getOption("spark.graft.dedup.verifyKernel")
+        .contains("false")
+    if (useKernel) {
+      val sets: Map[Any, Array[Long]] = setTab.collect()
+        .map(r => r.get(0) -> r.getSeq[Long](1).toArray).toMap
+      val bc = sh.sparkSession.sparkContext.broadcast(sets)
+      val candSchema = cand.schema
+      val out = cand.rdd.mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { row =>
+          (m.get(row.get(0)), m.get(row.get(1))) match {
+            case (Some(sa), Some(sb)) =>
+              var i = 0; var j = 0; var inter = 0L
+              while (i < sa.length && j < sb.length) {
+                if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+                else if (sa(i) < sb(j)) i += 1
+                else j += 1
+              }
+              Some(Row(row.get(0), row.get(1), inter,
+                sa.length.toLong, sb.length.toLong))
+            case _ => None // inner-join semantics: unmatched ids drop
+          }
+        }
+      }
+      return sh.sparkSession.createDataFrame(out, StructType(Seq(
+        candSchema.fields(0).copy(name = "id_a"),
+        candSchema.fields(1).copy(name = "id_b"),
+        StructField("inter", LongType),
+        StructField("sz_a", LongType),
+        StructField("sz_b", LongType))))
+    }
     def side(idAs: String, setAs: String) = {
       val s = setTab.select(col(idCol).as(idAs), col("__set__").as(setAs))
       if (broadcastSets) broadcast(s) else s

@@ -195,6 +195,42 @@ class ExtSpec extends SparkSpec {
       s"join strategy changed results: $viaBroadcast vs $viaSortMerge")
   }
 
+  test("opt-in verify kernel (single broadcast) matches the join routes") {
+    // spark.graft.dedup.verifyKernel (default on when broadcastable)
+    // swaps the two broadcast verify joins for one broadcast map + a
+    // two-pointer merge; the swap must be invisible in the results
+    val docs = Seq(
+      (0L, "breaking news today alpha beta gamma delta epsilon"),
+      (1L, "breaking news today alpha beta gamma delta zeta"),
+      (2L, "breaking news today completely different one two"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run() = toMapOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      0.1, maxShingleDf = Some(3L), candidateBudget = None))
+    val viaJoins = try {
+      spark.conf.set(Dedup.SetBroadcastBytesKey, Long.MaxValue.toString)
+      spark.conf.set("spark.graft.dedup.verifyKernel", "false")
+      run()
+    } finally {
+      spark.conf.unset("spark.graft.dedup.verifyKernel")
+      spark.conf.unset(Dedup.SetBroadcastBytesKey)
+    }
+    val viaKernel = try {
+      spark.conf.set(Dedup.SetBroadcastBytesKey, Long.MaxValue.toString)
+      spark.conf.set("spark.graft.dedup.verifyKernel", "true")
+      run()
+    } finally {
+      spark.conf.unset("spark.graft.dedup.verifyKernel")
+      spark.conf.unset(Dedup.SetBroadcastBytesKey)
+    }
+    assert(viaKernel.nonEmpty, "kernel path must engage and produce pairs")
+    assert(viaKernel == viaJoins,
+      s"verify kernel diverged: $viaKernel vs $viaJoins")
+  }
+
   test("prefix+length+positional filtering is recall-lossless vs the direct path") {
     // the cost-based path choice must be invisible in the results: the
     // prefix-filtered + verified path (forced via directPathMaxPairs=0)
