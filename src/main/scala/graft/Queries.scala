@@ -898,11 +898,22 @@ object Queries {
           when(u < lit(PoissonCdf.head), 0.0)) {
           case (acc, (thr, i)) => acc.when(u < lit(thr), (i + 1).toDouble)
         }.otherwise(PoissonCdf.size.toDouble)
+      // Carter-Wegman replicate draws (the minhash r10 trick applied to
+      // bootstrap weights): TWO base md5 draws per row + an affine combo
+      // per replicate, instead of one md5 per (row, replicate). At sf10
+      // the weight lanes ARE the query cost, and the md5 count is 8x of
+      // it — measured 24 s -> 6.6 s on the whole Gram pass
+      // (tools/BootstrapDrawProbe). No overflow: h1, h2 < 2^56 and
+      // r <= 8 keeps h1 + r*h2 < 2^60. The DuckDB oracle replays the
+      // identical arithmetic on the same two md5-derived bases.
+      val mod = 1L << 56
+      val h1 = graft.ext.TextAnalysis.hash56(concat(lit("a:"), key))
+      val h2 = graft.ext.TextAnalysis.hash56(concat(lit("b:"), key))
+      val withBase = li.withColumn("__h1__", h1).withColumn("__h2__", h2)
       val wCols = (1 to 8).map(r => s"__bw_$r")
-      val withW = wCols.zipWithIndex.foldLeft(li) { case (df, (c, i)) =>
-        val u = pmod(graft.ext.TextAnalysis.hash56(
-            concat(key, lit(s":${i + 1}"))), lit(1000000L))
-          .cast("double") / 1000000.0
+      val withW = wCols.zipWithIndex.foldLeft(withBase) { case (df, (c, i)) =>
+        val u = pmod(col("__h1__") + lit((i + 1).toLong) * col("__h2__"),
+          lit(mod)).cast("double") / mod.toDouble
         df.withColumn(c, poisson(u))
       }
       val laneOf = when(col("l_linestatus") === "O", 0).otherwise(1)
@@ -1584,12 +1595,21 @@ object Queries {
     val pois = PoissonCdf.zipWithIndex
       .map { case (t, i) => s"WHEN u < $t THEN $i.0" }
       .mkString("CASE ", " ", s" ELSE ${PoissonCdf.size}.0 END")
+    // Carter-Wegman draws: two md5-derived 56-bit bases per row, one
+    // affine combo per replicate — identical arithmetic to the Spark
+    // side's hash56-based lanes (see the q_bootstrap8 entry)
     s"""WITH bpts AS (
        |  SELECT l_linestatus AS grp, l_quantity AS x1, l_extendedprice AS yv,
        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
        |      || ':' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
        |      || ':' || l_linestatus AS key
        |  FROM lineitem
+       |),
+       |bbase AS (
+       |  SELECT grp, x1, yv,
+       |    ('0x' || substr(md5('a:' || key), 1, 14))::BIGINT AS h1,
+       |    ('0x' || substr(md5('b:' || key), 1, 14))::BIGINT AS h2
+       |  FROM bpts
        |),
        |bsums AS (
        |  SELECT grp, 0 AS rep, sum(1.0) AS sw, sum(x1) AS swx,
@@ -1602,9 +1622,9 @@ object Queries {
        |    SELECT grp, x1, yv, rep, $pois AS w
        |    FROM (
        |      SELECT p.grp, p.x1, p.yv, r.r AS rep,
-       |        ((('0x' || substr(md5(p.key || ':' || CAST(r.r AS VARCHAR)),
-       |          1, 14))::BIGINT) % 1000000) / 1000000.0 AS u
-       |      FROM bpts p
+       |        ((p.h1 + r.r * p.h2) % 72057594037927936)
+       |          / 72057594037927936.0 AS u
+       |      FROM bbase p
        |      CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) r(r)
        |    )
        |  ) GROUP BY grp, rep

@@ -12,14 +12,16 @@ import java.nio.file.{Files, Paths}
   * --bootstrap-reps, --simulations, --formula, --weights,
   * --worker-col/--firm-col, --k-neighbors, --matching-method,
   * --output-json/--output-markdown.
+  *
+  * The `report` subcommand (first positional token, mirroring the
+  * reference's `Commands::Report` — `main.rs:18-24,131-159,334-376` +
+  * `templates/report.html`) runs a mean decomposition and writes the
+  * standalone HTML report (S7, [[Export.toHtml]]) to `--output`.
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    def req(k: String): String = opts.getOrElse(k,
-      sys.error(s"Missing required argument --$k"))
-
     val spark = SparkSession.builder()
       .master(opts.getOrElse("master", "local[*]"))
       .appName("oaxaca-cli")
@@ -28,8 +30,23 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try execute(args, spark) finally spark.stop()
+  }
 
-    try {
+  /** The whole CLI body minus session lifecycle — the e2e spec drives
+    * this with the shared test session ([[main]] owns create/stop). */
+  private[graft] def execute(args: Array[String], spark: SparkSession): Unit = {
+    val opts0 = parseArgs(args)
+    // subcommand form: `report --data ... --output ...` (the reference's
+    // clap subcommand); also reachable as --analysis-type report
+    val opts =
+      if (args.headOption.contains("report"))
+        opts0 + ("analysis-type" -> "report")
+      else opts0
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"Missing required argument --$k"))
+
+    {
       val data = req("data")
       val df =
         if (data.endsWith(".parquet")) spark.read.parquet(data)
@@ -75,6 +92,20 @@ object Cli {
           println(s"AKM: beta=${res.beta} r2=${res.r2} n=${res.nObs}")
           res.firmEffects.show(20, truncate = false)
 
+        case "report" =>
+          // mean decomposition -> standalone HTML file, printing the
+          // reference's success line (`main.rs:368-372`)
+          var b = OaxacaBuilder(df, req("outcome"), req("group"), req("reference"))
+          opts.get("predictors").foreach(p =>
+            b = b.predictors(p.split(',').toIndexedSeq: _*))
+          opts.get("categorical").foreach(p =>
+            b = b.categoricalPredictors(p.split(',').toIndexedSeq: _*))
+          b = b.bootstrapReps(opts.getOrElse("bootstrap-reps", "50").toInt)
+          val res = b.run()
+          val out = Paths.get(req("output"))
+          Files.writeString(out, Export.toHtml(res))
+          println(s"Report successfully generated at: $out")
+
         case "match" =>
           val method = opts.getOrElse("matching-method", "euclidean") match {
             case "euclidean" => Matching.Euclidean
@@ -89,7 +120,7 @@ object Cli {
 
         case other => sys.error(s"Unknown analysis type '$other'")
       }
-    } finally spark.stop()
+    }
   }
 
   private def parseArgs(args: Array[String]): Map[String, String] = {

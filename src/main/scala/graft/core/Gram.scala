@@ -38,6 +38,13 @@ final case class GramResult(
       swyy + o.swyy, n + o.n, math.min(minW, o.minW))
 }
 
+object GramBuffer {
+  /** Cap on tracked extra lane-0 values: a group column with more than
+    * this many non-reference levels gets a real distinct pass instead
+    * (speculative tracking exists for the 2-level common case). */
+  val TrackCap = 64
+}
+
 /** Flat mutable accumulation buffer holding `lanes * repsTotal` Gram
   * systems (lane = group index; rep 0 = real weights, reps 1..B =
   * bootstrap replicate weights).
@@ -49,6 +56,52 @@ final case class GramResult(
   * the difference is the whole cost of a 500-replicate bootstrap scan. */
 final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
     extends Serializable {
+
+  // ---- lane-0 distinct-value tracking (speculative group split) ----
+  // Gram.computeGroupedTracking records the distinct STRING values seen
+  // on lane 0 so callers can fold group-level discovery into the Gram
+  // scan itself (one job instead of distinct+collect followed by the
+  // scan). The representation is tuned for the overwhelmingly common
+  // case of ONE value: the first value is cached and compared per row
+  // as UTF8String bytes (a short memcmp against the row buffer, no
+  // per-row allocation); only mismatching values pay a decode into the
+  // small extras set, capped at [[GramBuffer.TrackCap]] (past it the
+  // caller must fall back to a real distinct pass).
+  var trackFirst: String = null
+  @transient private var trackFirstU8: org.apache.spark.unsafe.types.UTF8String = null
+  val trackExtras = scala.collection.mutable.HashSet.empty[String]
+  var trackOverflow = false
+
+  private def addExtra(s: String): Unit =
+    if (s != trackFirst && !trackExtras.contains(s)) {
+      if (trackExtras.size >= GramBuffer.TrackCap) trackOverflow = true
+      else { trackExtras += s; () }
+    }
+
+  /** Record one lane-0 value straight off the UnsafeRow buffer. */
+  def trackValue(u8: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    if (trackFirst == null) {
+      trackFirst = u8.toString
+      trackFirstU8 = org.apache.spark.unsafe.types.UTF8String.fromString(trackFirst)
+    } else {
+      if (trackFirstU8 == null) // rebuilt after deserialization
+        trackFirstU8 = org.apache.spark.unsafe.types.UTF8String.fromString(trackFirst)
+      if (!trackFirstU8.equals(u8)) addExtra(u8.toString)
+    }
+  }
+
+  private def mergeTracking(o: GramBuffer): Unit = {
+    if (o.trackFirst != null) {
+      if (trackFirst == null) trackFirst = o.trackFirst
+      else addExtra(o.trackFirst)
+      o.trackExtras.foreach(addExtra)
+    }
+    trackOverflow ||= o.trackOverflow
+  }
+
+  /** Distinct lane-0 values seen (complete iff !trackOverflow). */
+  def trackedValues: Seq[String] =
+    (Option(trackFirst).toSeq ++ trackExtras.toSeq)
   val tri = k * (k + 1) / 2
   // per system: packed upper-triangular X'WX, then X'Wy, then [sw, swy, swyy]
   val stride = tri + k + 3
@@ -62,6 +115,7 @@ final class GramBuffer(val k: Int, val lanes: Int, val repsTotal: Int)
     i = 0
     while (i < lanes) { nPerLane(i) += o.nPerLane(i); i += 1 }
     minW = math.min(minW, o.minW)
+    mergeTracking(o)
     this
   }
 
@@ -194,7 +248,36 @@ object Gram {
   def computeGrouped(df: DataFrame, yCol: String, xCols: Seq[String],
       wCol: Option[String], laneOf: Column, nLanes: Int, reps: Int,
       seed: Long, repWeightCols: Seq[String] = Nil,
-      seedCols: Seq[String] = Nil): Array[Array[GramResult]] = {
+      seedCols: Seq[String] = Nil): Array[Array[GramResult]] =
+    computeGroupedImpl(df, yCol, xCols, wCol, laneOf, nLanes, reps, seed,
+      repWeightCols, seedCols, trackCol = None)._1
+
+  /** Distinct lane-0 values recorded by a tracked Gram pass. `complete`
+    * is false past [[GramBuffer.TrackCap]] extras — the caller must then
+    * fall back to a real distinct pass. */
+  final case class TrackedValues(values: Seq[String], complete: Boolean)
+
+  /** [[computeGrouped]] that ALSO records the distinct string values of
+    * `trackCol` over lane-0 rows inside the same scan — the kernel
+    * behind [[graft.prep.Prep.splitGroupsWithGram]]'s one-job
+    * level-discovery fold. Per-row cost on lane 0 is one UTF8String
+    * byte-compare against the cached first value; lanes != 0 pay
+    * nothing. */
+  def computeGroupedTracking(df: DataFrame, yCol: String, xCols: Seq[String],
+      wCol: Option[String], laneOf: Column, nLanes: Int, reps: Int,
+      seed: Long, trackCol: Column, repWeightCols: Seq[String] = Nil,
+      seedCols: Seq[String] = Nil)
+      : (Array[Array[GramResult]], TrackedValues) = {
+    val (grams, tracked) = computeGroupedImpl(df, yCol, xCols, wCol, laneOf,
+      nLanes, reps, seed, repWeightCols, seedCols, trackCol = Some(trackCol))
+    (grams, tracked.get)
+  }
+
+  private def computeGroupedImpl(df: DataFrame, yCol: String,
+      xCols: Seq[String], wCol: Option[String], laneOf: Column, nLanes: Int,
+      reps: Int, seed: Long, repWeightCols: Seq[String],
+      seedCols: Seq[String], trackCol: Option[Column])
+      : (Array[Array[GramResult]], Option[TrackedValues]) = {
     val k = xCols.size
     val w = wCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     val externalReps = repWeightCols.nonEmpty
@@ -210,7 +293,9 @@ object Gram {
       (col(yCol).cast("double") +: w +: laneOf.cast("int").as("__lane__") +:
         rowHash +:
         (xCols.map(c => col(c).cast("double")) ++
-          repWeightCols.map(c => col(c).cast("double")))): _*)
+          repWeightCols.map(c => col(c).cast("double")) ++
+          trackCol.map(_.cast("string").as("__track__")).toSeq)): _*)
+    val trackIdx = if (trackCol.isDefined) 4 + k + repWeightCols.size else -1
     // A replicate-heavy pass does ~nReps * stride flops per row; a small
     // input (one parquet file -> one scan partition) would run all of it
     // on ONE task no matter how many cores exist. Repartition to a FIXED
@@ -239,6 +324,8 @@ object Gram {
           if (row.anyNull)
             throw InvalidArgument(
               "Gram pass read a null model value; drop null rows first")
+          if (trackIdx >= 0 && lane == 0)
+            buf.trackValue(row.getUTF8String(trackIdx))
           val y = row.getDouble(0)
           val wv = row.getDouble(1)
           val rh = row.getLong(3)
@@ -265,7 +352,10 @@ object Gram {
       },
       combOp = (a, b) => a.merge(b),
       depth = 2)
-    Array.tabulate(nLanes)(l => Array.tabulate(repsTotal)(r => res.result(l, r)))
+    val grams = Array.tabulate(nLanes)(l =>
+      Array.tabulate(repsTotal)(r => res.result(l, r)))
+    (grams, trackCol.map(_ =>
+      TrackedValues(res.trackedValues, complete = !res.trackOverflow)))
   }
 
   /** One system of a multi-system pass: its own response and weight

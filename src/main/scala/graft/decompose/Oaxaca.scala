@@ -155,11 +155,26 @@ object Oaxaca {
     val dummied = Prep.withIntercept(dummied0)
     val xCols = Prep.designCols(cfg.predictors, dummyInfos)
     val names = Prep.designNames(xCols)
-    val split = Prep.splitGroups(dummied, cfg.group, cfg.reference)
 
-    if (cfg.selectionOutcome.isDefined)
+    if (cfg.selectionOutcome.isDefined) {
+      val split = Prep.splitGroups(dummied, cfg.group, cfg.reference)
       return runHeckman(dummied, split, xCols, names, cfg)
-    runPrepared(dummied, split, xCols, names, dummyInfos, cfg)
+    }
+    if (cfg.bootstrapMode == BootstrapMode.Multinomial && cfg.bootstrapReps > 0) {
+      // multinomial weights are drawn against the eagerly-known split
+      val split = Prep.splitGroups(dummied, cfg.group, cfg.reference)
+      return runPrepared(dummied, split, xCols, names, dummyInfos, cfg)
+    }
+    // Common path (Poisson/no bootstrap): level discovery rides the Gram
+    // scan itself — ONE job end to end instead of distinct+collect
+    // followed by the scan (BASELINE.md row 1's fixed-cost tax).
+    val seedCols =
+      if (dummied.columns.contains(Prep.RowIdCol)) Seq(Prep.RowIdCol)
+      else Seq.empty[String]
+    val (split, lanes) = Prep.splitGroupsWithGram(dummied, cfg.group,
+      cfg.reference, cfg.outcome, xCols, cfg.weights, cfg.bootstrapReps,
+      cfg.seed, seedCols)
+    finishLanes(lanes, split, names, dummyInfos, cfg)
   }
 
   /** [[run]] body on an already cleaned/dummied/intercepted frame — lets
@@ -185,6 +200,15 @@ object Oaxaca {
     val lanes = Gram.computeGrouped(gramInput, cfg.outcome, xCols, cfg.weights,
       Prep.laneOf(split, cfg.group), nLanes = 2, reps = cfg.bootstrapReps,
       seed = cfg.seed, repWeightCols = repWeightCols, seedCols = seedCols)
+    finishLanes(lanes, split, names, dummyInfos, cfg)
+  }
+
+  /** Driver-side back half shared by [[runPrepared]] and the fused
+    * split+Gram path in [[run]]: per-rep single passes + assembly from
+    * already-computed group Gram lanes. */
+  private def finishLanes(lanes: Array[Array[GramResult]],
+      split: Prep.GroupSplit, names: Seq[String],
+      dummyInfos: Seq[Prep.DummyInfo], cfg: OaxacaConfig): OaxacaResults = {
     val gramsA = lanes(0)
     val gramsB = lanes(1)
     if (gramsA(0).n == 0 || gramsB(0).n == 0)

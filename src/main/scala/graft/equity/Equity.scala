@@ -124,7 +124,9 @@ object Equity {
 
   /** Shared prep: clean, dummy-encode, intercept-first design (the
     * engine's prepare_data layout), two-group split. */
-  private[graft] def prepare(df: DataFrame, cfg: EquityConfig): EquityPrep = {
+  /** [[prepare]] minus the split: everything derivable lazily (no job). */
+  private def prepareFrame(df: DataFrame, cfg: EquityConfig)
+      : (DataFrame, Seq[String], Seq[Prep.DummyInfo]) = {
     val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++ cfg.categorical
     // engine layer: strict Float64 casts with non-numeric rejection
     // (`engine/src/analysis.rs:14-35`)
@@ -132,7 +134,11 @@ object Equity {
     val cleaned = Prep.clean(casted, modelCols.distinct)
     val (dummied0, infos) = Prep.oneHot(cleaned, cfg.categorical)
     val dummied = Prep.withIntercept(dummied0)
-    val xCols = Prep.designCols(cfg.predictors, infos)
+    (dummied, Prep.designCols(cfg.predictors, infos), infos)
+  }
+
+  private[graft] def prepare(df: DataFrame, cfg: EquityConfig): EquityPrep = {
+    val (dummied, xCols, infos) = prepareFrame(df, cfg)
     EquityPrep(dummied, xCols, Prep.designNames(xCols),
       Prep.splitGroups(dummied, cfg.group, cfg.reference), infos)
   }
@@ -147,14 +153,16 @@ object Equity {
   private[graft] def prepareAndGram(df: DataFrame, cfg: EquityConfig,
       persistDummied: Boolean = false)
       : (EquityPrep, Array[Array[GramResult]]) = {
-    val p0 = prepare(df, cfg)
-    val p =
-      if (persistDummied) p0.copy(dummied = p0.dummied.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else p0
-    val lanes = Gram.computeGrouped(p.dummied, cfg.outcome, p.xCols, None,
-      Prep.laneOf(p.split, cfg.group), 2, 0, 0L)
-    (p, lanes)
+    val (dummied0, xCols, infos) = prepareFrame(df, cfg)
+    val dummied =
+      if (persistDummied) dummied0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else dummied0
+    // split discovery rides the Gram scan (one job, not distinct+scan):
+    // the same fused pass as Oaxaca.run's common path
+    val (split, lanes) = Prep.splitGroupsWithGram(dummied, cfg.group,
+      cfg.reference, cfg.outcome, xCols, None, reps = 0, seed = 0L)
+    (EquityPrep(dummied, xCols, Prep.designNames(xCols), split, infos), lanes)
   }
 
   private[graft] def fitFairModel(gTarget: GramResult, gRef: GramResult,
@@ -432,9 +440,7 @@ object Equity {
             .drop(s"__ov_$p")
         }
     }
-    val p = prepare(overridden, cfg)
-    val lanes = Gram.computeGrouped(p.dummied, cfg.outcome, p.xCols, None,
-      Prep.laneOf(p.split, cfg.group), 2, 0, 0L)
+    val (p, lanes) = prepareAndGram(overridden, cfg)
     val model = fitFairModel(lanes(0)(0), lanes(1)(0), p.xCols, p.names,
       cfg.copy(target = OptimizationTarget.Reference))
     checkDefensibilityPrepared(p, model, adjustments, idCol, deltaCol, cfg)

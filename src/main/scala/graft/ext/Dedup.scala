@@ -182,6 +182,22 @@ object Dedup {
     if (cap < maxDf) Some(cap) else None
   }
 
+  /** Recall accounting for a FIRING budget cap: (#index keys dropped,
+    * estimated candidate-pair mass dropped) — the cut tail of the same
+    * histogram [[capForBudget]] chose the cap from. Saturating algebra
+    * like the cap itself (a saturated mass prints as Long.MaxValue,
+    * which reads correctly as "astronomically many"). By construction
+    * the dropped mass is > 0 exactly when [[capForBudget]] returns
+    * Some: the cap is the largest df whose cumulative mass fits, so at
+    * least one hotter histogram entry was cut. A 100 TB operator reads
+    * this next to the cap value to judge the recall tradeoff instead of
+    * discovering it from a diff. */
+  def droppedAboveCap(histo: Array[(Long, Long)], cap: Long): (Long, Long) =
+    histo.iterator.filter(_._1 > cap).foldLeft((0L, 0L)) {
+      case ((keys, mass), (d, cnt)) =>
+        (satAdd(keys, cnt), satAdd(mass, satMul(cnt, pairsOf(d))))
+    }
+
 
   /** Conf key for the set-table broadcast ceiling (estimated bytes). */
   val SetBroadcastBytesKey = "spark.graft.dedup.setBroadcastBytes"
@@ -269,9 +285,20 @@ object Dedup {
     * required overlap is < 2 (possible only when |A|+|B| <= (1+t)/t)
     * cannot promise a shared 2-subset, so docs that small also emit
     * their k=1 single keys; the sub-index is bounded by the tiny-doc
-    * count (at t >= 0.6, docs with at most one or two shingles). */
+    * count (at t >= 0.6, docs with at most one or two shingles).
+    *
+    * `allSingles`: ALSO emit every doc's k=1 single keys (over the k=1
+    * prefix bound). Used when an explicit `maxShingleDf` cap has
+    * FILTERED rows out of the prefix: the pair scheme then needs two
+    * below-cap shared in-prefix shingles to discover a pair, whereas
+    * the capped k=1 scheme needed only one — a pair sharing exactly ONE
+    * cold shingle (plus hot ones) would silently vanish. The single
+    * keys restore the k=1 capped path's recall exactly (pair keys can
+    * only add candidates on top); their extra mass exists only under a
+    * firing explicit cap and is still priced by the budget guard, which
+    * sees the unioned key index. */
   private def keyIndex(pref: DataFrame, idCol: String, threshold: Double,
-      pairScheme: Boolean): DataFrame =
+      pairScheme: Boolean, allSingles: Boolean = false): DataFrame =
     if (!pairScheme)
       pref.select(col(idCol),
         xxhash64(lit("1"), col("shingle")).as("__key__"), col("__sz__"),
@@ -288,7 +315,7 @@ object Dedup {
           col("__sz__"), col("__rk1__"), col("__rk2__"))
       val smallMax = (1.0 / threshold + 1e-9).toLong
       val singles = pref
-        .filter(col("__sz__") <= smallMax)
+        .filter(if (allSingles) lit(true) else col("__sz__") <= smallMax)
         .filter(col("__rk__") <= col("__sz__")
           - ceil(lit(threshold) * col("__sz__") - lit(1e-9)) + lit(1))
         .select(col(idCol),
@@ -352,7 +379,8 @@ object Dedup {
                 k = if (pairScheme) 2 else 1)
               .filter(maxShingleDf.map(col("__fdf__") <= _)
                 .getOrElse(lit(true)))
-            val keyDfTab = keyIndex(pref, idCol, threshold, pairScheme)
+            val keyDfTab = keyIndex(pref, idCol, threshold, pairScheme,
+                allSingles = pairScheme && explicitFiring.nonEmpty)
               .groupBy(col("__key__")).agg(count(lit(1)).as("__pdf__"))
             capForBudget(dfHistogram(keyDfTab, "__pdf__"), eff)
           }
@@ -540,7 +568,8 @@ object Dedup {
     // the pair scheme reads the prefix twice (both sides of the
     // per-doc 2-subset join); checkpoint it then, and ONLY then
     val pref = if (pairScheme) prefCapped.localCheckpoint() else prefCapped
-    val keysPlain = keyIndex(pref, idCol, threshold, pairScheme)
+    val keysPlain = keyIndex(pref, idCol, threshold, pairScheme,
+      allSingles = pairScheme && nHotExplicit > 0L)
     // budget guard priced on the KEY index it will actually join — the
     // filters above shrink the real mass far below the full-index
     // upper bound, so the cap binds only against work the join would
@@ -549,15 +578,21 @@ object Dedup {
     val keyDfTab = if (!budgetMayBind) None else Some(
       keys.groupBy(col("__key__")).agg(count(lit(1)).as("__pdf__"))
         .localCheckpoint())
-    val budgetCap: Option[Long] = (effBudget, keyDfTab) match {
-      case (Some(b), Some(tab)) =>
-        capForBudget(dfHistogram(tab, "__pdf__"), b)
+    val keyHisto = keyDfTab.map(dfHistogram(_, "__pdf__"))
+    val budgetCap: Option[Long] = (effBudget, keyHisto) match {
+      case (Some(b), Some(h)) => capForBudget(h, b)
       case _ => None
     }
     budgetCap.foreach { cap =>
+      // recall accounting: the histogram's cut tail IS the estimated
+      // drop — surfaced with the cap so the tradeoff is observable at
+      // the moment it is made, not reconstructed after the fact
+      val (nKeysDropped, massDropped) = droppedAboveCap(keyHisto.get, cap)
       log.warn(
-        s"ngramJaccardPairs: budget cap fires — dropping index keys " +
-          s"with df > $cap (candidateBudget=${effBudget.get}" +
+        s"ngramJaccardPairs: budget cap fires — dropping $nKeysDropped " +
+          s"index keys with df > $cap, an estimated $massDropped " +
+          s"candidate pairs cut before verification " +
+          s"(candidateBudget=${effBudget.get}" +
           (if (setsBroadcastable) ""
            else s", carry-shrunk from ${resolvedBudget.get}: " +
              "set table too large to broadcast") +
@@ -604,7 +639,7 @@ object Dedup {
     // subset, so the set build must not pay for every doc. Sets are
     // the hashed shingles (see sh above).
     exactInterByArrays(sh, idCol, cand, setsBroadcastable,
-        semiJoinSets = true)
+        semiJoinSets = true, setBytesEst = setBytesEst)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -639,7 +674,7 @@ object Dedup {
     * nothing report inter = 0. */
   private def exactInterByArrays(sh: DataFrame, idCol: String,
       cand0: DataFrame, broadcastSets: Boolean,
-      semiJoinSets: Boolean = false): DataFrame = {
+      semiJoinSets: Boolean = false, setBytesEst: Long = -1L): DataFrame = {
     // semi-join reduction (caller-chosen): only docs that appear in
     // some candidate pair need a materialized set — on a huge corpus
     // whose near-dups touch a fraction of the docs this shrinks the
@@ -675,7 +710,20 @@ object Dedup {
     // the sort-merge route below takes over. Results are pinned
     // byte-identical to the join route by spec; set the conf to false
     // to force the join plan.
-    val useKernel = broadcastSets &&
+    //
+    // The kernel's driver map is BOXED (Map entry + key box + array
+    // header per doc), which on many-small-doc corpora runs up to ~3x
+    // the 32 B/row wire estimate — and an explicitly-set
+    // [[SetBroadcastBytesKey]] bypasses the default's maxHeap/4 gate
+    // (the operator's opt-in raise for executor-side broadcast JOINS,
+    // whose HashedRelation lives off-heap-ish in executor memory).
+    // The DRIVER collect must never ride that bypass: gate the kernel
+    // route at 3x-overhead-estimate <= maxHeap/4 unconditionally; past
+    // it the broadcast-join plan (same results, executor-side build)
+    // serves until its own ceiling, then sort-merge.
+    val kernelFits = setBytesEst >= 0L &&
+      satMul(3L, setBytesEst) <= Runtime.getRuntime.maxMemory / 4
+    val useKernel = broadcastSets && kernelFits &&
       !sh.sparkSession.conf.getOption("spark.graft.dedup.verifyKernel")
         .contains("false")
     if (useKernel) {
@@ -788,6 +836,29 @@ object Dedup {
             s"$nDocs distinct docs")
         c
       } else candPlain
+    // LENGTH FILTER before any array-carrying work: J >= t forces
+    // min(|A|,|B|) >= t * max(|A|,|B|), so a candidate failing it is
+    // rejected from the two doc SIZES alone — no set arrays, no
+    // intersection. On the dense synthetic corpus at sf10 this kills
+    // 62% of the banded candidates (7.96M -> 3.05M measured; 86% of
+    // the stream sits at J < 0.1 — hot-bucket background, not
+    // near-threshold structure — see tools/LshCandHist) for the price
+    // of two narrow joins against a one-int-per-doc table. The size
+    // table is tiny relative to the corpus, so Catalyst auto-broadcasts
+    // it at bench scales and falls back to a narrow shuffled join at
+    // corpus scales where a billion-doc broadcast would not fit —
+    // either plan is linear in candidates.
+    val sizesTab = sh.groupBy(col(idCol))
+      .agg(count_distinct(col("shingle")).as("__lsz__"))
+      .localCheckpoint()
+    val candLen = cand
+      .join(sizesTab.select(col(idCol).as("id_a"), col("__lsz__").as("__la__")),
+        "id_a")
+      .join(sizesTab.select(col(idCol).as("id_b"), col("__lsz__").as("__lb__")),
+        "id_b")
+      .filter(least(col("__la__"), col("__lb__")) >=
+        lit(threshold) * greatest(col("__la__"), col("__lb__")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
     // verify candidates with exact Jaccard over the full shingle sets
     // (array-route: see exactInterByArrays — the candidate mass is
     // corpus-quadratic in the pairwise-similarity BACKGROUND, so the
@@ -806,7 +877,7 @@ object Dedup {
     // its candidate stream is budget-many, 1000x larger
     val shHashed = sh.select(col(idCol),
       xxhash64(col("shingle")).as("shingle"))
-    exactInterByArrays(shHashed, idCol, cand, broadcastSets = false)
+    exactInterByArrays(shHashed, idCol, candLen, broadcastSets = false)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -56,6 +56,81 @@ object Prep {
     when(g === lit(split.levelA), 0).when(g === lit(split.levelB), 1).otherwise(-1)
   }
 
+  /** Sort by UTF-8 bytes — Spark's binary string collation, which
+    * differs from JVM UTF-16 code-unit order for supplementary-plane
+    * characters. Level choices made driver-side must match
+    * [[groupLevels]]' Spark `orderBy` exactly. */
+  def utf8Sorted(values: Seq[String]): Seq[String] = values.sortWith { (x, y) =>
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n && a(i) == b(i)) i += 1
+    if (i < n) (a(i) & 0xFF) < (b(i) & 0xFF) else a.length < b.length
+  }
+
+  /** [[splitGroups]] + [[graft.core.Gram.computeGrouped]] fused into ONE
+    * job for the 2-level common case: the Gram pass runs with a
+    * SPECULATIVE lane mapping (reference -> lane 1, everything else ->
+    * lane 0) while recording lane 0's distinct group values inside the
+    * same scan. Exactly one non-reference level seen means the
+    * speculative lanes WERE the true split — same rows, same lanes, same
+    * accumulation order, so the Grams are bit-identical to the classic
+    * discover-then-scan sequence — and the split's frames derive lazily
+    * with no extra action. Any other outcome (error cases, >2 levels
+    * whose extra rows polluted lane 0, or a tracking overflow past
+    * [[graft.core.GramBuffer.TrackCap]]) falls back to [[splitGroups]]'
+    * semantics, reproducing its exact errors and re-running the Gram on
+    * the true lanes — the rare path costs what the old path always paid.
+    *
+    * At the reference's published 100k x 10 benchmark shape this fold is
+    * the difference between matching its point-estimate latency and
+    * paying a 2x fixed job-count tax (BASELINE.md row 1): level
+    * discovery was a full distinct+collect job over data the Gram scan
+    * reads anyway. */
+  def splitGroupsWithGram(dummied: DataFrame, groupCol: String,
+      reference: String, yCol: String, xCols: Seq[String],
+      wCol: Option[String], reps: Int, seed: Long,
+      seedCols: Seq[String] = Nil)
+      : (GroupSplit, Array[Array[GramResult]]) = {
+    val g = col(groupCol).cast("string")
+    val specLane = when(g.isNull, -1).when(g === lit(reference), 1).otherwise(0)
+    val (lanes, tracked) = Gram.computeGroupedTracking(dummied, yCol, xCols,
+      wCol, specLane, nLanes = 2, reps = reps, seed = seed, trackCol = g,
+      seedCols = seedCols)
+    val refPresent = lanes(1)(0).n > 0
+    if (tracked.complete && tracked.values.size == 1 && refPresent) {
+      val levelA = tracked.values.head
+      (GroupSplit(levelA, reference,
+        dummied.filter(g === lit(levelA)), dummied.filter(g === lit(reference)),
+        g === lit(levelA)), lanes)
+    } else if (tracked.complete) {
+      // the tracked set is complete, so splitGroups' validations can run
+      // on it without another discovery job
+      val levels = utf8Sorted(
+        tracked.values ++ (if (refPresent) Seq(reference) else Nil))
+      if (levels.size < 2)
+        throw InvalidGroupVariable(
+          s"Group variable '$groupCol' must have at least 2 levels, found ${levels.size}")
+      if (!refPresent)
+        throw InvalidGroupVariable(
+          s"Reference level '$reference' not found in '$groupCol' (levels: ${levels.mkString(", ")})")
+      // > 2 levels: lane 0 pooled several non-reference levels, so the
+      // speculative Grams are invalid — re-run on the true split
+      val levelA = levels.filter(_ != reference).head
+      val split = GroupSplit(levelA, reference,
+        dummied.filter(g === lit(levelA)), dummied.filter(g === lit(reference)),
+        g === lit(levelA))
+      (split, Gram.computeGrouped(dummied, yCol, xCols, wCol,
+        laneOf(split, groupCol), 2, reps, seed, seedCols = seedCols))
+    } else {
+      // overflow: a pathological level cardinality — classic path
+      val split = splitGroups(dummied, groupCol, reference)
+      (split, Gram.computeGrouped(dummied, yCol, xCols, wCol,
+        laneOf(split, groupCol), 2, reps, seed, seedCols = seedCols))
+    }
+  }
+
   /** One-hot metadata: base level is the first sorted distinct level,
     * dummies are named `{var}_{level}` as Double 0/1 columns
     * (`oaxaca_blinder/src/builder.rs:380-418`). */

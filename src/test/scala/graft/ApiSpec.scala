@@ -89,4 +89,29 @@ class ApiSpec extends SparkSpec {
     val res = b.run()
     assert(math.abs(res.totalGap - 10.0) < 1e-9)
   }
+
+  test("CLI report subcommand writes the HTML report (main.rs:334-376)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/data")
+    val out = s"$dir/report.html"
+    graft.api.Cli.execute(Array("report",
+      "--data", s"$dir/data",
+      "--outcome", "wage", "--group", "gender", "--reference", "F",
+      "--predictors", "education", "--categorical", "sector",
+      "--bootstrap-reps", "3",
+      "--output", out), spark)
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    // section assertions mirroring cli_test.rs's stdout checks, against
+    // the template sections of templates/report.html
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("Oaxaca-Blinder Decomposition Report"))
+    assert(html.contains("Total gap"))
+    assert(html.contains("Two-Fold Decomposition"))
+    assert(html.contains("Detailed (Explained)"))
+    assert(html.contains("Detailed (Unexplained)"))
+    assert(html.contains("explained"))
+    // the categorical expands into addressable sector_B rows
+    assert(html.contains("sector_B"))
+  }
 }

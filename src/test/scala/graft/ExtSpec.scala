@@ -131,6 +131,53 @@ class ExtSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("pair-key scheme + firing maxShingleDf keeps shares-one-cold-shingle recall") {
+    // t >= 0.6 routes to the k=2 pair-key scheme; the explicit cap
+    // filters the hot opener words out of the prefix, so docs 0/1's
+    // only shared below-cap in-prefix shingle is the ONE word "cold1" —
+    // no shared 2-subset exists and the pair would vanish without the
+    // allSingles restoration (the k=1 capped path always found it)
+    val docs = Seq(
+      (0L, "hot1 hot2 hot3 cold1 x0"),
+      (1L, "hot1 hot2 hot3 cold1 y0"),
+      (2L, "hot1 hot2 hot3 aa bb"),
+      (3L, "hot1 hot2 hot3 cc dd"),
+      (4L, "hot1 hot2 hot3 ee ff")
+    ).toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = toMapOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.6, candidateBudget = None))
+    // J(0,1) = 4/6 through the full sets (hot words included)
+    assert(uncapped == Map((0L, 1L) -> 4.0 / 6.0))
+    val capped = toMapOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.6, maxShingleDf = Some(2L),
+      candidateBudget = None))
+    assert(capped == uncapped,
+      "a pair sharing exactly one cold in-prefix shingle must survive " +
+        s"a firing explicit cap under the pair scheme: $capped")
+  }
+
+  test("droppedAboveCap accounts the cut tail exactly when the cap fires") {
+    // masses per df layer: df=1 -> 0, df=2 -> 3*1 = 3, df=8 -> 28
+    val histo = Array(1L -> 4L, 2L -> 3L, 8L -> 1L)
+    assert(Dedup.capForBudget(histo, 10L) == Some(2L))
+    assert(Dedup.droppedAboveCap(histo, 2L) == ((1L, 28L)))
+    // budget fits everything -> no cap -> zero accounting above maxDf
+    assert(Dedup.capForBudget(histo, 100L) == None)
+    assert(Dedup.droppedAboveCap(histo, 8L) == ((0L, 0L)))
+    // any firing cap has strictly positive dropped mass (the accounting
+    // fires exactly when the cap does)
+    for (b <- Seq(0L, 1L, 3L, 10L, 30L))
+      Dedup.capForBudget(histo, b).foreach { c =>
+        assert(Dedup.droppedAboveCap(histo, c)._2 > 0L,
+          s"budget $b fired cap $c with zero accounted mass")
+      }
+    // saturation: an astronomically hot tail pins, never wraps negative
+    val hot = Array(1L -> 1L, 1000000000L -> 1000L)
+    assert(Dedup.droppedAboveCap(hot, 1L)._2 == Long.MaxValue)
+  }
+
   test("candidate-budget guard: exact values kept, only-hot pairs dropped") {
     // docs 0/1 are near-dups through cold shingles; docs 10/11 overlap
     // ONLY through the shared hot opener (df = 8 across the corpus)

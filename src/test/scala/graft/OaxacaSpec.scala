@@ -260,4 +260,64 @@ class OaxacaSpec extends SparkSpec {
     assert(gapP.stdErr != gapR.stdErr,
       "row-id path did not change the replicate draws")
   }
+
+  test("fused split+Gram (splitGroupsWithGram) is bit-identical to the classic sequence") {
+    import org.apache.spark.sql.functions.col
+    val df = sampleDf
+    def classic(frame: org.apache.spark.sql.DataFrame, reps: Int) = {
+      val split = Prep.splitGroups(frame, "gender", "F")
+      (split, Gram.computeGrouped(frame, "wage", Seq("education"), None,
+        Prep.laneOf(split, "gender"), 2, reps, 42L))
+    }
+    for (reps <- Seq(0, 5)) {
+      val (sC, gC) = classic(df, reps)
+      val (sF, gF) = Prep.splitGroupsWithGram(df, "gender", "F", "wage",
+        Seq("education"), None, reps, 42L)
+      assert(sF.levelA == sC.levelA && sF.levelB == sC.levelB)
+      for (l <- 0 to 1; r <- 0 to reps) {
+        assert(gF(l)(r).xtx == gC(l)(r).xtx, s"xtx lane $l rep $r")
+        assert(gF(l)(r).xty == gC(l)(r).xty)
+        assert(gF(l)(r).n == gC(l)(r).n)
+        assert(gF(l)(r).sw == gC(l)(r).sw &&
+          gF(l)(r).swy == gC(l)(r).swy && gF(l)(r).swyy == gC(l)(r).swyy)
+      }
+    }
+    // >2 levels: rows of OTHER levels are excluded, levelA = first
+    // sorted non-reference level — same as the classic split
+    val multi = df.union(Seq((8.0, 10.0, "X"), (9.0, 11.0, "X"))
+      .toDF("wage", "education", "gender"))
+    val (sM, gM) = Prep.splitGroupsWithGram(multi, "gender", "F", "wage",
+      Seq("education"), None, 0, 42L)
+    val (sMC, gMC) = {
+      val split = Prep.splitGroups(multi, "gender", "F")
+      (split, Gram.computeGrouped(multi, "wage", Seq("education"), None,
+        Prep.laneOf(split, "gender"), 2, 0, 42L))
+    }
+    assert(sM.levelA == "M" && sM.levelA == sMC.levelA)
+    assert(gM(0)(0).xtx == gMC(0)(0).xtx && gM(0)(0).n == gMC(0)(0).n)
+    // error semantics match splitGroups exactly
+    val one = df.filter(col("gender") === "F")
+    val eFused = intercept[InvalidGroupVariable](
+      Prep.splitGroupsWithGram(one, "gender", "F", "wage",
+        Seq("education"), None, 0, 42L))
+    val eClassic = intercept[InvalidGroupVariable](
+      Prep.splitGroups(one, "gender", "F"))
+    assert(eFused.getMessage == eClassic.getMessage)
+    val noRef = intercept[InvalidGroupVariable](
+      Prep.splitGroupsWithGram(df, "gender", "Z", "wage",
+        Seq("education"), None, 0, 42L))
+    val noRefClassic = intercept[InvalidGroupVariable](
+      Prep.splitGroups(df, "gender", "Z"))
+    assert(noRef.getMessage == noRefClassic.getMessage)
+    // tracking overflow (> TrackCap non-reference levels) falls back to
+    // the classic discovery and still answers correctly
+    val wide = (0 until 400).map(i =>
+      (i.toDouble, (i % 7).toDouble, if (i % 4 == 0) "REF" else s"L${i % 100}"))
+      .toDF("wage", "education", "gender")
+    val (sW, gW) = Prep.splitGroupsWithGram(wide, "gender", "REF", "wage",
+      Seq("education"), None, 0, 42L)
+    val sWC = Prep.splitGroups(wide, "gender", "REF")
+    assert(sW.levelA == sWC.levelA)
+    assert(gW(1)(0).n == 100L)
+  }
 }
