@@ -222,48 +222,44 @@ object Akm {
       maxIters: Int = 1000, driverEdgeCap: Long = DriverEdgeCap): AkmResult = {
     val nv = controls.size + 1
     val obs = projectObs(df, outcome, workerCol, firmCol, controls)
+    // ONE observation-table aggregation builds the edge table with
+    // EVERY sufficient statistic the driver path needs: per-edge counts,
+    // per-vector sums, and the upper-triangle cross-product sums. The
+    // zig-zag effects are constant within a (worker, firm) edge, so the
+    // demeaned Gram AND the R^2 quadratic both decompose exactly over
+    // these — the driver route touches the observation table ONCE.
+    // A narrow-routing-aggregation-first variant (count + key bytes,
+    // wide lanes only on the confirmed driver route) was measured and
+    // REVERTED in r14: the second obs pass it costs the DRIVER route —
+    // the route actually taken at sf10 — ran q_akm 3.3 -> 4.5 s, while
+    // the q_ij lanes it saves the distributed route are a bounded
+    // per-edge constant on a map-side-combined aggregation.
     val crossIdx = for { i <- 0 until nv; j <- i until nv } yield (i, j)
-    // Routing decision off a NARROW aggregation (edge keys + count +
-    // key bytes only). The nv*(nv+1)/2 cross-product lanes exist purely
-    // for the driver route's edge algebra, so they are aggregated ONLY
-    // once that route is confirmed plausible — on large graphs (the
-    // distributed route, where the aggregation shuffles real volume)
-    // the wide lanes would be computed and then discarded.
-    val edgeKeys = obs.groupBy(col("w"), col("f"))
-      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val aggCols = (count(lit(1)).as("n") +:
+      (0 until nv).map(i => sum(col(s"__v${i}__")).as(s"s$i"))) ++
+      crossIdx.map { case (i, j) =>
+        sum(col(s"__v${i}__") * col(s"__v${j}__")).as(s"q${i}_$j")
+      }
+    val edgeTab = obs.groupBy(col("w"), col("f"))
+      .agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
     // one aggregate sizes the graph in edges AND bytes: the byte side
     // prices the driver collect at the keys' actual width, so a graph of
     // long composite keys routes distributed even under the edge cap
-    val sz = edgeKeys.agg(count(lit(1)),
+    val sz = edgeTab.agg(count(lit(1)),
       sum(length(col("w")) + length(col("f")))).head()
     val nEdges = sz.getLong(0)
     if (nEdges == 0) throw InsufficientData("Empty graph")
     val estBytes =
       edgeBytesEstimate(nEdges, sz.getLong(1), nv + crossIdx.size + 1)
-    if (nEdges <= driverEdgeCap && estBytes <= DriverEdgeByteBudget) {
-      // Driver route: ONE wide observation-table aggregation with EVERY
-      // sufficient statistic the edge algebra needs — per-edge counts,
-      // per-vector sums, and the upper-triangle cross-product sums. The
-      // zig-zag effects are constant within a (worker, firm) edge, so
-      // the demeaned Gram AND the R^2 quadratic both decompose exactly
-      // over these (see [[runDriver]]); the graph is small here
-      // (<= driverEdgeCap edges), so the second obs scan is cheap.
-      val aggCols = (count(lit(1)).as("n") +:
-        (0 until nv).map(i => sum(col(s"__v${i}__")).as(s"s$i"))) ++
-        crossIdx.map { case (i, j) =>
-          sum(col(s"__v${i}__") * col(s"__v${j}__")).as(s"q${i}_$j")
-        }
-      val edgeTab = obs.groupBy(col("w"), col("f"))
-        .agg(aggCols.head, aggCols.tail: _*)
+    if (nEdges <= driverEdgeCap && estBytes <= DriverEdgeByteBudget)
       return runDriver(edgeTab.collect(), nv, controls, tolerance,
         maxIters, workerCol, firmCol)
-    }
     // Distributed route: materialize the projected observations once —
     // semiJoinWorkers and the zig-zag/FE loops in solve() otherwise
     // re-derive them from the source per consumer.
     val obsC = obs.localCheckpoint()
     val keepW =
-      distributedComponentWorkers(edgeKeys.select(col("w"), col("f")), 200)
+      distributedComponentWorkers(edgeTab.select(col("w"), col("f")), 200)
     val connected = semiJoinWorkers(obsC, obsC("w"), keepW)
     if (connected.isEmpty) throw InsufficientData("No connected set found")
     solve(connected, controls, tolerance, maxIters, workerCol, firmCol)

@@ -786,14 +786,19 @@ object Dedup {
     * j <= numHashes - 1 keeps h1 + j * h2 < 2^63 for numHashes <= 64.
     * Still engine-portable — the DuckDB oracle replays the identical
     * arithmetic on the same two md5-derived bases. */
-  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int,
+      withSetSize: Boolean = false): DataFrame = {
     require(numHashes <= 64, "numHashes > 64 would overflow h1 + j*h2")
     val based = sh.select(col(idCol),
       TextAnalysis.hash56(concat(lit("a:"), col("shingle"))).as("__h1__"),
       TextAnalysis.hash56(concat(lit("b:"), col("shingle"))).as("__h2__"))
     val aggs = (0 until numHashes).map(j =>
       min(pmod(col("__h1__") + lit(j.toLong) * col("__h2__"),
-        lit(MinhashMod))).as(s"mh_$j"))
+        lit(MinhashMod))).as(s"mh_$j")) ++
+      // shingles() emits one row per DISTINCT (doc, shingle), so a plain
+      // count lane IS the set size — rides the same aggregation for free
+      // (the LSH length filter's input; see minhashLshPairs)
+      (if (withSetSize) Seq(count(lit(1)).as("__lsz__")) else Nil)
     based.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -808,16 +813,33 @@ object Dedup {
     // one row per doc — checkpoint so the 8-band union and the bucket
     // self-join read the tiny signature table instead of re-running the
     // numHashes-way aggregation over the full shingle set per branch
-    val sigs = minhashSignatures(sh, idCol, numHashes).localCheckpoint()
-    // band key = md5 of the concatenated band slice
+    val sigs = minhashSignatures(sh, idCol, numHashes, withSetSize = true)
+      .localCheckpoint()
+    // band key = md5 of the concatenated band slice; the set size rides
+    // each band row (8 extra bytes through the band shuffle) so the
+    // LENGTH FILTER below costs no join at all
     val banded = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       sigs.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws("_", slice: _*)).as("bkey"))
+        md5(concat_ws("_", slice: _*)).as("bkey"), col("__lsz__"))
     }.reduce(_ unionByName _)
+    // LENGTH FILTER before the distinct and any array-carrying work:
+    // J >= t forces min(|A|,|B|) >= t * max(|A|,|B|), so a candidate
+    // failing it is rejected from the two doc sizes alone — no set
+    // arrays, no intersection, and the distinct's input shrinks too.
+    // On the dense synthetic corpus at sf10, 86% of the banded
+    // candidate stream sits at J < 0.1 (hot-bucket background, not
+    // near-threshold structure — receipt in tools/LshCandHist) and 62%
+    // dies on this one predicate (7.96M -> 3.05M candidates measured,
+    // outputs byte-identical). Filtering on columns carried by the
+    // band join itself keeps the whole thing one shuffle — linear in
+    // candidates at any corpus size.
     val candPlain = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
+      .filter(least(col("x.__lsz__"), col("y.__lsz__")) >=
+        lit(threshold) * greatest(col("x.__lsz__"), col("y.__lsz__"))
+          - lit(1e-9))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
     // opt-in scale instrumentation (one extra job + a candidate
@@ -836,29 +858,6 @@ object Dedup {
             s"$nDocs distinct docs")
         c
       } else candPlain
-    // LENGTH FILTER before any array-carrying work: J >= t forces
-    // min(|A|,|B|) >= t * max(|A|,|B|), so a candidate failing it is
-    // rejected from the two doc SIZES alone — no set arrays, no
-    // intersection. On the dense synthetic corpus at sf10 this kills
-    // 62% of the banded candidates (7.96M -> 3.05M measured; 86% of
-    // the stream sits at J < 0.1 — hot-bucket background, not
-    // near-threshold structure — see tools/LshCandHist) for the price
-    // of two narrow joins against a one-int-per-doc table. The size
-    // table is tiny relative to the corpus, so Catalyst auto-broadcasts
-    // it at bench scales and falls back to a narrow shuffled join at
-    // corpus scales where a billion-doc broadcast would not fit —
-    // either plan is linear in candidates.
-    val sizesTab = sh.groupBy(col(idCol))
-      .agg(count_distinct(col("shingle")).as("__lsz__"))
-      .localCheckpoint()
-    val candLen = cand
-      .join(sizesTab.select(col(idCol).as("id_a"), col("__lsz__").as("__la__")),
-        "id_a")
-      .join(sizesTab.select(col(idCol).as("id_b"), col("__lsz__").as("__lb__")),
-        "id_b")
-      .filter(least(col("__la__"), col("__lb__")) >=
-        lit(threshold) * greatest(col("__la__"), col("__lb__")) - lit(1e-9))
-      .select(col("id_a"), col("id_b"))
     // verify candidates with exact Jaccard over the full shingle sets
     // (array-route: see exactInterByArrays — the candidate mass is
     // corpus-quadratic in the pairwise-similarity BACKGROUND, so the
@@ -877,7 +876,7 @@ object Dedup {
     // its candidate stream is budget-many, 1000x larger
     val shHashed = sh.select(col(idCol),
       xxhash64(col("shingle")).as("shingle"))
-    exactInterByArrays(shHashed, idCol, candLen, broadcastSets = false)
+    exactInterByArrays(shHashed, idCol, cand, broadcastSets = false)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
