@@ -40,9 +40,14 @@ object Cli {
     // subcommand form: `report --data ... --output ...` (the reference's
     // clap subcommand); also reachable as --analysis-type report
     val opts =
-      if (args.headOption.contains("report"))
+      if (args.headOption.contains("report")) {
+        // a contradictory explicit --analysis-type must not be silently
+        // overridden by the subcommand token
+        opts0.get("analysis-type").filter(_ != "report").foreach(at =>
+          sys.error(s"Conflicting invocation: 'report' subcommand with " +
+            s"--analysis-type $at"))
         opts0 + ("analysis-type" -> "report")
-      else opts0
+      } else opts0
     def req(k: String): String = opts.getOrElse(k,
       sys.error(s"Missing required argument --$k"))
 
@@ -100,7 +105,11 @@ object Cli {
             b = b.predictors(p.split(',').toIndexedSeq: _*))
           opts.get("categorical").foreach(p =>
             b = b.categoricalPredictors(p.split(',').toIndexedSeq: _*))
-          b = b.bootstrapReps(opts.getOrElse("bootstrap-reps", "50").toInt)
+          // the reference's run_report (main.rs:334-376) never sets reps,
+          // so an omitted flag keeps the builder default (20,
+          // builder.rs:122) — unlike the mean/quantile path's 50
+          opts.get("bootstrap-reps").foreach(r =>
+            b = b.bootstrapReps(r.toInt))
           val res = b.run()
           val out = Paths.get(req("output"))
           Files.writeString(out, Export.toHtml(res))

@@ -337,12 +337,27 @@ object Gram {
             else {
               val m = buf.repMult
               m(0) = 1.0
-              var r = 1
-              while (r < repsTotal) {
-                m(r) =
-                  if (externalReps) row.getDouble(4 + k + (r - 1))
-                  else poisson1(mix(rh, seed + r.toLong))
-                r += 1
+              if (externalReps) {
+                var r = 1
+                while (r < repsTotal) {
+                  m(r) = row.getDouble(4 + k + (r - 1)); r += 1
+                }
+              } else {
+                // Carter-Wegman replicate draws — q_bootstrap8's
+                // external-lane trick folded into the kernel: TWO
+                // SplitMix64 mixes per ROW plus one 64-bit add per
+                // REPLICATE (h_r = h1 + r*h2 wrapping mod 2^64, h2
+                // forced odd so the increment has full period),
+                // replacing a full 3-multiply mix per (row, replicate).
+                // The affine map (h1, h2) -> (h_r, h_r') is a bijection
+                // for odd replicate distance (pairwise-uniform draws,
+                // the same 2-universal family the external CW lanes
+                // use); at 500 replicates the draw loop WAS the
+                // bootstrap scan's dominant cost.
+                var h = mix(rh, seed)
+                val h2 = mix(rh, seed + 0x6A09E667F3BCC909L) | 1L
+                var r = 1
+                while (r < repsTotal) { h += h2; m(r) = poisson1(h); r += 1 }
               }
               m
             }
@@ -431,19 +446,28 @@ object Gram {
     z ^ (z >>> 31)
   }
 
-  private val ExpNeg1 = math.exp(-1.0)
+  // Poisson(1) cumulative thresholds, precomputed by the exact
+  // recurrence the old per-draw loop ran (p_{x} = p_{x-1}/x starting at
+  // e^-1), so table lookups are bit-identical to the loop while paying
+  // zero divisions per draw. 64 entries matches the loop's old x < 64
+  // cap; past ~30 the terms underflow double anyway.
+  private val P1Cdf: Array[Double] = {
+    val a = new Array[Double](64)
+    var p = math.exp(-1.0)
+    a(0) = p
+    var x = 1
+    while (x < 64) { p = p / x; a(x) = a(x - 1) + p; x += 1 }
+    a
+  }
 
-  /** Poisson(1) via inverse CDF on a uniform derived from the hash. */
+  /** Poisson(1) via inverse CDF on a uniform derived from the hash.
+    * Bit-identical to the historical accumulate-as-you-go loop (the
+    * table is built by the same recurrence); the common case (u below
+    * the first two thresholds, ~74% of draws) is 1-2 compares. */
   def poisson1(h: Long): Double = {
     val u = ((h >>> 11).toDouble) * 1.1102230246251565e-16 // 2^-53
-    var p = ExpNeg1
-    var cdf = p
     var x = 0
-    while (u > cdf && x < 64) {
-      x += 1
-      p = p / x
-      cdf += p
-    }
+    while (x < 64 && u > P1Cdf(x)) x += 1
     x.toDouble
   }
 }

@@ -66,7 +66,8 @@ object Windows {
     * keys, not just the plan shape. */
   private[graft] def prefixBucketed(df: DataFrame, keyCol: Column,
       ascending: Boolean, tieBreaks: Seq[Column], value: Column,
-      numBuckets: Int = 0): DataFrame = {
+      numBuckets: Int = 0,
+      boundariesOverride: Option[Array[Double]] = None): DataFrame = {
     val buckets = if (numBuckets > 0) numBuckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // monotone bucket id (negated key for descending order so bucket
@@ -75,10 +76,17 @@ object Windows {
       else -keyCol.cast("double")
     val keyed = df.withColumn("__pfx_key__", signedKey)
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val boundaries =
+    // boundariesOverride: callers that already run an aggregate over the
+    // same rows can ride the boundary probe on it as a percentile_approx
+    // lane (see Equity.optimizePrepared) and pass the result here — one
+    // job fewer, and ANY monotone boundary set is correct (buckets only
+    // set parallelism; the prefix order is (key, ties) either way).
+    // Boundaries in the SIGNED key space, pre-normalized by the caller.
+    val boundaries = boundariesOverride.getOrElse {
       if (probes.isEmpty) Array.empty[Double]
       else graft.functions.BucketIndexExpr.normalize(
         keyed.stat.approxQuantile("__pfx_key__", probes, 0.001))
+    }
     // null keys -> bucket 0, matching the old when-fold (whose null
     // comparisons all evaluated false); callers order/filter null keys
     // upstream
@@ -117,11 +125,12 @@ object Windows {
 
   def exclusivePrefixSum(df: DataFrame, keyCol: Column, ascending: Boolean,
       tieBreaks: Seq[Column], value: Column, outCol: String,
-      numBuckets: Int = 0): DataFrame = {
+      numBuckets: Int = 0,
+      boundariesOverride: Option[Array[Double]] = None): DataFrame = {
     val ordering = (if (ascending) keyCol.asc else keyCol.desc) +:
       tieBreaks.map(_.asc)
     val bucketed = prefixBucketed(df, keyCol, ascending, tieBreaks, value,
-      numBuckets)
+      numBuckets, boundariesOverride)
     val local = Window.partitionBy(col("__bucket__"), col("__sub__"))
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -252,13 +252,37 @@ object Equity {
       else col("__is_target__") && col("__diff__") > 1e-6 && gapPctM >= cfg.minGapPct
     try {
 
+    // The budget-constrained Greedy path needs bucket boundaries for its
+    // scale-safe prefix sum (Windows.exclusivePrefixSum); ride that probe
+    // on THIS aggregate as a percentile_approx lane over the same rows
+    // the prefix pass will see (keep && eligible, signed key = -diff,
+    // descending) instead of paying approxQuantile its own job. Any
+    // monotone boundary set is result-correct — buckets only set the
+    // window parallelism — so the percentile_approx sketch substitutes
+    // for the GK probe freely. Only priced in when the constrained path
+    // can actually run (explicit budget + Greedy).
+    val mayConstrain =
+      cfg.budget > 0.0 && cfg.strategy == AllocationStrategy.Greedy
+    val nBuckets =
+      annotated.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val boundaryLane =
+      if (mayConstrain && probes.nonEmpty)
+        percentile_approx(when(keepM && col("__eligible__"), -col("__diff__")),
+          array(probes.map(lit): _*), lit(10000)).as("bnds")
+      else lit(null).as("bnds")
     val sums = annotated.agg(
       sum(when(col("__is_target__"), col("__diff__")).otherwise(0.0)).as("net_b"),
       sum(when(col("__eligible__"), col("__diff__")).otherwise(0.0)).as("need"),
-      sum(when(col("__is_target__"), 1L).otherwise(0L)).as("n_target")).head()
+      sum(when(col("__is_target__"), 1L).otherwise(0L)).as("n_target"),
+      boundaryLane).head()
     val netResidualSumB = sums.getDouble(0)
     val totalNeed = sums.getDouble(1)
     val nTarget = sums.getLong(2).toDouble
+    val prefixBoundaries: Option[Array[Double]] =
+      if (!mayConstrain || sums.isNullAt(3)) None
+      else Some(graft.functions.BucketIndexExpr.normalize(
+        sums.getSeq[Double](3).toArray))
     val effectiveBudget =
       if (cfg.budget > 0.0) cfg.budget else totalNeed * 1.00001
 
@@ -276,7 +300,8 @@ object Equity {
         val eligible = candidates.filter(col("__eligible__"))
         val withPrefix = Windows.exclusivePrefixSum(eligible,
           col("__diff__"), ascending = false, Seq(col(idCol)),
-          col("__diff__"), "__spent_before__")
+          col("__diff__"), "__spent_before__",
+          boundariesOverride = prefixBoundaries)
         val withPay = withPrefix.withColumn("__pay__",
           greatest(lit(0.0), least(col("__diff__"),
             lit(effectiveBudget) - col("__spent_before__"))))

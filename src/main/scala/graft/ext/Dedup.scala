@@ -235,10 +235,17 @@ object Dedup {
       (CandidateRowScratchBytes + carry)).toLong)
   }
 
-  /** Prefix-filtered inverted index (Chaudhuri et al., ICDE'06;
+  /** Per-df histogram of a (shingle, df) table under the given df
+    * column name. #distinct df VALUES is tiny at any corpus size, so
+    * the budget scan is driver-side algebra over this array. */
+  private def dfHistogram(tab: DataFrame, dfCol: String): Array[(Long, Long)] =
+    tab.groupBy(col(dfCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+
+  /** Prefix-filtered candidate-key index (Chaudhuri et al., ICDE'06;
     * Bayardo et al., WWW'07) — recall-LOSSLESS for threshold-t
     * Jaccard. Shingles get a global total order (full-corpus df
-    * ascending, shingle text as tie-break: rarest first, which
+    * ascending, hashed shingle as tie-break: rarest first, which
     * minimizes prefix collisions); each doc indexes only its first
     * p = |A| - ceil(t*|A|) + k shingles in that order. Any pair with
     * J >= t has intersection >= ceil(t*max(|A|,|B|)) and therefore
@@ -249,80 +256,87 @@ object Dedup {
     * filter's |B| >= t*|A| makes valid pairwise. The epsilon in the
     * ceil guards float raggedness by erring toward LONGER prefixes —
     * losslessness is never at risk, only pruning power.
-    * Emits (id, shingle, __fdf__, __rk__ = rank in the full ordered
-    * set, __sz__ = full set size); ranks/sizes feed the positional and
-    * length filters downstream. */
-  private def prefixIndex(sh: DataFrame, idCol: String, dfTab: DataFrame,
-      threshold: Double, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__fdf__"), col("shingle"))
-    val wsz = Window.partitionBy(col(idCol))
-    sh.join(dfTab, "shingle")
-      .withColumn("__rk__", row_number().over(w))
-      .withColumn("__sz__", count(lit(1)).over(wsz))
-      .filter(col("__rk__") <= col("__sz__")
-        - ceil(lit(threshold) * col("__sz__") - lit(1e-9)) + lit(k))
-  }
-
-  /** Per-df histogram of a (shingle, df) table under the given df
-    * column name. #distinct df VALUES is tiny at any corpus size, so
-    * the budget scan is driver-side algebra over this array. */
-  private def dfHistogram(tab: DataFrame, dfCol: String): Array[(Long, Long)] =
-    tab.groupBy(col(dfCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-
-  /** Uniform candidate-key index over a prefix index:
-    * (id, __key__: long, __sz__, __rk1__ <= __rk2__). Keys are
-    * xxhash64 of the shingle text(s) — a hash COLLISION can only ADD
+    *
+    * PLAN SHAPE (round 15): ONE groupBy builds per-doc rarity-sorted
+    * shingle arrays (`sort_array(collect_list(struct(df, shingle)))`),
+    * and prefixes/ranks/sizes/2-subsets all derive from the array with
+    * codegen-free but shuffle-free higher-order functions. This
+    * replaces the old rank window (a full row-sort of the joined
+    * shingle table) plus, for the pair scheme, a per-doc self-join —
+    * three of the pipeline's heaviest stages collapse into one
+    * doc-count-sized aggregation whose checkpoint is one row per doc.
+    * Ordering is bit-identical to the window it replaces: struct sort
+    * by (fdf, shingle) == the window's orderBy, and rk = 1-based array
+    * position == row_number.
+    *
+    * Emits (id, __key__: long, __sz__, __rk1__ <= __rk2__). Keys are
+    * xxhash64 of the shingle hash(es) — a hash COLLISION can only ADD
     * a candidate that exact verification then rejects, never lose one,
     * so 8-byte keys are safe and keep the self-join narrow.
     *
     * Single scheme (k = 1 prefix): one key per prefix shingle,
     * rk1 == rk2. Pair scheme (k = 2 prefix): one key per sorted
     * 2-subset of the prefix — lossless because a qualifying pair's two
-    * globally-smallest shared shingles sit inside both k=2 prefixes
-    * ([[prefixIndex]]) — plus a tiny-doc fallback: a pair whose
-    * required overlap is < 2 (possible only when |A|+|B| <= (1+t)/t)
-    * cannot promise a shared 2-subset, so docs that small also emit
-    * their k=1 single keys; the sub-index is bounded by the tiny-doc
-    * count (at t >= 0.6, docs with at most one or two shingles).
+    * globally-smallest shared shingles sit inside both k=2 prefixes —
+    * plus a tiny-doc fallback: a pair whose required overlap is < 2
+    * (possible only when |A|+|B| <= (1+t)/t) cannot promise a shared
+    * 2-subset, so docs that small also emit their k=1 single keys.
     *
-    * `allSingles`: ALSO emit every doc's k=1 single keys (over the k=1
-    * prefix bound). Used when an explicit `maxShingleDf` cap has
-    * FILTERED rows out of the prefix: the pair scheme then needs two
-    * below-cap shared in-prefix shingles to discover a pair, whereas
-    * the capped k=1 scheme needed only one — a pair sharing exactly ONE
-    * cold shingle (plus hot ones) would silently vanish. The single
-    * keys restore the k=1 capped path's recall exactly (pair keys can
-    * only add candidates on top); their extra mass exists only under a
-    * firing explicit cap and is still priced by the budget guard, which
-    * sees the unioned key index. */
-  private def keyIndex(pref: DataFrame, idCol: String, threshold: Double,
-      pairScheme: Boolean, allSingles: Boolean = false): DataFrame =
-    if (!pairScheme)
-      pref.select(col(idCol),
-        xxhash64(lit("1"), col("shingle")).as("__key__"), col("__sz__"),
-        col("__rk__").as("__rk1__"), col("__rk__").as("__rk2__"))
+    * `maxShingleDf` drops above-cap shingles from the indexed prefix
+    * AFTER ranks are assigned on the full ordered set (exactly the old
+    * post-window filter semantics). `allSingles`: ALSO emit every
+    * doc's k=1 single keys (over the k=1 prefix bound) — used when the
+    * explicit cap FIRES, restoring the capped k=1 path's recall
+    * exactly (a pair sharing exactly ONE cold shingle would otherwise
+    * vanish under the pair scheme); the extra mass is still priced by
+    * the budget guard, which sees the unioned key index. */
+  private def keyIndexFused(sh: DataFrame, dfTab: DataFrame, idCol: String,
+      threshold: Double, pairScheme: Boolean, maxShingleDf: Option[Long],
+      allSingles: Boolean = false): DataFrame = {
+    // one row per doc; checkpointed because the downstream key join (and
+    // the pair/singles union) reads the index more than once, and this
+    // is the cheapest point in the pipeline to cut lineage
+    val arr = sh.join(dfTab, "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__fdf__"), col("shingle"))))
+        .as("__ord__"))
+      .select(col(idCol), col("__ord__"),
+        size(col("__ord__")).cast("long").as("__sz__"))
+      .localCheckpoint()
+    val capPred = maxShingleDf.map(c => s"x.fdf <= ${c}L").getOrElse("true")
+    // rank-annotated, cap-filtered k-extended prefix of the ordered set
+    def prefCol(kk: Int): String =
+      s"""filter(transform(
+         |    slice(__ord__, 1,
+         |      cast(__sz__ - ceil($threshold * __sz__ - 1e-9d) + $kk as int)),
+         |    (e, i) -> named_struct('rk', i + 1, 'fdf', e.__fdf__,
+         |                           's', e.shingle)),
+         |  x -> $capPred)""".stripMargin
+    def singles(docPred: String) =
+      arr.filter(expr(docPred))
+        .select(col(idCol), col("__sz__"), explode(expr(prefCol(1))).as("__e__"))
+        .select(col(idCol),
+          xxhash64(lit("1"), col("__e__.s")).as("__key__"), col("__sz__"),
+          col("__e__.rk").as("__rk1__"), col("__e__.rk").as("__rk2__"))
+    if (!pairScheme) singles("true")
     else {
-      val x = pref.select(col(idCol), col("shingle").as("__s1__"),
-        col("__rk__").as("__rk1__"), col("__sz__"))
-      val y = pref.select(col(idCol), col("shingle").as("__s2__"),
-        col("__rk__").as("__rk2__"))
-      val pairKeys = x.join(y, Seq(idCol))
-        .filter(col("__rk1__") < col("__rk2__"))
+      val pairs = arr
+        .withColumn("__pr__", expr(prefCol(2)))
+        .select(col(idCol), col("__sz__"), explode(expr(
+          """flatten(transform(__pr__, (a, i) ->
+            |  transform(slice(__pr__, i + 2, size(__pr__)), b ->
+            |    named_struct('rk1', a.rk, 'rk2', b.rk,
+            |                 's1', a.s, 's2', b.s))))""".stripMargin))
+          .as("__e__"))
         .select(col(idCol),
-          xxhash64(lit("2"), col("__s1__"), col("__s2__")).as("__key__"),
-          col("__sz__"), col("__rk1__"), col("__rk2__"))
+          xxhash64(lit("2"), col("__e__.s1"), col("__e__.s2")).as("__key__"),
+          col("__sz__"), col("__e__.rk1").as("__rk1__"),
+          col("__e__.rk2").as("__rk2__"))
       val smallMax = (1.0 / threshold + 1e-9).toLong
-      val singles = pref
-        .filter(if (allSingles) lit(true) else col("__sz__") <= smallMax)
-        .filter(col("__rk__") <= col("__sz__")
-          - ceil(lit(threshold) * col("__sz__") - lit(1e-9)) + lit(1))
-        .select(col(idCol),
-          xxhash64(lit("1"), col("shingle")).as("__key__"), col("__sz__"),
-          col("__rk__").as("__rk1__"), col("__rk__").as("__rk2__"))
-      pairKeys.unionByName(singles)
+      pairs.unionByName(singles(
+        if (allSingles) "true" else s"__sz__ <= ${smallMax}L"))
     }
+  }
 
   /** Whether (and at what df value) a guard of [[ngramJaccardPairs]]
     * would drop shingles for these inputs — the index probe + cap
@@ -375,11 +389,8 @@ object Dedup {
           if (capForBudget(histoFull, eff).isEmpty) None
           else {
             val pairScheme = threshold >= PairKeyMinThreshold
-            val pref = prefixIndex(sh, idCol, dfTab, threshold,
-                k = if (pairScheme) 2 else 1)
-              .filter(maxShingleDf.map(col("__fdf__") <= _)
-                .getOrElse(lit(true)))
-            val keyDfTab = keyIndex(pref, idCol, threshold, pairScheme,
+            val keyDfTab = keyIndexFused(sh, dfTab, idCol, threshold,
+                pairScheme, maxShingleDf,
                 allSingles = pairScheme && explicitFiring.nonEmpty)
               .groupBy(col("__key__")).agg(count(lit(1)).as("__pdf__"))
             capForBudget(dfHistogram(keyDfTab, "__pdf__"), eff)
@@ -409,7 +420,7 @@ object Dedup {
     * out exact); above it, three RECALL-LOSSLESS filters cut the mass
     * before any guard has to fire:
     *
-    * - prefix filtering ([[prefixIndex]]): only the first
+    * - prefix filtering ([[keyIndexFused]]): only the first
     *   |A| - ceil(t*|A|) + 1 shingles per doc (rarest-first global
     *   order) are indexed — at t = 0.8 that is ~1/5 of the rows and
     *   ~1/25 of the per-shingle join mass;
@@ -418,9 +429,14 @@ object Dedup {
     *   join output before the pair aggregation;
     * - positional filtering (PPJoin, Xiao et al., WWW'08): a shared
     *   shingle at ranks (ra, rb) bounds the full intersection by
-    *   min(ra-1, rb-1) + 1 + min(|A|-ra, |B|-rb); pairs whose tightest
-    *   bound misses the required overlap t*(|A|+|B|)/(1+t) are pruned
-    *   before the (array-carrying) verification join.
+    *   min(ra-1, rb-1) + 1 + min(|A|-ra, |B|-rb). Each shared key's
+    *   bound is individually valid, so rows whose own bound already
+    *   misses the required overlap t*(|A|+|B|)/(1+t) are dropped
+    *   BEFORE the pair aggregation (shrinking its spill-prone input),
+    *   and the aggregated min-bound prunes surviving pairs before the
+    *   (array-carrying) verification join. A pair kept only because
+    *   its failing rows were pre-dropped is truly non-qualifying and
+    *   dies in exact verification — output unchanged.
     *
     * Verification then recomputes intersections EXACTLY over the full
     * shingle sets ([[exactInterByArrays]]), so reported Jaccard values
@@ -542,7 +558,7 @@ object Dedup {
       capForBudget(histoFull, b).nonEmpty)
     // HIGH thresholds get the k=2 PAIR-KEY scheme: a qualifying pair
     // must share its two globally-smallest common shingles inside both
-    // (k=2)-extended prefixes (multi-prefix lemma, [[prefixIndex]]),
+    // (k=2)-extended prefixes (multi-prefix lemma, [[keyIndexFused]]),
     // so indexing every sorted 2-subset of the prefix kills the
     // single-shingle background QUADRATICALLY — on a closed-vocabulary
     // corpus that background is the whole cost, and single-shingle
@@ -550,26 +566,13 @@ object Dedup {
     // pair keys). The index grows C(p,2)/p-fold, so LOW thresholds
     // (long prefixes) keep the classic k=1 single-key scheme.
     val pairScheme = threshold >= PairKeyMinThreshold
-    val prefPlain = prefixIndex(sh, idCol, dfTab, threshold,
-      k = if (pairScheme) 2 else 1)
-    // explicit cap BEFORE key building, a free predicate on the rows
-    // (__fdf__ rides on each); the hot count for the log comes off the
-    // driver-side histogram (no extra job)
-    val prefCapped = maxShingleDf match {
-      case Some(cap) =>
-        if (nHotExplicit > 0L) log.warn(
-          s"ngramJaccardPairs: explicit maxShingleDf=$cap fires — " +
-            s"dropping $nHotExplicit hot shingles from candidate " +
-            "generation; pairs overlapping ONLY on those shingles " +
-            "will not be discovered")
-        prefPlain.filter(col("__fdf__") <= cap)
-      case None => prefPlain
-    }
-    // the pair scheme reads the prefix twice (both sides of the
-    // per-doc 2-subset join); checkpoint it then, and ONLY then
-    val pref = if (pairScheme) prefCapped.localCheckpoint() else prefCapped
-    val keysPlain = keyIndex(pref, idCol, threshold, pairScheme,
-      allSingles = pairScheme && nHotExplicit > 0L)
+    if (nHotExplicit > 0L) log.warn(
+      s"ngramJaccardPairs: explicit maxShingleDf=${maxShingleDf.get} " +
+        s"fires — dropping $nHotExplicit hot shingles from candidate " +
+        "generation; pairs overlapping ONLY on those shingles " +
+        "will not be discovered")
+    val keysPlain = keyIndexFused(sh, dfTab, idCol, threshold, pairScheme,
+      maxShingleDf, allSingles = pairScheme && nHotExplicit > 0L)
     // budget guard priced on the KEY index it will actually join — the
     // filters above shrink the real mass far below the full-index
     // upper bound, so the cap binds only against work the join would
@@ -626,6 +629,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      // per-ROW positional prune before the aggregation: each shared
+      // key's bound is individually valid, so a failing row proves its
+      // pair non-qualifying and need not enter the spill-prone groupBy;
+      // pairs surviving via other rows go to exact verification, which
+      // rejects them — output unchanged (see the scaladoc)
+      .filter(bound >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("sz_a") + col("sz_b")) - lit(1e-9))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(bound).as("__ub__"),
         first(col("sz_a")).as("__sza__"),
@@ -721,11 +732,26 @@ object Dedup {
     // route at 3x-overhead-estimate <= maxHeap/4 unconditionally; past
     // it the broadcast-join plan (same results, executor-side build)
     // serves until its own ceiling, then sort-merge.
-    val kernelFits = setBytesEst >= 0L &&
-      satMul(3L, setBytesEst) <= Runtime.getRuntime.maxMemory / 4
-    val useKernel = broadcastSets && kernelFits &&
+    val heapGate = Runtime.getRuntime.maxMemory / 4
+    val kernelEnabled =
       !sh.sparkSession.conf.getOption("spark.graft.dedup.verifyKernel")
         .contains("false")
+    val kernelFitsFull = setBytesEst >= 0L &&
+      satMul(3L, setBytesEst) <= heapGate
+    // setBytesEst prices the FULL corpus, but with semiJoinSets the
+    // kernel collects only the candidate-doc-reduced table — on a huge
+    // corpus whose near-dups touch a fraction of the docs the full
+    // estimate would silently disable the 2x kernel where the reduced
+    // set fits comfortably. The reduced table is already checkpointed,
+    // so a real element count costs one cheap metadata-ish job, paid
+    // ONLY when it could flip the decision (full estimate too big).
+    val kernelFits = kernelFitsFull || (broadcastSets && kernelEnabled &&
+      semiJoinSets && setBytesEst >= 0L && {
+        val elems = setTab.agg(sum(size(col("__set__"))).cast("long")).head()
+        !elems.isNullAt(0) &&
+          satMul(3L, satMul(32L, elems.getLong(0))) <= heapGate
+      })
+    val useKernel = broadcastSets && kernelFits && kernelEnabled
     if (useKernel) {
       val sets: Map[Any, Array[Long]] = setTab.collect()
         .map(r => r.get(0) -> r.getSeq[Long](1).toArray).toMap

@@ -87,7 +87,16 @@ object Prep {
     * the difference between matching its point-estimate latency and
     * paying a 2x fixed job-count tax (BASELINE.md row 1): level
     * discovery was a full distinct+collect job over data the Gram scan
-    * reads anyway. */
+    * reads anyway.
+    *
+    * NULL semantics: null GROUP values map to lane -1 and are skipped
+    * (identical to the classic laneOf mapping). Null MODEL values (y/w/x)
+    * on a non-null-group row throw from the fused scan — i.e. during
+    * level discovery, one job earlier than the classic sequence, whose
+    * splitGroups would first discover levels over such rows and only then
+    * hit the same error in the Gram pass. Callers must [[clean]] first
+    * (every internal caller does); direct callers with dirty frames can
+    * observe the discovery-stage error ordering difference. */
   def splitGroupsWithGram(dummied: DataFrame, groupCol: String,
       reference: String, yCol: String, xCols: Seq[String],
       wCol: Option[String], reps: Int, seed: Long,

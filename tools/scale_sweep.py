@@ -73,6 +73,32 @@ QUERIES = [q for q in all_queries() if q not in EXCLUDE_ALL]
 QUERIES_BIG = [q for q in QUERIES if q not in EXCLUDE_BIG]
 
 
+# Load gate (round-15 discipline): the r14 sweep ran at box loads 7-17,
+# which produced a scale ratio the judge had to re-adjudicate on an idle
+# box. Spin-wait for loadavg(1m) < GATE before every batch so the min
+# channel is trustworthy the first time; a hard timeout keeps a stuck
+# box from deadlocking the sweep (it proceeds with a loud warning and
+# the recorded load tells the reader which batches to distrust).
+LOAD_GATE = float(os.environ.get("SWEEP_LOAD_GATE", "2.0"))
+LOAD_GATE_TIMEOUT_S = int(os.environ.get("SWEEP_LOAD_TIMEOUT", "900"))
+
+
+def wait_for_idle():
+    import time
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < LOAD_GATE:
+            return load
+        if time.time() - t0 > LOAD_GATE_TIMEOUT_S:
+            print(f"[sweep] WARNING: load gate timed out at load={load:.1f}"
+                  f" (> {LOAD_GATE}); batch numbers may be noisy", flush=True)
+            return load
+        print(f"[sweep]   load {load:.1f} >= {LOAD_GATE}, waiting...",
+              flush=True)
+        time.sleep(15)
+
+
 def run_bench(sf_dir, snap, queries):
     if os.path.exists(snap):
         with open(snap) as f:
@@ -80,6 +106,7 @@ def run_bench(sf_dir, snap, queries):
         print(f"[sweep]   resume: {os.path.basename(snap)} "
               f"(total_min={data['total_min']})", flush=True)
         return data
+    wait_for_idle()
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": sf_dir,
