@@ -42,9 +42,16 @@ object Dfl {
     // the Silverman passes and the KDE pass — persist ONE narrow
     // projection (outcome, group, design), not the full source width:
     // the cache write is what you pay per row
+    // NOT persisted (r15): the four consumers (silverman stats, grouped
+    // rank-pick, IRLS design build — which persists its own compact
+    // RDD — and the KDE grid pass) each re-run a narrow column-pruned
+    // parquet scan + cheap dummy/intercept projections; the
+    // MEMORY_AND_DISK write of the row-format copy sat on the critical
+    // path and cost more than the three extra scans it saved, at bench
+    // scale and at 100 TB alike (same bytes re-read either way, minus
+    // the write).
     val df = Prep.withIntercept(dummied)
       .select((outcome +: group +: xCols).distinct.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
     // group counts, outcome range AND both groups' Silverman stats in
@@ -117,6 +124,6 @@ object Dfl {
       densityB = dens(1),
       densityBCounterfactual = dens(2),
       logitConverged = fit.converged)
-    } finally { df.unpersist(); () }
+    }
   }
 }

@@ -538,12 +538,26 @@ object Oaxaca {
       (xCols ++ selX).distinct.map(col)): _*)
     val pois = graft.functions.PoissonDraw.apply _
 
-    var withW = dummied.withColumn("__bw_0", baseW)
+    // persist a NARROW projection (model columns only, not the full
+    // source width): every byte of the cache write is paid per row, and
+    // the full frame can carry wide payload columns (e.g. lineitem's
+    // comment string) that nothing downstream reads — on the sf0.1
+    // bench the unprojected persist was most of the first probit pass
+    val modelCols = ((cfg.outcome +: cfg.group +: selOut +:
+      cfg.weights.toSeq) ++ xCols ++ selX).distinct
+    var withW = dummied.select(modelCols.map(col): _*)
+      .withColumn("__bw_0", baseW)
     (1 to nReps).foreach { r =>
       withW = withW.withColumn(s"__bw_$r",
         pois(hashCol, lit(cfg.seed + r.toLong)) * baseW)
     }
-    val cached = withW.persist(StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted: the probit iterations read IrlsDesignLanes' own
+    // compact persisted RDD, so this frame is scanned only thrice (design
+    // build, selected-rows Gram, stats pass) — and the draws are
+    // deterministic hash functions of the row (PoissonDraw over hashCol),
+    // so recomputation is exact. A MEMORY_AND_DISK cache write of the
+    // projection costs more than two extra narrow columnar scans.
+    val cached = withW
     try {
       val wCols = (0 to nReps).map(r => s"__bw_$r")
       val gammas = Probit.fitManyGrouped(cached, selOut, selX, wCols, lane, 2)
@@ -564,28 +578,29 @@ object Oaxaca {
         Gram.MultiSystem(cfg.outcome, s"__bw_$r", Some(s"__imr_$r")))
       val grams = Gram.computeMulti(selRows, xCols, systems, lane, 2)
 
-      // selection delta per (lane, rep) over the selected rows (one pass)
-      val deltaAggs = (0 to nReps).flatMap(r => Seq(
-        sum(col(s"__bw_$r") * -col(s"__imr_$r") *
-          (col(s"__imr_$r") + col(s"__zg_$r"))).as(s"ds_$r"),
-        sum(col(s"__bw_$r")).as(s"dw_$r")))
-      val deltaRows = selRows.filter(lane >= 0)
-        .groupBy(lane.as("__lane__"))
-        .agg(deltaAggs.head, deltaAggs.tail: _*)
-        .collect().map(r => r.getInt(0) -> r).toMap
-
-      // selection-side means, outcome means, counts per (lane, rep) over
-      // ALL rows (one pass)
-      val zAggs = (0 to nReps).flatMap(r =>
+      // selection delta (selected rows only, via when-guards: sum()
+      // skips the null branch, so each ds_r/dw_r sees exactly the rows
+      // the old selected-rows-only aggregation saw, in the same scan
+      // order) + selection-side means + outcome means + counts per
+      // (lane, rep) — ONE grouped pass over the augmented frame instead
+      // of the former delta pass + z pass
+      val selP = col(selOut).cast("double") === 1.0
+      val statAggs = (0 to nReps).flatMap(r =>
+        Seq(
+          sum(when(selP, col(s"__bw_$r") * -col(s"__imr_$r") *
+            (col(s"__imr_$r") + col(s"__zg_$r")))).as(s"ds_$r"),
+          sum(when(selP, col(s"__bw_$r"))).as(s"dw_$r")) ++
         selX.zipWithIndex.map { case (c, i) =>
           sum(col(c).cast("double") * col(s"__bw_$r")).as(s"zs_${r}_$i") } ++
           Seq(sum(col(s"__bw_$r")).as(s"zw_$r"),
             sum(col(cfg.outcome).cast("double") * col(s"__bw_$r")).as(s"zy_$r"))) ++
         Seq(count(lit(1)).as("__zn__"))
-      val zRows = aug.filter(lane >= 0)
+      val statRows = aug.filter(lane >= 0)
         .groupBy(lane.as("__lane__"))
-        .agg(zAggs.head, zAggs.tail: _*)
+        .agg(statAggs.head, statAggs.tail: _*)
         .collect().map(r => r.getInt(0) -> r).toMap
+      val deltaRows = statRows
+      val zRows = statRows
 
       def passFor(r: Int): SinglePass = {
         val fitA = Ols.fromGram(grams(0)(r), names)
@@ -655,7 +670,7 @@ object Oaxaca {
       assemble(point, repPasses, nReps,
         zRows(0).getAs[Long]("__zn__"), zRows(1).getAs[Long]("__zn__"),
         split.levelA, split.levelB, names)
-    } finally { cached.unpersist(); () }
+    }
   }
 
   /** Pooled design [X | groupIndicator] Gram assembled from the two group

@@ -242,7 +242,6 @@ object Equity {
         upperC.as("__upper__"),
         eligibleC.as("__eligible__"),
         isTarget.as("__is_target__"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // predicates over the materialized columns (same arithmetic as
     // eligibleC/keep above, but reading the cached values)
     val gapPctM = when(abs(actual) > 1e-6, col("__diff__") / actual).otherwise(0.0)

@@ -44,8 +44,17 @@ object Kde {
     val bwGroups: Array[(Double, Array[Int])] =
       bw.zipWithIndex.groupBy(_._1).iterator
         .map { case (h, arr) => (h, arr.map(_._2)) }.toArray.sortBy(_._2.head)
-    val acc = proj.rdd.treeAggregate(zero)(
+    // queryExecution.toRdd, not .rdd: the external-Row route pays a
+    // full InternalRow -> Row deserialization per row (it was ~half the
+    // grid pass at bench scale); the UnsafeRow accessors below read the
+    // same doubles with zero copying. Fields are consumed immediately,
+    // never stored, so row-buffer reuse is safe. Null model values threw
+    // from the external route (Row.getDouble NPE); keep failing fast.
+    val acc = proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
+        if (row.anyNull)
+          throw graft.core.InvalidArgument(
+            "KDE read a null value; drop null rows first")
         val x = row.getDouble(0)
         var g = 0
         while (g < bwGroups.length) {

@@ -836,18 +836,40 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
+    // The lossless length prefilter (min|set| >= t*max|set|) pays a
+    // small DIFFUSE carry cost (the size lane through the signature
+    // checkpoint, the band union, and the bucket join — measured ~0.2-
+    // 0.4 s at sf0.1, r15 `tools/LshLenAb` receipt) and only starts
+    // earning it back when the banded candidate mass is corpus-scale
+    // (sf10: -3.3 s, r14 receipt). Gate it on the corpus size: the
+    // shingle table is already checkpointed, so the row count is a
+    // ~40 ms cached-metadata job, paid only when no explicit override
+    // is set. The filter is recall-lossless, so BOTH settings produce
+    // byte-identical output (LshLenAb asserts it) — the gate can never
+    // change results, only the candidate mass.
+    val lenFilter = df.sparkSession.conf
+      .getOption("spark.graft.dedup.lshLenFilter") match {
+        case Some(v) => v.toBoolean
+        case None =>
+          val minRows = df.sparkSession.conf
+            .getOption("spark.graft.dedup.lshLenFilterMinShingleRows")
+            .map(_.toLong).getOrElse(32000000L)
+          sh.count() >= minRows
+      }
     // one row per doc — checkpoint so the 8-band union and the bucket
     // self-join read the tiny signature table instead of re-running the
     // numHashes-way aggregation over the full shingle set per branch
-    val sigs = minhashSignatures(sh, idCol, numHashes, withSetSize = true)
+    val sigs = minhashSignatures(sh, idCol, numHashes,
+        withSetSize = lenFilter)
       .localCheckpoint()
     // band key = md5 of the concatenated band slice; the set size rides
     // each band row (8 extra bytes through the band shuffle) so the
     // LENGTH FILTER below costs no join at all
     val banded = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      sigs.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws("_", slice: _*)).as("bkey"), col("__lsz__"))
+      sigs.select((col(idCol) +: lit(b).as("band") +:
+        md5(concat_ws("_", slice: _*)).as("bkey") +:
+        (if (lenFilter) Seq(col("__lsz__")) else Nil)): _*)
     }.reduce(_ unionByName _)
     // LENGTH FILTER before the distinct and any array-carrying work:
     // J >= t forces min(|A|,|B|) >= t * max(|A|,|B|), so a candidate
@@ -860,12 +882,14 @@ object Dedup {
     // outputs byte-identical). Filtering on columns carried by the
     // band join itself keeps the whole thing one shuffle — linear in
     // candidates at any corpus size.
-    val candPlain = banded.as("x").join(banded.as("y"),
+    val joined0 = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .filter(least(col("x.__lsz__"), col("y.__lsz__")) >=
-        lit(threshold) * greatest(col("x.__lsz__"), col("y.__lsz__"))
-          - lit(1e-9))
+    val candPlain = (if (lenFilter)
+        joined0.filter(least(col("x.__lsz__"), col("y.__lsz__")) >=
+          lit(threshold) * greatest(col("x.__lsz__"), col("y.__lsz__"))
+            - lit(1e-9))
+      else joined0)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
     // opt-in scale instrumentation (one extra job + a candidate
