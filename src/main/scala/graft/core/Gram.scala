@@ -314,7 +314,9 @@ object Gram {
     val zero = new GramBuffer(k, nLanes, repsTotal)
     // toRdd: the codegen'd UnsafeRow stream, no per-row boxing into Row
     // (safe here: seqOp reads each field once and retains nothing)
-    val res = proj.queryExecution.toRdd.treeAggregate(zero)(
+    val res = Jobs.labeled(df.sparkSession,
+      s"gram: ${nLanes}-lane ${repsTotal}-rep fused scan") {
+    proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
         val lane = if (row.isNullAt(2)) -1 else row.getInt(2)
         if (lane >= 0 && lane < nLanes) {
@@ -367,6 +369,7 @@ object Gram {
       },
       combOp = (a, b) => a.merge(b),
       depth = 2)
+    }
     val grams = Array.tabulate(nLanes)(l =>
       Array.tabulate(repsTotal)(r => res.result(l, r)))
     (grams, trackCol.map(_ =>

@@ -70,7 +70,8 @@ final class IrlsDesign(df: DataFrame, yCol: String, xCols: Seq[String],
       working: (Double, Double, Double, Array[Double]) => Unit): GramResult = {
     val kk = k
     val stride = 2 + kk
-    val res = rows.treeAggregate(new Buf(kk, 1, 1))(
+    val res = Jobs.labeled(df.sparkSession, "irls: iteration pass") {
+      rows.treeAggregate(new Buf(kk, 1, 1))(
       seqOp = (buf, chunk) => {
         var off = 0
         while (off < chunk.length) {
@@ -86,6 +87,7 @@ final class IrlsDesign(df: DataFrame, yCol: String, xCols: Seq[String],
       },
       combOp = (x, y) => x.merge(y),
       depth = 2)
+    }
     res.gb.result(0, 0)
   }
 

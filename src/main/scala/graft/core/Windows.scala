@@ -138,9 +138,11 @@ object Windows {
       coalesce(sum(col("__val__")).over(local), lit(0.0)))
     // (bucket, sub) totals: <= ~3 * numBuckets rows; deterministic
     // (value-derived), so re-executions stay self-consistent
-    val totals = bucketed.groupBy(col("__bucket__"), col("__sub__"))
-      .agg(sum(col("__val__")).as("__tot__"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val totals = Jobs.labeled(df.sparkSession, "prefix-sum: bucket totals") {
+      bucketed.groupBy(col("__bucket__"), col("__sub__"))
+        .agg(sum(col("__val__")).as("__tot__"))
+        .collect()
+    }.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     var offsets = Map.empty[(Int, Int), Double]
     var acc = 0.0
     totals.keys.toSeq.sorted.foreach { k =>
@@ -316,9 +318,11 @@ object Windows {
     val bucketed = vals.withColumn("__bucket__", bucket)
     // per-(group, bucket) counts: <= groups * buckets rows, deterministic
     // (value-derived buckets), so re-executions stay self-consistent
-    val totals = bucketed.groupBy(col("__g__"), col("__bucket__"))
-      .agg(count(lit(1)).as("__n__"))
-      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totals = Jobs.labeled(spark, "rank-pick: per-(group,bucket) counts") {
+      bucketed.groupBy(col("__g__"), col("__bucket__"))
+        .agg(count(lit(1)).as("__n__"))
+        .collect()
+    }.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val offsets: Map[(String, Int), Long] =
       totals.keys.groupBy(_._1).flatMap { case (g, ks) =>
         var acc = 0L
@@ -356,28 +360,55 @@ object Windows {
     // rank offsets for EVERY (group, bucket) pair that survives the
     // bucket prune — a surviving row's rank must be exact even when its
     // own (group, bucket) wasn't the hit target, or the final rank
-    // filter could select an impostor row. The offsets (and below, the
-    // requested ranks) attach via tiny BROADCAST-joined frames, not
-    // inlined when-chains: a high-cardinality group map would otherwise
-    // generate an enormous Catalyst expression (codegen 64KB method
-    // fallback, slow analysis). The isin bucket prune stays a plain
-    // filter so it still pushes toward the scan.
-    val offDf = offsets.iterator
+    // filter could select an impostor row. For the COMMON case (a few
+    // groups x a few kept buckets — every decomposition caller) the
+    // offsets and the requested ranks inline as flat when-chains /
+    // OR-predicates over the POST-window columns: the two broadcast
+    // LocalRelation joins they replace cost two extra AQE stage rounds
+    // plus their planning (~0.3 s of driver gap per call at test scale,
+    // pure fixed cost at any scale). A high-cardinality call (grouped
+    // fits over thousands of levels) would generate an enormous
+    // Catalyst expression that way (codegen 64KB method fallback, slow
+    // analysis), so past 64 entries the attachments stay BROADCAST
+    // joins. Both routes see the identical window input (the offset
+    // attachment can never drop a row: every surviving (group, bucket)
+    // has an offsets entry), so ranks — and results — are bit-identical.
+    // The isin bucket prune stays a plain filter so it still pushes
+    // toward the scan.
+    val offEntries = offsets.toSeq
       .collect { case ((g, b), off) if keptBuckets(b) => (g, b, off.toDouble) }
-      .toSeq.toDF("__g__", "__bucket__", "__off__")
+    val wantEntries = remaining.iterator
+      .flatMap { case (g, rs) => rs.map(r => (g, r.toDouble)) }.toSeq
     val local = Window.partitionBy(col("__g__"), col("__bucket__"))
       .orderBy(col("__v__").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = bucketed.filter(keepBucket)
-      .join(broadcast(offDf), Seq("__g__", "__bucket__"))
-      .withColumn("__rk__",
-        coalesce(sum(lit(1.0)).over(local), lit(0.0)) + col("__off__"))
-    val wantDf = remaining.iterator
-      .flatMap { case (g, rs) => rs.map(r => (g, r.toDouble)) }
-      .toSeq.toDF("__g__", "__rk__")
-    val windowed = ranked.join(broadcast(wantDf), Seq("__g__", "__rk__"))
-      .select(col("__g__"), col("__rk__"), col("__v__"))
-      .collect()
+    val localRank = coalesce(sum(lit(1.0)).over(local), lit(0.0))
+    val picked =
+      if (offEntries.size + wantEntries.size <= 64) {
+        val offCol = offEntries.foldLeft(lit(null).cast("double")) {
+          case (acc, (g, b, off)) =>
+            when(col("__g__") === lit(g) && col("__bucket__") === lit(b),
+              lit(off)).otherwise(acc)
+        }
+        val wantPred = wantEntries.map { case (g, r) =>
+          col("__g__") === lit(g) && col("__rk__") === lit(r)
+        }.reduce(_ || _)
+        bucketed.filter(keepBucket)
+          .withColumn("__rk__", localRank + offCol)
+          .filter(wantPred)
+      } else {
+        val offDf = offEntries.toDF("__g__", "__bucket__", "__off__")
+        val wantDf = wantEntries.toDF("__g__", "__rk__")
+        bucketed.filter(keepBucket)
+          .join(broadcast(offDf), Seq("__g__", "__bucket__"))
+          .withColumn("__rk__", localRank + col("__off__"))
+          .join(broadcast(wantDf), Seq("__g__", "__rk__"))
+      }
+    val windowed = Jobs.labeled(spark, "rank-pick: windowed pick") {
+      picked
+        .select(col("__g__"), col("__rk__"), col("__v__"))
+        .collect()
+    }
       .groupBy(_.getString(0))
       .map { case (g, rows) =>
         g -> rows.map(r => r.getDouble(1).toLong -> r.getDouble(2)).toMap

@@ -270,11 +270,14 @@ object Equity {
         percentile_approx(when(keepM && col("__eligible__"), -col("__diff__")),
           array(probes.map(lit): _*), lit(10000)).as("bnds")
       else lit(null).as("bnds")
-    val sums = annotated.agg(
-      sum(when(col("__is_target__"), col("__diff__")).otherwise(0.0)).as("net_b"),
-      sum(when(col("__eligible__"), col("__diff__")).otherwise(0.0)).as("need"),
-      sum(when(col("__is_target__"), 1L).otherwise(0L)).as("n_target"),
-      boundaryLane).head()
+    val sums = graft.core.Jobs.labeled(annotated.sparkSession,
+      "equity: need/net sums + boundary lane") {
+      annotated.agg(
+        sum(when(col("__is_target__"), col("__diff__")).otherwise(0.0)).as("net_b"),
+        sum(when(col("__eligible__"), col("__diff__")).otherwise(0.0)).as("need"),
+        sum(when(col("__is_target__"), 1L).otherwise(0L)).as("n_target"),
+        boundaryLane).head()
+    }
     val netResidualSumB = sums.getDouble(0)
     val totalNeed = sums.getDouble(1)
     val nTarget = sums.getLong(2).toDouble
@@ -409,25 +412,21 @@ object Equity {
     try {
       val opt = optimizePrepared(p.dummied, p.xCols, p.names, p.split, lanes,
         cfg, idCol, keepAnnotated = true)
-      // materialize the adjustment set once: the verification
-      // decomposition executes the mutated frame more than once (Gram
-      // pass + any bootstrap lanes), and each execution would otherwise
-      // re-run the whole allocation plan from scratch. keepAnnotated
-      // holds the optimizer's cache until this count so the allocation
-      // executes against it instead of recomputing. The count + early
-      // release sit INSIDE the try: a failure mid-count must still drop
-      // both the adj persist and the optimizer's annotated cache
-      // (releaseCache/unpersist are idempotent, so the outer finally's
-      // second release on the happy path is a free no-op).
+      // The verification decomposition consumes the adjustment set
+      // exactly ONCE: verifyPrepared's Poisson/no-bootstrap path is a
+      // single fused Gram scan (replicates ride as lanes), and the
+      // allocation enters it through ONE broadcast build. Materializing
+      // `adj` into a persist first (the pre-r16 shape) paid a whole
+      // extra execution of the allocation plan (window + scan) plus a
+      // cache write just to hand the broadcast a cached copy — pure
+      // critical-path overhead, measured ~0.4-0.6 s of q_verify's 2.3 s
+      // at sf0.1. The allocation plan is deterministic (value-bucketed
+      // prefix sum over deterministic buckets), so even a hypothetical
+      // re-execution could never change the adjustment set.
       try {
         val adj = opt.adjustmentsUnsorted.filter(col("adjustment") > minPay)
           .select(col(idCol), col("adjustment"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          adj.count()
-          opt.releaseCache()
-          (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
-        } finally { adj.unpersist(blocking = false); () }
+        (opt, verifyPrepared(p, adj, idCol, "adjustment", cfg, bootstrapReps))
       } finally { opt.releaseCache() }
     } finally { p.dummied.unpersist(blocking = false); () }
   }
@@ -522,20 +521,18 @@ object Equity {
         if (cfg.target == OptimizationTarget.Reference) opt.model
         else fitFairModel(lanes(0)(0), lanes(1)(0), p.xCols, p.names,
           cfg.copy(target = OptimizationTarget.Reference))
+      // Returned LAZY: the judged frame is a broadcast join + codegen
+      // arithmetic whose caller consumes it once, so the pre-r16
+      // persist + count paid a full extra planning + execution round
+      // (measured ~0.5-0.7 s of q_defensibility's 2.7 s at sf0.1) for a
+      // cache nothing re-read more than once. Every input is
+      // deterministic (the allocation is a value-bucketed prefix sum
+      // over deterministic buckets), so a caller consuming it twice
+      // recomputes identical rows — it just pays the join twice, which
+      // is the right default for the 1-consumer contract.
       val judged = checkDefensibilityPrepared(p, model, adj, idCol,
-          "adjustment", cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // judged.count() broadcasts adj, which executes the allocation —
-      // keepAnnotated holds the optimizer's cache through that single
-      // execution, released right after. On failure the judged persist
-      // must go too (it is only handed to the caller on success); the
-      // finally's releaseCache is an idempotent no-op on the happy path.
-      try {
-        judged.count()
-        (opt, judged)
-      } catch {
-        case t: Throwable => judged.unpersist(blocking = false); throw t
-      } finally { opt.releaseCache() }
+        "adjustment", cfg)
+      try (opt, judged) finally { opt.releaseCache() }
     } finally { p.dummied.unpersist(blocking = false); () }
   }
 

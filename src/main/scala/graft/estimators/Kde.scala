@@ -50,7 +50,9 @@ object Kde {
     // same doubles with zero copying. Fields are consumed immediately,
     // never stored, so row-buffer reuse is safe. Null model values threw
     // from the external route (Row.getDouble NPE); keep failing fast.
-    val acc = proj.queryExecution.toRdd.treeAggregate(zero)(
+    val acc = graft.core.Jobs.labeled(df.sparkSession,
+      s"kde: ${nL}-lane grid pass") {
+      proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
         if (row.anyNull)
           throw graft.core.InvalidArgument(
@@ -98,6 +100,7 @@ object Kde {
       },
       combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
       depth = 2)
+    }
     Array.tabulate(nL) { l =>
       val base = l * stride
       val sw = acc(base + m)
@@ -153,8 +156,11 @@ object Kde {
       extraAggs.zipWithIndex.map { case (c, i) => c.as(s"__x${i}__") } ++
       Seq(bndLane.as("__bnds__"))
     val bndIdx = 3 + extraAggs.size
-    val rows = base.groupBy(col("__g__")).agg(lanes.head, lanes.tail: _*)
-      .collect()
+    val rows = graft.core.Jobs.labeled(df.sparkSession,
+      "silverman: grouped stats+boundary lane") {
+      base.groupBy(col("__g__")).agg(lanes.head, lanes.tail: _*)
+        .collect()
+    }
     // merged boundaries: interleave every group's j-th probe value and
     // take the middle of each block — the median across groups of each
     // per-group quantile, a balanced pooled approximation (exactness is

@@ -53,31 +53,44 @@ object Rif {
       // The type-7 quantile is NOT computed here: the exact `percentile`
       // aggregate buffers every distinct value and dominated this pass;
       // the quantile instead comes from the same rank-pick pass as the
-      // IQR below (two extra order statistics, free at that point). The
-      // rollup's grand-total row carries the rank-pick's bucket
-      // boundaries (a coarse percentile_approx lane — boundaries only
-      // balance buckets, accuracy is irrelevant), so the rank pass
-      // skips its own quantile-probe job. Job count is the whole game
-      // here: every pass is a fixed scheduling cost at test scale and a
-      // full scan at 100 TB.
+      // IQR below (two extra order statistics, free at that point). A
+      // PER-GROUP percentile_approx lane rides the same aggregate and
+      // replaces the rank pass's own quantile-probe job; the per-group
+      // arrays merge driver-side into pooled boundaries (median across
+      // groups of each per-group quantile — the silvermanGrouped idiom).
+      // This pass was a `rollup` with the boundary lane on the
+      // grand-total row: the rollup's Expand pushed every row through
+      // the aggregate TWICE and ran a second accuracy-1000 sketch for
+      // the total grouping set — measured ~0.8 s of q_rif's 2.1 s at
+      // sf0.1. The plain groupBy halves the aggregated rows, and
+      // accuracy 100 suffices because boundaries only balance buckets
+      // (the rank-pick is exact at ANY bucketing). Job count is still
+      // the whole game: every pass is a fixed scheduling cost at test
+      // scale and a full scan at 100 TB.
       val nBuckets =
         narrow.sparkSession.sessionState.conf.numShufflePartitions
       val probeArr = array((1 until nBuckets)
         .map(i => lit(i.toDouble / nBuckets)): _*)
-      val momentRows = narrow.rollup(col("__g__"))
-        .agg(count(col("__y__")).as("n"), stddev_samp(col("__y__")).as("std"),
-          percentile_approx(col("__y__"), probeArr, lit(1000)).as("bnds"),
-          grouping(col("__g__")).as("is_total"))
-        .collect()
-      def isTotal(r: org.apache.spark.sql.Row): Boolean =
-        r.getAs[Number](4).intValue == 1
-      val moments = momentRows.filterNot(isTotal)
+      val momentRows = graft.core.Jobs.labeled(df.sparkSession,
+        "rif: grouped moments+boundary lane") {
+        narrow.groupBy(col("__g__"))
+          .agg(count(col("__y__")).as("n"), stddev_samp(col("__y__")).as("std"),
+            percentile_approx(col("__y__"), probeArr, lit(100)).as("bnds"))
+          .collect()
+      }
+      val moments = momentRows
         .map(r => (r.getString(0), (r.getLong(1),
           if (r.isNullAt(2)) 0.0 else r.getDouble(2))))
         .toMap
-      val boundaries: Array[Double] = momentRows.find(isTotal)
-        .filter(!_.isNullAt(3))
-        .map(_.getSeq[Double](3).toArray).getOrElse(Array.empty)
+      val perGroupBnds = momentRows.iterator.filter(!_.isNullAt(3))
+        .map(_.getSeq[Double](3).toArray).toArray
+      val boundaries: Array[Double] =
+        if (perGroupBnds.isEmpty) Array.empty
+        else {
+          val merged = perGroupBnds.flatten.sorted
+          val nG = perGroupBnds.length
+          Array.tabulate(nBuckets - 1)(j => merged(j * nG + nG / 2))
+        }
 
       // pass 2: ONE grouped value-bucketed rank-pick covers every level
       // and every needed order statistic (`Windows.valuesAtRanksGrouped`)
@@ -139,12 +152,15 @@ object Rif {
       // closed-form on the driver (see [[GroupRif.meanRif]])
       val qOfN = caseOver(col("__g__"), stats.map { case (l, (_, _, q)) => l -> q })
       val hOfN = caseOver(col("__g__"), bandwidths.toSeq)
-      val densityRows = narrow
-        .select(col("__g__").as("g"),
-          Kde.gaussianCol((qOfN - col("__y__")) / hOfN).as("k"),
-          when(col("__y__") <= qOfN, 1L).otherwise(0L).as("le"))
-        .groupBy(col("g")).agg(sum(col("k")).as("sk"), sum(col("le")).as("nle"))
-        .collect()
+      val densityRows = graft.core.Jobs.labeled(df.sparkSession,
+        "rif: one-point density") {
+        narrow
+          .select(col("__g__").as("g"),
+            Kde.gaussianCol((qOfN - col("__y__")) / hOfN).as("k"),
+            when(col("__y__") <= qOfN, 1L).otherwise(0L).as("le"))
+          .groupBy(col("g")).agg(sum(col("k")).as("sk"), sum(col("le")).as("nle"))
+          .collect()
+      }
       val densities = densityRows.map { r =>
         val lvl = r.getString(0)
         val (n, _, _) = stats(lvl)

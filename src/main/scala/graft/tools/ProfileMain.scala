@@ -22,14 +22,25 @@ object ProfileMain {
     spark.sparkContext.setLogLevel("WARN")
     val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     @volatile var enabled = false
+    @volatile var lastEnd = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (enabled) starts(j.jobId) = (j.time,
-          j.stageInfos.headOption.map(_.name).getOrElse("?"))
+        if (enabled) {
+          // driver "think time" since the previous job ended: planning /
+          // codegen / driver algebra — the between-jobs gap that job
+          // durations alone never show
+          val gap = if (lastEnd > 0) (j.time - lastEnd) / 1000.0 else 0.0
+          val label = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          val desc = label.map(_ + " | ").getOrElse("") +
+            j.stageInfos.map(_.name).distinct.mkString(" | ")
+          starts(j.jobId) = (j.time, f"gap ${gap}%6.3f | " + desc)
+        }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, desc) =>
+          lastEnd = j.time
           if (enabled) println(
-            f"[job ${j.jobId}%3d] ${(j.time - t0) / 1000.0}%7.3f s  ${desc.take(90)}")
+            f"[job ${j.jobId}%3d] ${(j.time - t0) / 1000.0}%7.3f s  ${desc.take(240)}")
         }
     })
     val fn = graft.SparkEntry.queries(name)
