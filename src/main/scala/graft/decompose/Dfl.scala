@@ -52,78 +52,115 @@ object Dfl {
     // the write).
     val df = Prep.withIntercept(dummied)
       .select((outcome +: group +: xCols).distinct.map(col): _*)
-    try {
-
-    // group counts, outcome range AND both groups' Silverman stats in
-    // ONE grouped pass + ONE grouped rank-pick (previously a global
-    // aggregate plus a per-group stats aggregate + rank-pick each).
-    // Runs FIRST: its stats keys are the distinct group levels, so the
-    // separate groupLevels distinct job is erased too.
     val g = col(group).cast("string")
     val y = col(outcome).cast("double")
-    val (bws, extras) = Kde.silvermanGrouped(df, outcome, g,
-      extraAggs = Seq(count(lit(1)), min(y), max(y)))
-    // sort by UTF-8 bytes (Spark's binary collation), not JVM UTF-16
-    // code units: the two orders differ for supplementary-plane
-    // characters, and level choice must match Prep.groupLevels' Spark
-    // orderBy exactly
-    val levels = extras.keys.filter(_ != null).toSeq.sortWith { (x, y) =>
-      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n && a(i) == b(i)) i += 1
-      if (i < n) (a(i) & 0xFF) < (b(i) & 0xFF) else a.length < b.length
-    }
-    if (!levels.contains(reference))
-      throw InvalidGroupVariable(s"Reference level '$reference' not found")
-    val levelA = levels.filter(_ != reference).headOption.getOrElse(
-      throw InvalidGroupVariable("Need two group levels for DFL"))
 
-    val target = when(g === lit(levelA), 1.0).otherwise(0.0)
-    val withTarget = df.withColumn("__dfl_target__", target)
+    // The pipeline has three INDEPENDENT front tracks (guide §2.6 —
+    // overlap independent jobs; every job here is a near-serial
+    // single-partition scan at test scale, so overlap buys real wall
+    // time and costs nothing at cluster scale):
+    //   T1 (this thread): the fused grouped Silverman stats pass + the
+    //      grouped IQR rank-pick;
+    //   T2: materialize the KDE input's fan-out exchange into a cache —
+    //      the exchange input (outcome, group, design) depends on
+    //      NOTHING the logit fit produces (the density weight lanes are
+    //      computed above it), so the shuffle write no longer sits on
+    //      the critical path; the grid pass reads the cached 64
+    //      partitions (identical contents — round-robin from the same
+    //      source layout — so every FP sum is unchanged);
+    //   T3: level discovery (its own tiny distinct, the pre-r14 shape;
+    //      Spark's binary collation == the UTF-8 byte order the fused
+    //      path sorted by) gating the logit fit — the fit then runs
+    //      concurrently with T1's rank-pick instead of after it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fanned0 = Prep.fanOut(df)
+      val fanOutHappened = fanned0 ne df
+      val fanned =
+        if (fanOutHappened)
+          fanned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else fanned0
+      val fannedF: java.util.concurrent.Future[_] =
+        if (fanOutHappened)
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = Jobs.labeled(df.sparkSession,
+              "dfl: kde fan-out materialization") { fanned.count() }
+          })
+        else null
+      val fitF = pool.submit(
+        new java.util.concurrent.Callable[(Seq[String], String, graft.estimators.LogitFit)] {
+          def call(): (Seq[String], String, graft.estimators.LogitFit) = {
+            val levels = Jobs.labeled(df.sparkSession, "dfl: group levels") {
+              Prep.groupLevels(df, group)
+            }
+            if (!levels.contains(reference))
+              throw InvalidGroupVariable(s"Reference level '$reference' not found")
+            val levelA = levels.filter(_ != reference).headOption.getOrElse(
+              throw InvalidGroupVariable("Need two group levels for DFL"))
+            val target = when(g === lit(levelA), 1.0).otherwise(0.0)
+            val withTarget = df.withColumn("__dfl_target__", target)
+            (levels, levelA,
+              Logit.fit(withTarget, "__dfl_target__", xCols,
+                maxIter = logitMaxIter, tol = logitTol))
+          }
+        })
+      try {
+        // T1: group counts, outcome range AND both groups' Silverman
+        // stats in ONE grouped pass + ONE grouped rank-pick (previously
+        // a global aggregate plus a per-group stats aggregate +
+        // rank-pick each)
+        val (bws, extras) = Kde.silvermanGrouped(df, outcome, g,
+          extraAggs = Seq(count(lit(1)), min(y), max(y)))
+        val (_, levelA, fit) =
+          try fitF.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        val nA = extras(levelA)(0).asInstanceOf[Long].toDouble
+        val nB = extras(reference)(0).asInstanceOf[Long].toDouble
+        val ratioMarginal = nB / nA
+        // global outcome range = fold of the per-group ranges (every row
+        // belongs to exactly one group key, null level included)
+        val mins = extras.values.map(_(1)).collect { case d: java.lang.Double => d.doubleValue }
+        val maxs = extras.values.map(_(2)).collect { case d: java.lang.Double => d.doubleValue }
+        val minVal = mins.min
+        val maxVal = maxs.max
+        val step = (maxVal - minVal) / GridSize.toDouble
+        val grid = Array.tabulate(GridSize)(i => minVal + i * step)
 
-    val fit = Logit.fit(withTarget, "__dfl_target__", xCols,
-      maxIter = logitMaxIter, tol = logitTol)
-    val nA = extras(levelA)(0).asInstanceOf[Long].toDouble
-    val nB = extras(reference)(0).asInstanceOf[Long].toDouble
-    val ratioMarginal = nB / nA
-    // global outcome range = fold of the per-group ranges (every row
-    // belongs to exactly one group key, null level included)
-    val mins = extras.values.map(_(1)).collect { case d: java.lang.Double => d.doubleValue }
-    val maxs = extras.values.map(_(2)).collect { case d: java.lang.Double => d.doubleValue }
-    val minVal = mins.min
-    val maxVal = maxs.max
-    val step = (maxVal - minVal) / GridSize.toDouble
-    val grid = Array.tabulate(GridSize)(i => minVal + i * step)
+        val p = least(greatest(fit.probCol(xCols), lit(1e-4)), lit(0.9999))
 
-    val p = least(greatest(fit.probCol(xCols), lit(1e-4)), lit(0.9999))
+        val bwA = bws(levelA)
+        val bwB = bws(reference)
 
-    val bwA = bws(levelA)
-    val bwB = bws(reference)
+        // all three densities in ONE scan: per-density weight columns
+        // that are 0 outside the density's subset. The weight lanes
+        // evaluate ABOVE the (already materialized) fan-out, so the grid
+        // pass is the only work left on the critical path here.
+        val isA = g === lit(levelA)
+        val isB = g === lit(reference)
+        val psi = (p / (lit(1.0) - p)) * lit(ratioMarginal)
+        if (fannedF != null) {
+          try fannedF.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+        val dens = Kde.onGridMulti(fanned, outcome,
+          Seq(when(isA, 1.0).otherwise(0.0),
+            when(isB, 1.0).otherwise(0.0),
+            when(isB, psi).otherwise(0.0)),
+          grid, Seq(bwA, bwB, bwB))
 
-    // all three densities in ONE scan: per-density weight columns that
-    // are 0 outside the density's subset
-    val isA = g === lit(levelA)
-    val isB = g === lit(reference)
-    val psi = (p / (lit(1.0) - p)) * lit(ratioMarginal)
-    // fan out ONLY the KDE input: the grid pass is ~200 exp calls per
-    // row (single-task death on a 1-partition cache), while the same
-    // persisted frame also feeds ~30 cheap IRLS Gram scans that a
-    // 64-partition fan-out measurably slows (task-launch overhead per
-    // iteration) — so the shuffle happens once, here, not on the cache
-    val dens = Kde.onGridMulti(Prep.fanOut(df), outcome,
-      Seq(when(isA, 1.0).otherwise(0.0),
-        when(isB, 1.0).otherwise(0.0),
-        when(isB, psi).otherwise(0.0)),
-      grid, Seq(bwA, bwB, bwB))
-
-    DflResult(
-      grid = grid,
-      densityA = dens(0),
-      densityB = dens(1),
-      densityBCounterfactual = dens(2),
-      logitConverged = fit.converged)
-    }
+        DflResult(
+          grid = grid,
+          densityA = dens(0),
+          densityB = dens(1),
+          densityBCounterfactual = dens(2),
+          logitConverged = fit.converged)
+      } finally {
+        if (fanOutHappened) { fanned.unpersist(blocking = false); () }
+      }
+    } finally pool.shutdown()
   }
 }
