@@ -108,7 +108,13 @@ final case class OptimizeResult(
       * until they have materialized the allocation, so the allocation
       * plan executes against the cache instead of recomputing). No-op
       * otherwise. */
-    releaseCache: () => Unit = () => ()) {
+    releaseCache: () => Unit = () => (),
+    /** Normalized bucket boundaries (signed -diff key space) from the
+      * sums pass's percentile lane, when the caller asked for them —
+      * lets a composition (Frontier) run its own prefix sum over the
+      * allocation without paying a boundary-probe job. Boundaries only
+      * balance buckets, so any consumer is result-correct with them. */
+    prefixBoundaries: Option[Array[Double]] = None) {
   /** Output contract (`engine/src/analysis.rs:309-869`): the allocation
     * ordered by row id. */
   lazy val adjustments: DataFrame = adjustmentsUnsorted.orderBy(col(idCol))
@@ -200,7 +206,8 @@ object Equity {
   private[graft] def optimizePrepared(dummied: DataFrame, xCols: Seq[String],
       names: Seq[String], split: Prep.GroupSplit,
       lanes: Array[Array[GramResult]], cfg: EquityConfig,
-      idCol: String, keepAnnotated: Boolean = false): OptimizeResult = {
+      idCol: String, keepAnnotated: Boolean = false,
+      wantPrefixBoundaries: Boolean = false): OptimizeResult = {
     val gTarget = lanes(0)(0) // non-reference = target group
     val gRef = lanes(1)(0)
     val model = fitFairModel(gTarget, gRef, xCols, names, cfg)
@@ -266,7 +273,7 @@ object Equity {
       annotated.sparkSession.sessionState.conf.numShufflePartitions
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets)
     val boundaryLane =
-      if (mayConstrain && probes.nonEmpty)
+      if ((mayConstrain || wantPrefixBoundaries) && probes.nonEmpty)
         percentile_approx(when(keepM && col("__eligible__"), -col("__diff__")),
           array(probes.map(lit): _*), lit(10000)).as("bnds")
       else lit(null).as("bnds")
@@ -282,7 +289,7 @@ object Equity {
     val totalNeed = sums.getDouble(1)
     val nTarget = sums.getLong(2).toDouble
     val prefixBoundaries: Option[Array[Double]] =
-      if (!mayConstrain || sums.isNullAt(3)) None
+      if (!(mayConstrain || wantPrefixBoundaries) || sums.isNullAt(3)) None
       else Some(graft.functions.BucketIndexExpr.normalize(
         sums.getSeq[Double](3).toArray))
     val effectiveBudget =
@@ -349,7 +356,8 @@ object Equity {
       model, idCol,
       releaseCache =
         if (keepAnnotated) () => { annotated.unpersist(blocking = false); () }
-        else () => ())
+        else () => (),
+      prefixBoundaries = prefixBoundaries)
     } catch {
       // never leak the cache on failure, keepAnnotated or not
       case t: Throwable => annotated.unpersist(blocking = false); throw t

@@ -43,10 +43,15 @@ object Frontier {
     val dummied = p.dummied
     val xCols = p.xCols
 
-    // payments = greedy full-need allocation (budget = 0 -> auto)
+    // payments = greedy full-need allocation (budget = 0 -> auto).
+    // wantPrefixBoundaries: the sums pass's percentile lane doubles as
+    // the boundary probe for the sweep's OWN prefix sum below (the
+    // payment amounts are the eligible diffs — at most rounded — so the
+    // -diff quantiles are a monotone, hence valid, bucketing of the
+    // -adjustment key; boundaries only balance buckets).
     val opt = Equity.optimizePrepared(dummied, xCols, p.names, p.split, lanes,
       cfg.copy(budget = 0.0, strategy = AllocationStrategy.Greedy), idCol,
-      keepAnnotated = true)
+      keepAnnotated = true, wantPrefixBoundaries = true)
     val totalNeed = opt.metrics.requiredBudget
     val maxB = maxBudget.getOrElse(totalNeed * 1.1)
     val safeMax = if (maxB < 1e-9) 1000.0 else maxB
@@ -82,30 +87,20 @@ object Frontier {
       case Some(sc) => round(col("adjustment"), sc)
       case None => col("adjustment")
     }
-    // materialize the payment set ONCE: the prefix-sum machinery and the
-    // sweep aggregate below execute this frame three times (boundary
-    // probe, bucket totals, treeAggregate), and each execution would
-    // otherwise re-run the whole allocation plan — annotated-frame
-    // arithmetic + the allocation window — from scratch, since the
-    // optimizer's internal cache is released when optimizePrepared
-    // returns. The payment set is only the paid rows × 2 columns.
+    // The payment set feeds exactly ONE broadcast build (the join
+    // below), so it is not persisted: the pre-r16 persist + count paid
+    // a whole extra execution of the allocation plan plus a cache write
+    // just to hand the broadcast a cached copy.
     val payments = opt.adjustmentsUnsorted
       .filter(col("adjustment") > 0.0)
       .select(col(idCol), payAmount.as("adjustment"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    payments.count()
-    // the count above executed the allocation against the optimizer's
-    // cache (keepAnnotated); nothing downstream reads it again. The
-    // count sits inside the try so a mid-count failure still drops both
-    // the payments persist and (via the finally below) the optimizer's
-    // cache — releaseCache is idempotent, so this early happy-path
-    // release makes the finally's a no-op.
-    opt.releaseCache()
     // narrow + persist: the prefix-sum machinery executes this frame
-    // three times (boundary probe, bucket totals, the sweep aggregate's
-    // window input) — cache the joined projection once instead of
-    // re-running the broadcast join per consumer
+    // twice (bucket totals, the sweep aggregate's window input; the
+    // boundary probe now rides the optimizer's sums lane) — cache the
+    // joined projection once instead of re-running the broadcast join
+    // (and through it the allocation) per consumer. The first action on
+    // it executes the allocation exactly once, inside the broadcast
+    // build.
     val g = col(cfg.group).cast("string")
     val dummyCol = when(g =!= lit(cfg.reference), 1.0).otherwise(0.0)
     val joined = dummied.join(broadcast(payments), Seq(idCol), "inner")
@@ -116,17 +111,26 @@ object Frontier {
     try {
     val prefixed = Windows.exclusivePrefixSum(joined,
       col("adjustment"), ascending = false, Seq(col(idCol)),
-      col("adjustment"), "__prefix__")
+      col("adjustment"), "__prefix__",
+      boundariesOverride = opt.prefixBoundaries)
     val proj = prefixed.select(
       (col("adjustment") +: col("__prefix__").cast("double") +:
         col("__y__") +: lit(1.0) +: col("__dummy__") +:
         xCols.tail.map(col)): _*)
 
-    // one pass: per step, sum(pay * x_j) and sum(2 y pay + pay^2)
+    // one pass: per step, sum(pay * x_j) and sum(2 y pay + pay^2).
+    // queryExecution.toRdd, not .rdd: the external-Row route pays a full
+    // InternalRow -> Row deserialization per row (the r15 Kde lesson);
+    // the UnsafeRow accessors read the same doubles with zero copying.
+    // Fields are consumed immediately, never stored, so row-buffer reuse
+    // is safe; null model values fail loudly as everywhere else.
     val stride = k + 1
     val zero = new Array[Double](steps * stride)
-    val acc = proj.rdd.treeAggregate(zero)(
+    val acc = proj.queryExecution.toRdd.treeAggregate(zero)(
       seqOp = (buf, row) => {
+        if (row.anyNull)
+          throw graft.core.InvalidArgument(
+            "Frontier sweep read a null model value; drop null rows first")
         val gap = row.getDouble(0)
         val prefix = row.getDouble(1)
         val y = row.getDouble(2)
@@ -174,9 +178,8 @@ object Frontier {
       val (ts, p, sig) = statAt(xty, yy)
       FrontierPoint(budget, ts, p, sig)
     }
-    } finally { joined.unpersist(blocking = false); () }
     } finally {
-      payments.unpersist(blocking = false)
+      joined.unpersist(blocking = false)
       opt.releaseCache()
     }
   }
