@@ -512,8 +512,10 @@ object Queries {
       def fitOf(lvl: String) = Heckman.fit(li.filter(g === lit(lvl)),
         "l_extendedprice", xCols, "sel", selX,
         probitMaxIter = 3, probitTol = 0.0)
-      val fa = fitOf("O")
-      val fb = fitOf("F")
+      // the two per-group two-step fits share nothing: overlap them
+      // (each fit's own jobs/partitioning/accumulation are untouched,
+      // so both betas are bit-identical to the sequential run)
+      val (fa, fb) = graft.core.Jobs.par2(fitOf("O"), fitOf("F"))
       val names = Seq("intercept", "l_quantity", "imr")
       val selNames = Seq("intercept", "l_discount")
       // the runHeckman two-fold algebra with betaStar = betaB (default

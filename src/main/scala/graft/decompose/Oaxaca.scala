@@ -576,7 +576,6 @@ object Oaxaca {
 
       val systems = (0 to nReps).map(r =>
         Gram.MultiSystem(cfg.outcome, s"__bw_$r", Some(s"__imr_$r")))
-      val grams = Gram.computeMulti(selRows, xCols, systems, lane, 2)
 
       // selection delta (selected rows only, via when-guards: sum()
       // skips the null branch, so each ds_r/dw_r sees exactly the rows
@@ -595,10 +594,18 @@ object Oaxaca {
           Seq(sum(col(s"__bw_$r")).as(s"zw_$r"),
             sum(col(cfg.outcome).cast("double") * col(s"__bw_$r")).as(s"zy_$r"))) ++
         Seq(count(lit(1)).as("__zn__"))
-      val statRows = aug.filter(lane >= 0)
-        .groupBy(lane.as("__lane__"))
-        .agg(statAggs.head, statAggs.tail: _*)
-        .collect().map(r => r.getInt(0) -> r).toMap
+      // the selected-rows Gram and the stats pass both depend only on
+      // the probit fits, not on each other — overlap them (guide §2.6);
+      // each keeps its own scan, partitioning and accumulation order,
+      // so every value is bit-identical to the sequential run
+      val (grams, statRows) = graft.core.Jobs.par2(
+        Gram.computeMulti(selRows, xCols, systems, lane, 2),
+        Jobs.labeled(spark, "heckman: selection stats pass") {
+          aug.filter(lane >= 0)
+            .groupBy(lane.as("__lane__"))
+            .agg(statAggs.head, statAggs.tail: _*)
+            .collect().map(r => r.getInt(0) -> r).toMap
+        })
       val deltaRows = statRows
       val zRows = statRows
 
