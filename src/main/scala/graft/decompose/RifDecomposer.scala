@@ -17,10 +17,13 @@ object RifDecomposer {
     val modelCols = (cfg.outcome +: cfg.group +: cfg.predictors) ++
       cfg.categorical ++ cfg.weights.toSeq
     val cleaned = Prep.clean(df, modelCols.distinct)
-    // validates >= 2 levels and the reference level exists
-    Prep.splitGroups(cleaned, cfg.group, cfg.reference)
-    val (transformed, _) =
-      Rif.transformPerGroup(cleaned, cfg.outcome, cfg.group, tau)
+    // the >= 2-levels / reference-exists validation is its own distinct
+    // job, independent of the RIF passes — overlap them (guide §2.6);
+    // an invalid group still raises the same InvalidGroupVariable, just
+    // after the concurrent transform work instead of before it
+    val (transformed, _) = graft.core.Jobs.par2(
+      Rif.transformPerGroup(cleaned, cfg.outcome, cfg.group, tau),
+      Prep.splitGroups(cleaned, cfg.group, cfg.reference))._1
     val replaced = transformed
       .withColumn(cfg.outcome, col("__rif__"))
       .drop("__rif__")

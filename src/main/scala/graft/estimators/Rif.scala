@@ -33,22 +33,23 @@ object Rif {
   /** Compute RIF of `outcome` separately within each level of
     * `groupCol`, appending it as `outCol`. Three aggregate passes total
     * (moments+quantile, one grouped IQR rank-pick for ALL levels,
-    * one-point density), each fully distributed, all over ONE persisted
-    * narrow (group, y) projection — the upstream plan (often a full
-    * clean + cast pipeline when called from `RifDecomposer`) executes
-    * once, not once per pass per group. Only per-group scalars reach
-    * the driver. */
+    * one-point density), each fully distributed over a narrow
+    * two-column projection the scan prunes to. Only per-group scalars
+    * reach the driver. */
   def transformPerGroup(df: DataFrame, outcome: String, groupCol: String,
       tau: Double, outCol: String = "__rif__"): (DataFrame, Seq[GroupRif]) = {
     val y = col(outcome).cast("double")
     val g = col(groupCol).cast("string")
 
-    // every pass below needs only (group, y): persist that projection for
-    // the life of the transform (all passes are actions, so the final
-    // unpersist is safe)
+    // every pass below needs only (group, y) — a narrow projection the
+    // scan prunes to two columns. NOT persisted (r16 A/B: warm q_rif
+    // 1.6 -> 1.4 s): the MEMORY_AND_DISK write of the row-format copy
+    // sat on the first pass's critical path and cost more than the
+    // three extra pruned columnar scans it saved; the same bytes are
+    // re-read either way, minus the write. Callers with an expensive
+    // upstream (not a bare table scan) can persist before calling.
     val narrow = df.select(g.as("__g__"), y.as("__y__"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (stats, bandwidths, densities, countsLe) = try {
+    val (stats, bandwidths, densities, countsLe) = {
       // pass 1: n and sample stddev per group — pure codegen aggregates.
       // The type-7 quantile is NOT computed here: the exact `percentile`
       // aggregate buffers every distinct value and dominated this pass;
@@ -169,7 +170,7 @@ object Rif {
       }.toMap
       val countsLe = densityRows.map(r => r.getString(0) -> r.getLong(2)).toMap
       (stats, bandwidths, densities, countsLe)
-    } finally narrow.unpersist(blocking = false)
+    }
 
     val qOf = caseOver(g, stats.map { case (l, (_, _, q)) => l -> q })
 
