@@ -13,7 +13,6 @@ fresh JVMs, no in-process extra reps (SPARK_GRAFT_BENCH_NO_EXTRA=1).
 """
 import json
 import os
-import shutil
 import subprocess
 import sys
 
@@ -99,6 +98,24 @@ def wait_for_idle():
         time.sleep(15)
 
 
+def cpu_jiffies():
+    """(busy, steal, total) jiffies from /proc/stat's aggregate cpu line.
+
+    Hypervisor steal is the r15 finding the 1-minute load gate cannot
+    see: same-code load-gated batches differed 1.5-2.7x while loadavg
+    and cpu_mhz were flat. Recording the per-batch steal SHARE makes a
+    stolen batch self-declaring, so a judge can discard it instead of
+    re-adjudicating the whole sweep."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals) - vals[3] - vals[4], steal, sum(vals)
+    except Exception:
+        return 0, 0, 0
+
+
 def run_bench(sf_dir, snap, queries):
     if os.path.exists(snap):
         with open(snap) as f:
@@ -107,6 +124,7 @@ def run_bench(sf_dir, snap, queries):
               f"(total_min={data['total_min']})", flush=True)
         return data
     wait_for_idle()
+    busy0, steal0, tot0 = cpu_jiffies()
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": sf_dir,
@@ -118,9 +136,20 @@ def run_bench(sf_dir, snap, queries):
     subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    shutil.copyfile(os.path.join(REPO, "bench_out.json"), snap)
-    with open(snap) as f:
-        return json.load(f)
+    busy1, steal1, tot1 = cpu_jiffies()
+    with open(os.path.join(REPO, "bench_out.json")) as f:
+        data = json.load(f)
+    # steal share of elapsed CPU time during this batch; > a few percent
+    # means a host neighbor ate the batch — distrust its numbers
+    dtot = tot1 - tot0
+    data["steal_share"] = round((steal1 - steal0) / dtot, 4) if dtot else -1.0
+    data["busy_share"] = round((busy1 - busy0) / dtot, 4) if dtot else -1.0
+    with open(snap, "w") as f:
+        json.dump(data, f)
+    if data["steal_share"] > 0.03:
+        print(f"[sweep]   WARNING: steal_share={data['steal_share']:.1%} "
+              f"during this batch — numbers suspect", flush=True)
+    return data
 
 
 def merge_min(snapshots):
@@ -148,7 +177,8 @@ for i in range(N_PAIRS):
     small_runs.append(s)
     big_runs.append(b)
     loads.append([s["load_avg_start"], s["load_avg_end"],
-                  b["load_avg_start"], b["load_avg_end"]])
+                  b["load_avg_start"], b["load_avg_end"],
+                  s.get("steal_share", -1.0), b.get("steal_share", -1.0)])
 
 # all batches of one side must have run on the SAME fixtures — a digest
 # mismatch (e.g. regenerated data between a killed sweep and its resume)
