@@ -234,13 +234,14 @@ object Equity {
       when(isTarget, diffC > 1e-6 && gapPct >= cfg.minGapPct)
         .otherwise(lit(cfg.adjustBoth) && diffC > 1e-6 && gapPct >= cfg.minGapPct)
 
-    // The annotated frame feeds ~4 executions (the sums aggregate, the
-    // prefix-sum's approxQuantile + bucket-totals passes, and the final
-    // allocation plan) — persist it for the life of the call so the
-    // underlying scan + PI arithmetic run once, not per consumer. It is
-    // deliberately NARROW (id, group, outcome + 6 derived doubles, NOT
-    // the full design frame): the cache write is what you pay per row,
-    // and everything downstream needs only these columns.
+    // The annotated frame feeds ~3 executions (the sums aggregate, the
+    // prefix-sum's bucket-totals pass, and the final allocation plan).
+    // NOT persisted (r15 A/B): each consumer re-derives it as cheap
+    // codegen over the caller's already-cached source, and the
+    // MEMORY_AND_DISK write on the critical path cost more than the
+    // recomputes it saved. It is deliberately NARROW (id, group,
+    // outcome + 6 derived doubles, NOT the full design frame) so each
+    // recompute prunes the scan to these columns.
     val annotated = dummied.select(
         col(idCol), col(cfg.group), col(cfg.outcome),
         diffC.as("__diff__"),
@@ -249,8 +250,8 @@ object Equity {
         upperC.as("__upper__"),
         eligibleC.as("__eligible__"),
         isTarget.as("__is_target__"))
-    // predicates over the materialized columns (same arithmetic as
-    // eligibleC/keep above, but reading the cached values)
+    // predicates over the annotated columns (same arithmetic as
+    // eligibleC/keep above, but reading the derived values)
     val gapPctM = when(abs(actual) > 1e-6, col("__diff__") / actual).otherwise(0.0)
     val keepM =
       if (cfg.forensic) lit(true)
